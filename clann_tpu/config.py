@@ -1,0 +1,147 @@
+"""Configuration for the clustered TPU-native LSH index.
+
+TPU-native equivalent of the reference Config
+(reference: src/core/config.rs:16-48) with the same serde-compatible JSON
+field names and defaults ``{num_tables: 10, num_clusters_factor: 1.0, k: 10,
+delta: 0.9, dataset_name: "", metrics_output: None}`` plus TPU-specific
+execution knobs that have no counterpart in the single-threaded CPU
+reference (batch sizes, dtypes, mesh axes).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import json
+from typing import Any, Optional
+
+
+class MetricsOutput(enum.Enum):
+    """Where run metrics are written (reference: src/core/config.rs:3-7)."""
+
+    NONE = "None"
+    DB = "DB"
+
+
+class MetricsGranularity(enum.Enum):
+    """Detail level of saved metrics (reference: src/core/config.rs:9-13)."""
+
+    RUN = "Run"
+    QUERY = "Query"
+    CLUSTER = "Cluster"
+
+
+@dataclasses.dataclass
+class Config:
+    """Build/search configuration.
+
+    Fields mirror the reference ``Config`` struct
+    (reference: src/core/config.rs:16-35); TPU-only fields are grouped after
+    and are excluded from reference-compatible JSON unless set to
+    non-default values.
+    """
+
+    # --- reference-compatible fields (src/core/config.rs:37-48 defaults) ---
+    num_tables: int = 10
+    num_clusters_factor: float = 1.0
+    k: int = 10
+    delta: float = 0.9
+    dataset_name: str = ""
+    metrics_output: MetricsOutput = MetricsOutput.NONE
+
+    # --- TPU-native execution knobs (no reference counterpart) ---
+    # LSH hash family for tables: "fht_cross_polytope" (reference default,
+    # cosine.hpp:16), "cross_polytope", or "simhash".
+    hash_family: str = "fht_cross_polytope"
+    # Hash source: "independent" (reference default, collection.hpp:130-131),
+    # "pool", or "tensor".
+    hash_source: str = "independent"
+    # Maximum concatenated hash length in bits (reference: typedefs.hpp:9).
+    max_hashbits: int = 24
+    # Sketch configuration (reference: filterer.hpp:16, typedefs.hpp:12-15).
+    num_sketches: int = 32
+    sketch_bits: int = 64
+    # Number of pseudo-random FHT rotations (reference: crosspolytope.hpp:222).
+    num_rotations: int = 3
+    # Monte-Carlo collision-probability tabulation (crosspolytope.hpp:223-225).
+    estimation_repetitions: int = 1000
+    estimation_eps: float = 5e-3
+    # Clusters with fewer points than this are brute-forced
+    # (reference: src/core/index.rs:204-205 uses <100 or <k).
+    brute_force_threshold: int = 100
+    # Per-query candidate chunk processed per rescore step. Static shape so
+    # XLA compiles one program; larger = fewer loop steps, more padding work.
+    candidate_chunk: int = 512
+    # Depth at which the adaptive query loop gives up (reference runs 24..1;
+    # stopping early only increases work never decreases recall).
+    min_depth: int = 1
+    # Dtype used for rescoring matmuls on the MXU ("float32" | "bfloat16").
+    rescore_dtype: str = "float32"
+    # PRNG seed for hash function sampling. The reference uses a global
+    # clock-seeded RNG (typedefs.hpp:17-22) making builds non-reproducible;
+    # we deliberately diverge with explicit seeding (documented in SURVEY §7).
+    seed: int = 0
+
+    _REFERENCE_FIELDS = (
+        "num_tables",
+        "num_clusters_factor",
+        "k",
+        "delta",
+        "dataset_name",
+        "metrics_output",
+    )
+
+    def __post_init__(self) -> None:
+        from clann_tpu.errors import ConfigError
+
+        if self.num_tables < 1:
+            raise ConfigError("num_tables must be >= 1")
+        if self.k < 1:
+            raise ConfigError("k must be >= 1")
+        if not (0.0 < self.delta < 1.0):
+            raise ConfigError("delta must be in (0, 1)")
+        if self.num_clusters_factor <= 0.0:
+            raise ConfigError("num_clusters_factor must be > 0")
+        if isinstance(self.metrics_output, str):
+            self.metrics_output = MetricsOutput(self.metrics_output)
+
+    # -- JSON round-trip (reference: config.rs serde derive + tests at
+    #    config.rs:70-169 assert default/round-trip behaviour) --
+
+    def to_dict(self, reference_only: bool = False) -> dict:
+        d: dict[str, Any] = {}
+        for f in dataclasses.fields(self):
+            if reference_only and f.name not in self._REFERENCE_FIELDS:
+                continue
+            v = getattr(self, f.name)
+            if isinstance(v, enum.Enum):
+                v = v.value
+            d[f.name] = v
+        return d
+
+    def to_json(self, reference_only: bool = False) -> str:
+        return json.dumps(self.to_dict(reference_only=reference_only))
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "Config":
+        known = {f.name for f in dataclasses.fields(cls)}
+        kwargs = {k: v for k, v in d.items() if k in known}
+        return cls(**kwargs)
+
+    @classmethod
+    def from_json(cls, s: str) -> "Config":
+        return cls.from_dict(json.loads(s))
+
+    @classmethod
+    def from_file(cls, path: str) -> "Config":
+        with open(path, "r") as f:
+            return cls.from_json(f.read())
+
+    def num_clusters(self, num_points: int) -> int:
+        """k = max(1, floor(factor * sqrt(n))) (reference: index.rs:78-80)."""
+        import math
+
+        return max(1, int(self.num_clusters_factor * math.sqrt(num_points)))
+
+    def replace(self, **kwargs) -> "Config":
+        return dataclasses.replace(self, **kwargs)

@@ -1,0 +1,84 @@
+"""Synthetic dataset generation with exact ground truth.
+
+TPU-native equivalent of the reference's random-unit-vector generator
+(reference: src/utils/mod.rs:101-114) plus a clustered-mixture generator that
+exercises the clustering stage the way real embedding datasets (glove etc.)
+do. Ground truth is computed with the batched brute-force oracle
+(ops/distances.py), the analog of reference src/utils/mod.rs:116-131.
+
+No public ann-benchmarks files are available in this environment (zero
+egress), so benchmarks and statistical tests run on these datasets; shapes
+and distance distributions are chosen to mimic glove-25/glove-100-angular.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from clann_tpu.data.hdf5 import AnnDataset
+
+
+def random_unit_vectors(n: int, d: int, seed: int = 0) -> np.ndarray:
+    """L2-normalized Gaussian vectors (reference: src/utils/mod.rs:101-114)."""
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal((n, d), dtype=np.float32)
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    return (x / np.where(norms == 0, 1, norms)).astype(np.float32)
+
+
+def clustered_unit_vectors(
+    n: int,
+    d: int,
+    n_modes: int = 64,
+    spread: float = 0.35,
+    seed: int = 0,
+) -> np.ndarray:
+    """Mixture-of-von-Mises-Fisher-ish unit vectors.
+
+    Real embedding datasets are strongly clustered, which is what makes the
+    reference's GMM + ball-bound early termination pay off; uniform random
+    unit vectors in high d are pathologically *un*clustered. Each point is a
+    random mode direction plus Gaussian noise of relative scale ``spread``,
+    re-normalized.
+    """
+    rng = np.random.default_rng(seed)
+    modes = rng.standard_normal((n_modes, d)).astype(np.float32)
+    modes /= np.linalg.norm(modes, axis=1, keepdims=True)
+    # Zipf-ish mode popularity to get ragged cluster sizes like real data.
+    weights = 1.0 / np.arange(1, n_modes + 1) ** 0.7
+    weights /= weights.sum()
+    which = rng.choice(n_modes, size=n, p=weights)
+    x = modes[which] + spread * rng.standard_normal((n, d)).astype(np.float32)
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    return (x / np.where(norms == 0, 1, norms)).astype(np.float32)
+
+
+def make_synthetic_dataset(
+    n: int = 20000,
+    d: int = 25,
+    n_queries: int = 200,
+    k_gt: int = 100,
+    metric: str = "angular",
+    clustered: bool = True,
+    seed: int = 0,
+    name: str = "",
+) -> AnnDataset:
+    """Build a full ann-benchmarks-shaped dataset with exact ground truth."""
+    from clann_tpu.ops.distances import brute_force_topk
+
+    gen = clustered_unit_vectors if clustered else random_unit_vectors
+    train = gen(n, d, seed=seed)
+    # Queries from the same distribution (held out).
+    test = gen(n_queries, d, seed=seed + 1)
+
+    dists, ids = brute_force_topk(train, test, k=k_gt, metric=metric)
+    if not name:
+        kind = "clustered" if clustered else "uniform"
+        name = f"synthetic-{kind}-{n}x{d}-{metric}"
+    return AnnDataset(
+        train=train,
+        test=test,
+        distances=np.asarray(dists, dtype=np.float32),
+        neighbors=np.asarray(ids, dtype=np.int32),
+        name=name,
+    )

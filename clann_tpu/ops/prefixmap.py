@@ -1,0 +1,183 @@
+"""Sorted-hash table layout and prefix-range computation.
+
+TPU-native replacement for the reference PrefixMap
+(reference: libpuffinn/include/puffinn/prefixmap.hpp): where the reference
+keeps, per table, values sorted by 24-bit hash with segment-padded sentinel
+boundaries, a 13-bit prefix directory for binary-search hints, and a
+stateful up/down prefix-peeling walk (prefixmap.hpp:267-304), the TPU
+layout is:
+
+- `sorted_hash (L, n)` uint32: per-table hashes sorted ascending *within
+  each cluster segment* (one `jax.lax.sort` per table replaces the
+  3-pass LSD radix sort of sorthash.hpp:133-194 — XLA's sort is the
+  device-wide parallel primitive).
+- `sorted_idx (L, n)` int32: global point id at each sorted slot — because
+  ids are global, the reference's local->global candidate remap
+  (src/core/index.rs:634-649) disappears by construction.
+- segment starts `(C+1,)`: cluster boundaries shared by all tables.
+
+Queries never walk pointers: the candidate range of query q in table t at
+prefix depth d is [lo, hi) where lo/hi come from a *vectorized masked
+binary search* over all (q, t, d) at once. The reference's
+SEGMENT_SIZE-strided walk overshoots ranges by up to 12 values and relies
+on sentinels (prefixmap.hpp:60, 267-304); binary search gives exact ranges,
+so per-depth candidate sets here are subsets of the reference's — fewer
+wasted distance computations at equal recall semantics.
+
+Prefix-peeling equivalence (prefixmap.hpp:267-304): at depth d the
+newly-revealed range R_d \\ R_{d+1} is one-sided — above [hi_{d+1}, hi_d)
+when the query's peeled bit is 0, below [lo_d, lo_{d+1}) when it is 1 —
+because removing a 0-bit admits only larger hashes and vice versa. We
+consume the exact-match range [lo_D, hi_D) first (the reference skips it on
+the first iteration by construction and recovers it across the first two
+peels; consuming it directly is strictly better).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.partial(jax.jit, static_argnames=())
+def sort_tables_segmented(
+    hashes: jnp.ndarray, cluster_of_point: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Sort each table's hashes by (cluster, hash), carrying point ids.
+
+    hashes: (L, n) uint32; cluster_of_point: (n,) int32.
+    Returns (sorted_hash (L, n) uint32, sorted_idx (L, n) int32).
+
+    Replaces PrefixMap::rebuild's per-thread staging + radix sort
+    (prefixmap.hpp:169-247) with a two-key lexicographic `lax.sort` vmapped
+    over tables.
+    """
+    L, n = hashes.shape
+    ids = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None, :], (L, n))
+    clusters = jnp.broadcast_to(cluster_of_point[None, :], (L, n))
+
+    def sort_one(c, h, i):
+        ck, hk, ik = jax.lax.sort((c, h, i), num_keys=2)
+        return hk, ik
+
+    sorted_hash, sorted_idx = jax.vmap(sort_one)(clusters, hashes, ids)
+    return sorted_hash, sorted_idx
+
+
+def masked_binary_search(
+    sorted_hash: jnp.ndarray,
+    table_ids: jnp.ndarray,
+    keys: jnp.ndarray,
+    seg_lo: jnp.ndarray,
+    seg_hi: jnp.ndarray,
+    n_iters: int,
+) -> jnp.ndarray:
+    """Lower-bound binary search restricted to [seg_lo, seg_hi) per element.
+
+    sorted_hash: (L, n) uint32 table data.
+    table_ids:   (...,) int32 which table each search runs in.
+    keys:        (...,) uint32 search keys.
+    seg_lo/hi:   (...,) int32 segment bounds for each search.
+    n_iters:     static iteration count >= ceil(log2(max segment size)).
+
+    Returns first position p in [seg_lo, seg_hi] with
+    sorted_hash[table, p] >= key. All searches advance in lockstep on the
+    VPU; each iteration is one gather + compare.
+    """
+    lo = seg_lo
+    hi = seg_hi
+
+    def body(_, state):
+        lo, hi = state
+        mid = (lo + hi) >> 1
+        v = sorted_hash[table_ids, mid]
+        go_right = v < keys
+        lo = jnp.where((lo < hi) & go_right, mid + 1, lo)
+        hi = jnp.where((lo < hi) & ~go_right, mid, hi)
+        return lo, hi
+
+    lo, hi = jax.lax.fori_loop(0, n_iters, body, (lo, hi))
+    return lo
+
+
+def depth_bounds(
+    sorted_hash: jnp.ndarray,
+    query_hashes: jnp.ndarray,
+    seg_lo: jnp.ndarray,
+    seg_hi: jnp.ndarray,
+    max_hashbits: int,
+    n_iters: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Candidate range [lo_d, hi_d) for every (query, table, depth).
+
+    sorted_hash: (L, n) uint32.
+    query_hashes: (Q, L) uint32.
+    seg_lo/seg_hi: (Q,) int32 — the query's cluster segment bounds
+                   (same for all tables by layout).
+    Returns lo, hi: (Q, L, D+1) int32 for depths d = 0..D.
+
+    At depth d the prefix is the top d bits: keys are
+    (h >> (D-d)) << (D-d) and ((h >> (D-d)) + 1) << (D-d). Depth 0 is the
+    whole segment. Equivalent to the union of the reference's
+    PrefixMapQuery state over its whole peeling walk, computed in one shot.
+    """
+    Q, L = query_hashes.shape
+    D = max_hashbits
+    depths = jnp.arange(D + 1, dtype=jnp.uint32)  # (D+1,)
+    shifts = jnp.uint32(D) - depths
+    prefix = (query_hashes[:, :, None] >> shifts) << shifts  # (Q, L, D+1)
+    # Upper key: add 2^(D-d); depth 0 upper overflows to 0 — use max key.
+    upper = prefix + (jnp.uint32(1) << shifts)
+    upper = jnp.where(shifts == jnp.uint32(D), jnp.uint32(0xFFFFFFFF), upper)
+
+    t_ids = jnp.broadcast_to(
+        jnp.arange(L, dtype=jnp.int32)[None, :, None], (Q, L, D + 1)
+    )
+    slo = jnp.broadcast_to(seg_lo[:, None, None], (Q, L, D + 1))
+    shi = jnp.broadcast_to(seg_hi[:, None, None], (Q, L, D + 1))
+
+    lo = masked_binary_search(sorted_hash, t_ids, prefix, slo, shi, n_iters)
+    hi = masked_binary_search(sorted_hash, t_ids, upper, slo, shi, n_iters)
+    return lo, hi
+
+
+def revealed_range(
+    lo: jnp.ndarray,
+    hi: jnp.ndarray,
+    query_hashes: jnp.ndarray,
+    depth: jnp.ndarray,
+    max_hashbits: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """The one-sided range newly revealed when entering `depth`.
+
+    lo, hi: (Q, L, D+1) from depth_bounds. depth: (Q,) current depth in
+    [1, D]; depth == D means the exact-match range [lo_D, hi_D).
+    Returns (start, size): (Q, L) int32.
+
+    Mirrors PrefixMap::get_next_range's direction rule
+    (prefixmap.hpp:272-279): peeled bit value 0 -> extend upward,
+    1 -> extend downward.
+    """
+    D = max_hashbits
+    d = depth[:, None]  # (Q, 1)
+    qL = lo.shape[1]
+    dd = jnp.broadcast_to(d, (d.shape[0], qL))
+
+    lo_d = jnp.take_along_axis(lo, dd[:, :, None], axis=2)[:, :, 0]
+    hi_d = jnp.take_along_axis(hi, dd[:, :, None], axis=2)[:, :, 0]
+    lo_d1 = jnp.take_along_axis(lo, jnp.minimum(dd + 1, D)[:, :, None], axis=2)[:, :, 0]
+    hi_d1 = jnp.take_along_axis(hi, jnp.minimum(dd + 1, D)[:, :, None], axis=2)[:, :, 0]
+
+    # Bit peeled when going from depth d+1 to d: bit index (D - (d+1)).
+    shift = (jnp.uint32(D) - (dd.astype(jnp.uint32) + 1)) % jnp.uint32(32)
+    bit = (query_hashes >> shift) & jnp.uint32(1)
+
+    exact = dd == D
+    start = jnp.where(exact, lo_d, jnp.where(bit == 0, hi_d1, lo_d))
+    end = jnp.where(exact, hi_d, jnp.where(bit == 0, hi_d, lo_d1))
+    return start, jnp.maximum(end - start, 0)

@@ -1,0 +1,37 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+
+Multi-chip TPU hardware is not available in CI; sharding tests use XLA's
+host-platform device virtualization (8 CPU "devices") so every
+shard_map/pjit path compiles and executes with real collectives.
+MUST set env vars before jax is first imported.
+"""
+
+import os
+
+# The ambient environment pins JAX_PLATFORMS to the TPU tunnel; tests always
+# run on the virtual CPU mesh (override with CLANN_TEST_PLATFORM=tpu).
+os.environ["JAX_PLATFORMS"] = os.environ.get("CLANN_TEST_PLATFORM", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def small_angular_dataset():
+    """Shared tiny clustered dataset with ground truth (session-cached)."""
+    from clann_tpu.data.synthetic import make_synthetic_dataset
+
+    return make_synthetic_dataset(
+        n=3000, d=25, n_queries=60, k_gt=50, metric="angular", clustered=True, seed=7
+    )
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(1234)
