@@ -1,0 +1,193 @@
+"""Public API facade.
+
+TPU-native equivalent of the reference's public Rust API
+(reference: src/lib.rs:41-264): `init` / `init_with_config` /
+`init_from_file` / `build` / `search` / `serialize` / `save_metrics`, each a
+thin delegation to the engine — same layering as the reference (SURVEY.md
+§1 L5->L4). The batch-first entry points (`search_batch`) are the TPU-native
+additions; the single-query `search` exists for drop-in parity.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from clann_tpu.config import Config, MetricsGranularity, MetricsOutput
+from clann_tpu.data.metricdata import MetricData, make_metric_data
+from clann_tpu.errors import DataError
+from clann_tpu.metrics.run import RunMetrics
+
+log = logging.getLogger("clann_tpu")
+
+
+class Clann:
+    """Stateful handle pairing a dataset, a config, and a built index.
+
+    Mirrors the reference's ClusteredIndex lifecycle: construct (unbuilt),
+    `build()`, then `search()`/`serialize()` (reference: src/core/index.rs
+    + src/lib.rs docs).
+    """
+
+    def __init__(self, data, config: Config, metric: str = "angular"):
+        if isinstance(data, MetricData):
+            self.data = data
+        else:
+            self.data = make_metric_data(data, metric)
+        if self.data.num_points() == 0:
+            raise DataError("empty dataset")  # reference: index.rs:74-76
+        self.config = config
+        self.index = None
+        self.metrics: Optional[RunMetrics] = (
+            RunMetrics(config, self.data.num_points())
+            if config.metrics_output == MetricsOutput.DB
+            else None
+        )
+        self._last_stats = None
+        self._last_dists = None
+
+    # -- lifecycle ------------------------------------------------------
+
+    def build(self) -> "Clann":
+        """Cluster + build LSH tables (reference: src/lib.rs:142-148)."""
+        from clann_tpu.core.index import build_index
+
+        t0 = time.perf_counter()
+        self.index = build_index(
+            self.data.raw, self.config, metric=self.data.metric
+        )
+        elapsed = time.perf_counter() - t0
+        if self.metrics is not None:
+            self.metrics.log_index_building_time(elapsed)
+            self.metrics.ingest_build(self.index)
+        log.info("build completed in %.2fs", elapsed)
+        return self
+
+    def _require_built(self):
+        if self.index is None:
+            raise DataError("index not built; call build() first")
+        return self.index
+
+    # -- search ---------------------------------------------------------
+
+    def search(self, query) -> List[Tuple[float, int]]:
+        """k-NN of one query: [(distance, index)] ascending
+        (reference: src/lib.rs:183-189)."""
+        dists, ids, _ = self.search_batch(np.asarray(query)[None, :])
+        return [
+            (float(d), int(i)) for d, i in zip(dists[0], ids[0]) if i >= 0
+        ]
+
+    def search_batch(
+        self, queries, k: Optional[int] = None, delta: Optional[float] = None
+    ):
+        """Batched k-NN (the TPU-native primary entry point).
+
+        Returns (distances (Q, k) ascending, ids (Q, k), SearchStats).
+        """
+        from clann_tpu.ops.query import search as _search
+
+        index = self._require_built()
+        t0 = time.perf_counter()
+        dists, ids, stats = _search(index, queries, k=k, delta=delta)
+        elapsed = time.perf_counter() - t0
+        if self.metrics is not None:
+            self.metrics.ingest_search(stats, elapsed)
+        self._last_stats = stats
+        self._last_dists = dists
+        return dists, ids, stats
+
+    # -- persistence ----------------------------------------------------
+
+    def serialize(self, directory: str) -> str:
+        """Write the index (reference: src/lib.rs:255-264)."""
+        from clann_tpu.io.h5 import save_index
+
+        return save_index(self._require_built(), directory)
+
+    @classmethod
+    def from_file(cls, data, path: str, metric: str = "angular") -> "Clann":
+        """Load a serialized index (reference: src/lib.rs:41-47)."""
+        from clann_tpu.io.h5 import load_index
+
+        index = load_index(np.asarray(data, np.float32), path)
+        handle = cls(data, index.config, metric=metric)
+        handle.index = index
+        return handle
+
+    # -- metrics --------------------------------------------------------
+
+    def save_metrics(
+        self,
+        db_path: str,
+        granularity: MetricsGranularity = MetricsGranularity.RUN,
+        ground_truth_distances=None,
+        run_distances=None,
+        total_search_time_s: Optional[float] = None,
+    ) -> None:
+        """Persist run metrics to SQLite (reference: src/lib.rs:214-233)."""
+        if self.metrics is None:
+            raise DataError(
+                "metrics collection disabled (config.metrics_output != DB)"
+            )
+        if ground_truth_distances is not None:
+            rd = run_distances if run_distances is not None else self._last_dists
+            self.metrics.compute_run_statistics(ground_truth_distances, rd)
+        if total_search_time_s is not None:
+            self.metrics.total_search_time_s = total_search_time_s
+        self.metrics.save_metrics(db_path, granularity)
+
+
+# ---------------------------------------------------------------------------
+# Module-level functions mirroring the reference facade exactly
+# (reference: src/lib.rs:41,76,118,142,183,214,255)
+# ---------------------------------------------------------------------------
+
+
+def init(data, metric: str = "angular") -> Clann:
+    """Create a handle with the default Config (reference: lib.rs:76-112
+    `init` uses Config::default)."""
+    return Clann(data, Config(), metric=metric)
+
+
+def init_with_config(data, config: Config, metric: str = "angular") -> Clann:
+    """reference: lib.rs:118-124."""
+    return Clann(data, config, metric=metric)
+
+
+def init_from_file(data, file_path: str, metric: str = "angular") -> Clann:
+    """reference: lib.rs:41-47."""
+    return Clann.from_file(data, file_path, metric=metric)
+
+
+def build(handle: Clann) -> Clann:
+    """reference: lib.rs:142-148."""
+    return handle.build()
+
+
+def search(handle: Clann, query) -> List[Tuple[float, int]]:
+    """reference: lib.rs:183-189."""
+    return handle.search(query)
+
+
+def serialize(handle: Clann, directory: str) -> str:
+    """reference: lib.rs:255-264."""
+    return handle.serialize(directory)
+
+
+def save_metrics(
+    handle: Clann,
+    db_path: str,
+    granularity: MetricsGranularity = MetricsGranularity.RUN,
+    ground_truth_distances=None,
+    run_distances=None,
+    total_search_time_s: Optional[float] = None,
+) -> None:
+    """reference: lib.rs:214-233."""
+    handle.save_metrics(
+        db_path, granularity, ground_truth_distances, run_distances,
+        total_search_time_s,
+    )

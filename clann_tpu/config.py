@@ -31,7 +31,7 @@ class MetricsGranularity(enum.Enum):
     CLUSTER = "Cluster"
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(frozen=True, eq=True)
 class Config:
     """Build/search configuration.
 
@@ -39,6 +39,9 @@ class Config:
     (reference: src/core/config.rs:16-35); TPU-only fields are grouped after
     and are excluded from reference-compatible JSON unless set to
     non-default values.
+
+    Frozen + hashable so a Config can be a static (treedef) leaf of jitted
+    index pytrees — one compiled program per distinct configuration.
     """
 
     # --- reference-compatible fields (src/core/config.rs:37-48 defaults) ---
@@ -103,7 +106,7 @@ class Config:
         if self.num_clusters_factor <= 0.0:
             raise ConfigError("num_clusters_factor must be > 0")
         if isinstance(self.metrics_output, str):
-            self.metrics_output = MetricsOutput(self.metrics_output)
+            object.__setattr__(self, "metrics_output", MetricsOutput(self.metrics_output))
 
     # -- JSON round-trip (reference: config.rs serde derive + tests at
     #    config.rs:70-169 assert default/round-trip behaviour) --

@@ -1,0 +1,268 @@
+"""The clustered LSH index: device-resident structure and builder.
+
+TPU-native equivalent of the reference's two index layers merged into one
+device layout:
+- ClusteredIndex orchestration (reference: src/core/index.rs:27-91,177-289):
+  GMM clustering, per-cluster radius/brute-force bookkeeping.
+- Per-cluster PUFFINN Index (reference: libpuffinn/include/puffinn/
+  collection.hpp:90-306): dataset store, L hash tables, sketches.
+
+Key TPU-first design departures (SURVEY.md §7):
+- ONE global concatenated layout instead of C independent indices: every
+  table is an (n,)-array sorted by (cluster, hash); cluster c owns slice
+  [starts[c], starts[c+1]) of every table. Batched queries then probe
+  *different clusters* with identical code and shapes.
+- Hash functions are SHARED across clusters (the reference samples a fresh
+  PUFFINN per cluster from a global RNG, collection.hpp + typedefs.hpp:17-22).
+  The delta-recall guarantee is per-family and unaffected; sharing them
+  turns dataset hashing into a single batched matmul pass and makes query
+  hashing O(1) in the number of clusters.
+- Point ids in tables are GLOBAL, so the reference's local->global
+  candidate remap (src/core/index.rs:634-649) vanishes by construction.
+- Explicit JAX PRNG keys replace the clock-seeded global RNG — builds are
+  reproducible by design (deliberate divergence, SURVEY.md §7 risks).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import Any, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from clann_tpu.config import Config
+from clann_tpu.errors import DataError, IndexCreationError
+from clann_tpu.ops.collision import HashSourceProbs
+from clann_tpu.ops.distances import l2_normalize
+from clann_tpu.ops.gmm import greedy_minimum_maximum
+from clann_tpu.ops.hashing import make_hash_family
+from clann_tpu.ops.prefixmap import sort_tables_segmented
+from clann_tpu.ops.sketches import SketchFilterer, simhash_p1
+from clann_tpu.ops.sources import make_hash_source
+
+log = logging.getLogger("clann_tpu")
+
+
+@flax.struct.dataclass
+class ClusteredIndex:
+    """Device-resident clustered LSH index (a jittable pytree).
+
+    Array fields are pytree leaves; `config` and shape metadata are static
+    so jit specializes one program per configuration.
+    """
+
+    # --- point data ---
+    vectors: jnp.ndarray  # (n, d) f32, L2-normalized for angular
+    # --- hash tables (reference: prefixmap.hpp; layout see module doc) ---
+    sorted_hash: jnp.ndarray  # (L, n) uint32, sorted within cluster segments
+    sorted_idx: jnp.ndarray  # (L, n) int32 global point ids
+    # --- sketches (reference: filterer.hpp) ---
+    sketches: jnp.ndarray  # (n, S, W) uint32 packed 1-bit sketches
+    # --- cluster geometry (reference: index.rs ClusterCenter:27-35) ---
+    cluster_starts: jnp.ndarray  # (C+1,) int32 segment boundaries
+    centers: jnp.ndarray  # (C, d) f32 center vectors (normalized)
+    center_ids: jnp.ndarray  # (C,) int32 center point ids
+    radii: jnp.ndarray  # (C,) f32 cluster radii
+    brute: jnp.ndarray  # (C,) bool brute-force flag (index.rs:204-205)
+    assignment: jnp.ndarray  # (n,) int32 cluster of each point
+    # --- hash machinery parameters ---
+    hash_params: Any  # pytree of table hash-family parameters
+    sketch_params: Any  # pytree of sketch family parameters
+    probs_table: jnp.ndarray  # (D+2, B) f32 concatenated collision probs
+    maxdiff_table: jnp.ndarray  # (B,) int32 sketch hamming thresholds
+    # --- static metadata ---
+    config: Config = flax.struct.field(pytree_node=False)
+    metric: str = flax.struct.field(pytree_node=False, default="angular")
+    sim_eps: float = flax.struct.field(pytree_node=False, default=5e-3)
+
+    # Convenience shape accessors (python-level, static under jit).
+    @property
+    def n(self) -> int:
+        return self.vectors.shape[0]
+
+    @property
+    def dims(self) -> int:
+        return self.vectors.shape[1]
+
+    @property
+    def num_tables(self) -> int:
+        return self.sorted_hash.shape[0]
+
+    @property
+    def n_clusters(self) -> int:
+        return self.centers.shape[0]
+
+    @property
+    def max_hashbits(self) -> int:
+        return self.config.max_hashbits
+
+    def memory_usage(self) -> int:
+        """Index bytes: tables + sketches + dataset + geometry.
+
+        Reference: collection.hpp:249-254 memory accounting returned by
+        rebuild; used for the equal-index-memory comparison in BASELINE.md.
+        """
+        total = 0
+        for leaf in jax.tree_util.tree_leaves(
+            (
+                self.vectors,
+                self.sorted_hash,
+                self.sorted_idx,
+                self.sketches,
+                self.cluster_starts,
+                self.centers,
+                self.center_ids,
+                self.radii,
+                self.brute,
+                self.assignment,
+                self.hash_params,
+                self.sketch_params,
+            )
+        ):
+            total += leaf.size * leaf.dtype.itemsize
+        return int(total)
+
+    def rebuild_objects(self):
+        """Reconstruct (source, filterer) driver objects bound to stored params."""
+        cfg = self.config
+        family = make_hash_family(
+            cfg.hash_family,
+            self.dims,
+            num_rotations=cfg.num_rotations,
+            estimation_repetitions=cfg.estimation_repetitions,
+            estimation_eps=cfg.estimation_eps,
+        )
+        source = make_hash_source(
+            cfg.hash_source, family, cfg.num_tables, cfg.max_hashbits
+        )
+        source.params = self.hash_params
+        filterer = SketchFilterer(self.dims, cfg.num_sketches, cfg.sketch_bits)
+        filterer.params = self.sketch_params
+        return source, filterer
+
+
+def _hash_in_blocks(fn, x: jnp.ndarray, block: int):
+    """Apply a per-block hashing fn over point blocks with lax.map.
+
+    Bounds peak memory: cross-polytope hashing materializes
+    (num_functions, block, padded_dim) floats per block
+    (see ops/hashing.py FHTCrossPolytope.hash).
+    """
+    n = x.shape[0]
+    if n <= block:
+        return fn(x)
+    pad = (-n) % block
+    xp = jnp.pad(x, ((0, pad), (0, 0)))
+    out = jax.lax.map(fn, xp.reshape(-1, block, x.shape[1]))
+    return out.reshape(-1, *out.shape[2:])[:n]
+
+
+def build_index(
+    data,
+    config: Config,
+    metric: str = "angular",
+    n_clusters: Optional[int] = None,
+    hash_block: int = 8192,
+) -> ClusteredIndex:
+    """Build the clustered index (reference: src/core/index.rs:177-289).
+
+    Steps (same pipeline as the reference, each stage a batched XLA program):
+    1. GMM clustering (index.rs:184 -> ops/gmm.py).
+    2. Cluster bookkeeping: radii, brute-force flags for clusters with
+       < max(brute_force_threshold, k) points (index.rs:204-205).
+    3. One hashing pass over all points for L tables (replaces the per-point
+       OpenMP loop at collection.hpp:287-297).
+    4. One sketching pass (replaces filterer.hpp:76-97).
+    5. Per-table segmented sort (replaces PrefixMap::rebuild radix sorts at
+       collection.hpp:299-302 / prefixmap.hpp:169-247).
+    """
+    x = np.asarray(data, dtype=np.float32)
+    if x.ndim != 2 or x.shape[0] == 0:
+        raise DataError("empty or non-2D dataset")
+    n, d = x.shape
+    if n_clusters is None:
+        n_clusters = config.num_clusters(n)
+    log.info("build: n=%d d=%d clusters=%d L=%d", n, d, n_clusters, config.num_tables)
+
+    if metric == "angular":
+        xn = np.asarray(l2_normalize(jnp.asarray(x)))
+    else:
+        raise IndexCreationError(
+            f"LSH index supports the angular metric (got {metric!r}); "
+            "euclidean data is brute-force only, as in the reference "
+            "(SURVEY.md §2.1: EuclideanData not wired to PUFFINN)"
+        )
+
+    # 1-2. clustering + geometry
+    centers_idx, assignment, radii = greedy_minimum_maximum(xn, n_clusters, metric)
+    n_clusters = len(centers_idx)  # may shrink in the degenerate n <= k case
+    sizes = np.bincount(assignment, minlength=n_clusters)
+    starts = np.zeros(n_clusters + 1, dtype=np.int32)
+    np.cumsum(sizes, out=starts[1:])
+    brute = sizes < max(config.brute_force_threshold, config.k)
+
+    # 3-4. hashing + sketching (shared functions across all clusters)
+    key = jax.random.PRNGKey(config.seed)
+    k_hash, k_sketch = jax.random.split(key)
+    family = make_hash_family(
+        config.hash_family,
+        d,
+        num_rotations=config.num_rotations,
+        estimation_repetitions=config.estimation_repetitions,
+        estimation_eps=config.estimation_eps,
+    )
+    source = make_hash_source(
+        config.hash_source, family, config.num_tables, config.max_hashbits
+    ).init(k_hash)
+    filterer = SketchFilterer(d, config.num_sketches, config.sketch_bits).init(k_sketch)
+
+    xj = jnp.asarray(xn)
+    hashes = _hash_in_blocks(source.hash, xj, hash_block)  # (n, L) uint32
+    sketches = _hash_in_blocks(filterer.sketch, xj, hash_block)  # (n, S, W)
+
+    # 5. per-table segmented sort
+    sorted_hash, sorted_idx = sort_tables_segmented(
+        hashes.T, jnp.asarray(assignment, jnp.int32)
+    )
+
+    # collision probability tables for the termination check
+    probs = HashSourceProbs(family, config.max_hashbits, sim_eps=5e-3)
+    n_buckets = probs.table.shape[1]
+    sims = np.arange(n_buckets, dtype=np.float32) * probs.sim_eps
+    maxdiff = np.round(
+        config.sketch_bits * (1.0 - np.asarray(simhash_p1(sims)))
+    ).astype(np.int32)
+
+    return ClusteredIndex(
+        vectors=xj,
+        sorted_hash=sorted_hash,
+        sorted_idx=sorted_idx,
+        sketches=sketches,
+        cluster_starts=jnp.asarray(starts),
+        centers=xj[jnp.asarray(centers_idx)],
+        center_ids=jnp.asarray(centers_idx, jnp.int32),
+        radii=jnp.asarray(radii, jnp.float32),
+        brute=jnp.asarray(brute),
+        assignment=jnp.asarray(assignment, jnp.int32),
+        hash_params=source.params,
+        sketch_params=filterer.params,
+        probs_table=jnp.asarray(probs.table),
+        maxdiff_table=jnp.asarray(maxdiff),
+        config=config,
+        metric=metric,
+        sim_eps=probs.sim_eps,
+    )
+
+
+def build_lsh_index(data, config: Config, metric: str = "angular") -> ClusteredIndex:
+    """Single-cluster index == a plain PUFFINN-equivalent LSH index.
+
+    The reference's standalone PuffinnIndex (src/puffinn_binds/puffinn.rs)
+    is the benchmark baseline; here it is the C=1 special case of the
+    clustered layout (one segment spanning all tables).
+    """
+    return build_index(data, config, metric=metric, n_clusters=1)

@@ -71,13 +71,12 @@ def cross_polytope_estimates(
         return table
 
     n_bits = log_dim + 2
-    alphas = []
-    a = -1.0
-    while a <= 1.0:
-        alphas.append(a)
-        a += 2 * eps
-    alphas = np.asarray(alphas, dtype=np.float64)
-    n_buckets = len(alphas)
+    # One bucket per sim = b * eps for b in [0, 1/eps]; alpha = 2*sim - 1.
+    # (The reference accumulates `alpha += 2*eps` which can lose the final
+    # sim=1.0 bucket to float error and then reads out of bounds at
+    # crosspolytope.hpp:117-119; linspace keeps both endpoints exactly.)
+    n_buckets = int(round(1.0 / eps)) + 1
+    alphas = np.linspace(-1.0, 1.0, n_buckets)
 
     if num_repetitions == 0:
         table = np.ones((n_bits, n_buckets), dtype=np.float32)
@@ -110,17 +109,6 @@ def cross_polytope_estimates(
     np.save(path, table)
     _CACHE[key] = table
     return table
-
-
-def concatenated_collision_probability(p_fn, num_bits, sim) -> jnp.ndarray:
-    """P(`num_bits`-bit concatenated hash collides at similarity `sim`).
-
-    p_fn(sim, bits) is the family's per-function collision probability.
-    Mirrors hash_source.hpp:48-57: whole functions contribute
-    p(bpf)^(num_bits // bpf), the remainder p(num_bits % bpf). `num_bits`
-    may be a traced array (per-query depth).
-    """
-    raise NotImplementedError("use HashSourceProbs.concatenated instead")
 
 
 class HashSourceProbs:

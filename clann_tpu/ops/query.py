@@ -1,0 +1,375 @@
+"""Batched adaptive delta-recall LSH query engine.
+
+TPU-native equivalent of the reference's entire query path, re-designed for
+SIMD batches instead of one-query-at-a-time pointer walking:
+
+- CLANN cluster-ordered scan + ball-overlap early termination
+  (reference: src/core/index.rs:311-439): cluster-center distances are one
+  (Q, d) @ (d, C) matmul + per-row argsort; the outer `lax.while_loop`
+  advances every query through its own cluster ranking, retiring queries
+  whose ball bound `dist(q, center) - radius > kth_dist` fires
+  (index.rs:342-361).
+- PUFFINN adaptive search_maps (reference: libpuffinn/include/puffinn/
+  collection.hpp:768-948): the inner `lax.while_loop` consumes, per query,
+  fixed-size chunks of the candidate stream revealed by prefix peeling
+  (prefixmap.hpp:267-304 -> ops/prefixmap.py), sketch-filters them
+  (filterer.hpp:28-31), rescores survivors with one batched MXU matvec
+  (replacing the i16 AVX2 dot at math.hpp:11-34), merges into a
+  deduplicated top-k (replacing maxbuffer.hpp), and stops when
+  (1-P(d))^t (1-P(d+1))^(L-t) <= 1-delta (independent.hpp:108-119).
+
+Differences that only *increase* recall at equal parameters (SURVEY.md §7
+"hard parts"):
+- every query keeps its own (depth, offset) cursor, so there is no global
+  chunk boundary; termination is checked per chunk exactly like the
+  reference, but candidate ranges are exact searchsorted bounds instead of
+  SEGMENT_SIZE-strided walks, so we never score the reference's up-to-12
+  padding values per range.
+- the global top-k is shared across clusters, so the reference's
+  cross-cluster `max_sim` strengthening (collection.hpp:931-936 fed from
+  index.rs:382-389) is automatic: the termination similarity IS the global
+  k-th best.
+
+The reference's double scoring (PUFFINN i16 ranking + CLANN f32 re-scoring
+of returned ids, index.rs:400-416) collapses into a single f32 scoring.
+
+Known reference-faithful approximation: the ball bound uses cosine distance
+1-cos, which violates the triangle inequality, so (exactly as in the
+reference) a cluster containing a true neighbor can occasionally be
+skipped — the bound d(q,c) - radius can exceed the true d(q,p). Verified
+empirically: reproduces on brute-force-only indices where LSH plays no
+role.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from clann_tpu.ops.distances import exact_dot, l2_normalize
+from clann_tpu.ops.prefixmap import depth_bounds, revealed_range
+
+
+class SearchStats(NamedTuple):
+    """Per-query counters (reference: performance.hpp + RunMetrics §2.1)."""
+
+    distance_computations: jnp.ndarray  # (Q,) int32 — parity counter
+    candidates: jnp.ndarray  # (Q,) int32 pre-filter candidates gathered
+    clusters_visited: jnp.ndarray  # (Q,) int32 ranks actually searched
+
+
+class _OuterState(NamedTuple):
+    topk_sims: jnp.ndarray  # (Q, k) descending similarity, 0 = empty
+    topk_ids: jnp.ndarray  # (Q, k) int32, -1 = empty
+    done: jnp.ndarray  # (Q,) bool
+    rank: jnp.ndarray  # () int32
+    dc: jnp.ndarray  # (Q,) int32
+    cand: jnp.ndarray  # (Q,) int32
+    visited: jnp.ndarray  # (Q,) int32
+
+
+def _merge_topk(topk_sims, topk_ids, cand_ids, cand_sims, *, n_sentinel):
+    """Merge chunk candidates into the running top-k with exact dedup.
+
+    Replaces MaxBuffer (maxbuffer.hpp:25-76): the buffer's sort+dedup
+    compaction becomes a per-chunk lexicographic sort by candidate id
+    (duplicates become adjacent -> masked) plus an id-equality mask against
+    the current top-k. Invariant: topk_ids never contains duplicates, so a
+    candidate whose first occurrence failed to enter can never enter later
+    (scores are deterministic per id).
+    """
+    ids_sorted, sims_sorted = jax.lax.sort(
+        (cand_ids, cand_sims), num_keys=1
+    )
+    dup = jnp.concatenate(
+        [
+            jnp.zeros_like(ids_sorted[:, :1], dtype=bool),
+            ids_sorted[:, 1:] == ids_sorted[:, :-1],
+        ],
+        axis=1,
+    )
+    in_topk = jnp.any(
+        ids_sorted[:, :, None] == topk_ids[:, None, :], axis=-1
+    )
+    sentinel = ids_sorted >= n_sentinel
+    sims_final = jnp.where(dup | in_topk | sentinel, -1.0, sims_sorted)
+
+    all_sims = jnp.concatenate([topk_sims, sims_final], axis=1)
+    all_ids = jnp.concatenate([topk_ids, ids_sorted], axis=1)
+    k = topk_sims.shape[1]
+    new_sims, sel = jax.lax.top_k(all_sims, k)
+    new_ids = jnp.take_along_axis(all_ids, sel, axis=1)
+    return jnp.maximum(new_sims, 0.0), jnp.where(new_sims < 0, -1, new_ids)
+
+
+def search_batch_impl(
+    index,
+    queries_n: jnp.ndarray,
+    query_hashes: jnp.ndarray,
+    query_sketches: jnp.ndarray,
+    delta: jnp.ndarray,
+    *,
+    k: int,
+    chunk: int,
+    min_depth: int = 1,
+    with_stats: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray, SearchStats]:
+    """Search a pre-hashed query batch. Returns (sims desc, ids, stats).
+
+    queries_n: (Q, d) L2-normalized; query_hashes: (Q, L) uint32;
+    query_sketches: (Q, S, W) uint32.
+
+    Traceable (un-jitted) so it can be inlined under shard_map
+    (clann_tpu/parallel/sharded.py); use `search_batch_jit` directly.
+    """
+    Q, d = queries_n.shape
+    L = index.sorted_hash.shape[0]
+    n = index.vectors.shape[0]
+    C = index.centers.shape[0]
+    D = index.config.max_hashbits
+    S = index.sketches.shape[1]
+    n_iters = max(1, int(np.ceil(np.log2(max(2, n)))) + 1)
+
+    # Cluster ordering: one matmul + argsort
+    # (reference: index.rs:592-616 sort_cluster_indices_by_distance).
+    center_dist = jnp.clip(1.0 - exact_dot(queries_n, index.centers.T), 0.0, 2.0)
+    order = jnp.argsort(center_dist, axis=1).astype(jnp.int32)  # (Q, C)
+
+    table_ids = jnp.arange(L, dtype=jnp.int32)
+
+    def probs_lookup(depth, sim):
+        """(1-P(depth))^t (1-P(depth+1))^(rest) pieces — gather from the
+        precomputed table (ops/collision.py HashSourceProbs)."""
+        bucket = jnp.clip(
+            (sim / index.sim_eps).astype(jnp.int32), 0, index.probs_table.shape[1] - 1
+        )
+        dd = jnp.clip(depth, 0, index.probs_table.shape[0] - 1)
+        return index.probs_table[dd, bucket]
+
+    def inner_cluster_search(topk_sims, topk_ids, active, cluster, dc, cand_ct):
+        """Adaptive LSH scan of each query's current cluster."""
+        seg_lo = index.cluster_starts[cluster]
+        seg_hi = index.cluster_starts[cluster + 1]
+        seg_len = seg_hi - seg_lo
+        is_brute = index.brute[cluster] | (seg_len < 100)  # collection.hpp:550-554
+        lo, hi = depth_bounds(
+            index.sorted_hash, query_hashes, seg_lo, seg_hi, D, n_iters
+        )  # (Q, L, D+1)
+
+        depth0 = jnp.full((Q,), D, jnp.int32)
+        off0 = jnp.zeros((Q,), jnp.int32)
+        qdone0 = (~active) | (seg_len <= 0)
+
+        def cond(s):
+            return ~jnp.all(s[2])
+
+        def body(s):
+            topk_sims, topk_ids, qdone, depth, off, dc, cand_ct = s
+
+            starts_r, sizes_r = revealed_range(lo, hi, query_hashes, depth, D)
+            # Brute clusters: one range covering the whole segment on
+            # table 0 (reference: index.rs:666-685 brute_force per cluster).
+            brute_sizes = jnp.zeros((Q, L), jnp.int32).at[:, 0].set(seg_len)
+            brute_starts = jnp.zeros((Q, L), jnp.int32) + seg_lo[:, None]
+            sizes_r = jnp.where(is_brute[:, None], brute_sizes, sizes_r)
+            starts_r = jnp.where(is_brute[:, None], brute_starts, starts_r)
+
+            cum = jnp.cumsum(sizes_r, axis=1)  # (Q, L)
+            total = cum[:, -1]
+
+            pos = off[:, None] + jnp.arange(chunk, dtype=jnp.int32)[None, :]
+            valid = (pos < total[:, None]) & (~qdone[:, None])
+            t_sel = jax.vmap(
+                lambda c, p: jnp.searchsorted(c, p, side="right")
+            )(cum, pos).astype(jnp.int32)
+            t_sel = jnp.clip(t_sel, 0, L - 1)
+            prev = jnp.where(
+                t_sel > 0,
+                jnp.take_along_axis(cum, jnp.maximum(t_sel - 1, 0), axis=1),
+                0,
+            )
+            within = pos - prev
+            slot = jnp.take_along_axis(starts_r, t_sel, axis=1) + within
+            slot = jnp.clip(slot, 0, n - 1)
+            cand_ids = index.sorted_idx[t_sel, slot]  # (Q, chunk) global ids
+
+            # --- sketch filter (reference: collection.hpp:793-904) ---
+            kth_sim = topk_sims[:, k - 1]
+            maxdiff = index.maxdiff_table[
+                jnp.clip(
+                    (kth_sim / index.sim_eps).astype(jnp.int32),
+                    0,
+                    index.maxdiff_table.shape[0] - 1,
+                )
+            ]  # (Q,)
+            sk_idx = t_sel % S  # sketch per table (collection.hpp:826 ring)
+            cand_sk = index.sketches[cand_ids, sk_idx, :]  # (Q, chunk, W)
+            q_sk = jnp.take_along_axis(
+                query_sketches, sk_idx[:, :, None], axis=1
+            )  # (Q, chunk, W)
+            ham = jnp.sum(
+                jax.lax.population_count(jnp.bitwise_xor(cand_sk, q_sk)),
+                axis=-1,
+            ).astype(jnp.int32)
+            passes = valid & (is_brute[:, None] | (ham <= maxdiff[:, None]))
+
+            # --- exact rescore on the MXU ---
+            vecs = index.vectors[cand_ids]  # (Q, chunk, d)
+            dots = jnp.einsum(
+                "qcd,qd->qc",
+                vecs,
+                queries_n,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            sims = jnp.clip((dots + 1.0) * 0.5, 0.0, 1.0)  # cosine.hpp:19-23
+
+            masked_ids = jnp.where(passes, cand_ids, n)  # n == sentinel
+            topk_sims, topk_ids = _merge_topk(
+                topk_sims, topk_ids, masked_ids, sims, n_sentinel=n
+            )
+
+            dc = dc + jnp.sum(passes, axis=1, dtype=jnp.int32)
+            cand_ct = cand_ct + jnp.sum(valid, axis=1, dtype=jnp.int32)
+
+            # --- advance cursors + termination ---
+            off_new = off + chunk
+            exhausted = off_new >= total
+            consumed_tables = jnp.sum(
+                (cum <= off_new[:, None]) & (sizes_r >= 0), axis=1
+            ).astype(jnp.float32)
+
+            kth_sim = topk_sims[:, k - 1]
+            p_d = probs_lookup(depth, kth_sim)
+            p_d1 = probs_lookup(depth + 1, kth_sim)
+            # At the first depth the not-yet-consumed tables carry no
+            # guarantee yet (reference quirk: last_tables = tables at
+            # depth == MAX_HASHBITS, collection.hpp:927-930).
+            rest = jnp.where(
+                depth == D, 0.0, jnp.maximum(L - consumed_tables, 0.0)
+            )
+            failure = jnp.power(1.0 - p_d, consumed_tables) * jnp.power(
+                1.0 - p_d1, rest
+            )
+            lsh_done = (~is_brute) & (failure <= 1.0 - delta)
+            brute_done = is_brute & exhausted
+            depth_new = jnp.maximum(
+                jnp.where(exhausted & ~is_brute, depth - 1, depth), 0
+            )
+            off_new = jnp.where(exhausted, 0, off_new)
+            out_of_depth = depth_new < min_depth
+            qdone = qdone | lsh_done | brute_done | out_of_depth
+
+            return (topk_sims, topk_ids, qdone, depth_new, off_new, dc, cand_ct)
+
+        topk_sims, topk_ids, _, _, _, dc, cand_ct = jax.lax.while_loop(
+            cond, body, (topk_sims, topk_ids, qdone0, depth0, off0, dc, cand_ct)
+        )
+        return topk_sims, topk_ids, dc, cand_ct
+
+    def outer_cond(s: _OuterState):
+        return (~jnp.all(s.done)) & (s.rank < C)
+
+    def outer_body(s: _OuterState):
+        cluster = order[:, s.rank]  # (Q,)
+        # Ball-overlap termination (reference: index.rs:342-361): only
+        # active once the queue holds k results (get_top() is Some).
+        full = s.topk_ids[:, k - 1] >= 0
+        kth_dist = jnp.where(full, 2.0 * (1.0 - s.topk_sims[:, k - 1]), jnp.inf)
+        cdist = jnp.take_along_axis(center_dist, cluster[:, None], axis=1)[:, 0]
+        min_possible = cdist - index.radii[cluster]
+        newly_done = (~s.done) & (min_possible > kth_dist)
+        dc = s.dc + (full & ~s.done).astype(jnp.int32)  # index.rs:352
+        done = s.done | newly_done
+
+        active = ~done
+        topk_sims, topk_ids, dc, cand = inner_cluster_search(
+            s.topk_sims, s.topk_ids, active, cluster, dc, s.cand
+        )
+        visited = s.visited + active.astype(jnp.int32)
+        return _OuterState(
+            topk_sims, topk_ids, done, s.rank + 1, dc, cand, visited
+        )
+
+    init = _OuterState(
+        topk_sims=jnp.zeros((Q, k), jnp.float32),
+        topk_ids=jnp.full((Q, k), -1, jnp.int32),
+        done=jnp.zeros((Q,), bool),
+        rank=jnp.asarray(0, jnp.int32),
+        dc=jnp.zeros((Q,), jnp.int32),
+        cand=jnp.zeros((Q,), jnp.int32),
+        visited=jnp.zeros((Q,), jnp.int32),
+    )
+    final = jax.lax.while_loop(outer_cond, outer_body, init)
+
+    stats = SearchStats(final.dc, final.cand, final.visited)
+    return final.topk_sims, final.topk_ids, stats
+
+
+search_batch_jit = functools.partial(
+    jax.jit, static_argnames=("k", "chunk", "min_depth", "with_stats")
+)(search_batch_impl)
+
+
+def search(
+    index,
+    queries,
+    k: int = None,
+    delta: float = None,
+    batch_size: int = 1024,
+) -> Tuple[np.ndarray, np.ndarray, SearchStats]:
+    """Full search: hash + sketch queries, scan clusters, return k-NN.
+
+    Returns (distances ascending (Q, k), ids (Q, k), stats). Equivalent to
+    clann::search (reference: src/lib.rs:183-189 -> index.rs:311-439) but
+    over a whole query batch.
+    """
+    cfg = index.config
+    k = cfg.k if k is None else k
+    delta = cfg.delta if delta is None else delta
+    source, filterer = index.rebuild_objects()
+
+    q = jnp.asarray(np.asarray(queries, np.float32))
+    if q.ndim == 1:
+        q = q[None, :]
+    qn = l2_normalize(q)
+
+    all_sims, all_ids, all_stats = [], [], []
+    for start in range(0, qn.shape[0], batch_size):
+        block = qn[start : start + batch_size]
+        pad = 0
+        if block.shape[0] < batch_size and qn.shape[0] > batch_size:
+            pad = batch_size - block.shape[0]
+            block = jnp.pad(block, ((0, pad), (0, 0)))
+        qh = source.hash(block)
+        qs = filterer.sketch(block)
+        sims, ids, stats = search_batch_jit(
+            index,
+            block,
+            qh,
+            qs,
+            jnp.float32(delta),
+            k=k,
+            chunk=cfg.candidate_chunk,
+            min_depth=cfg.min_depth,
+        )
+        if pad:
+            sims, ids = sims[:-pad], ids[:-pad]
+            stats = SearchStats(*(s[:-pad] for s in stats))
+        all_sims.append(np.asarray(sims))
+        all_ids.append(np.asarray(ids))
+        all_stats.append(stats)
+
+    sims = np.concatenate(all_sims, axis=0)
+    ids = np.concatenate(all_ids, axis=0)
+    stats = SearchStats(
+        *(np.concatenate([np.asarray(getattr(s, f)) for s in all_stats])
+          for f in SearchStats._fields)
+    )
+    dists = 2.0 * (1.0 - sims)  # puffinn_types.rs:77-79 inverse
+    dists = np.where(ids < 0, np.inf, dists)
+    return dists, ids, stats

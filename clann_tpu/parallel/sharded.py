@@ -1,0 +1,326 @@
+"""Cluster-sharded multi-chip search over a TPU mesh.
+
+The TPU-native replacement for the reference's intra-node OpenMP
+parallelism (SURVEY.md §2.5): clusters — and their table segments, points
+and sketches — are partitioned across mesh devices; every device runs the
+same batched adaptive search (ops/query.py) over its local clusters, and
+per-device top-k results are merged with an `all_gather` + `top_k` over the
+mesh axis — the collective analog of the reference's per-thread MaxBuffer
+merge (libpuffinn collection.hpp:479-481).
+
+Design notes:
+- Clusters are greedily bin-packed by point count so shards are balanced
+  (the ragged-cluster risk of SURVEY.md §7).
+- Cluster disjointness means the cross-device merge needs no dedup: a point
+  lives on exactly one device.
+- Ball-bound early termination runs against each device's LOCAL k-th best,
+  which is never tighter than the global one — pruning is weaker than the
+  single-chip scan, recall can only improve.
+- Padding clusters (to equalize shard shapes) carry radius > 2 (the max
+  cosine distance) and empty segments: they can never trigger termination
+  and are skipped by the inner loop in one step.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+try:
+    from jax import shard_map  # jax >= 0.8
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
+
+from clann_tpu.config import Config
+from clann_tpu.ops.query import SearchStats, search_batch_impl
+from clann_tpu.parallel.mesh import CLUSTER_AXIS, make_mesh
+
+PAD_RADIUS = 2.5  # > max cosine distance 2.0 -> ball bound can never fire
+
+
+@flax.struct.dataclass
+class ShardedIndex:
+    """Per-device index shards stacked on a leading device axis."""
+
+    # sharded along axis 0 (one slice per device)
+    vectors: jnp.ndarray  # (D, n_max, d)
+    sorted_hash: jnp.ndarray  # (D, L, n_max)
+    sorted_idx: jnp.ndarray  # (D, L, n_max) LOCAL ids
+    sketches: jnp.ndarray  # (D, n_max, S, W)
+    cluster_starts: jnp.ndarray  # (D, C_max+1)
+    centers: jnp.ndarray  # (D, C_max, d)
+    center_ids: jnp.ndarray  # (D, C_max) global ids (metadata)
+    radii: jnp.ndarray  # (D, C_max)
+    brute: jnp.ndarray  # (D, C_max)
+    assignment: jnp.ndarray  # (D, n_max) local cluster of local point
+    global_ids: jnp.ndarray  # (D, n_max) local -> global id, -1 pad
+    # replicated
+    hash_params: object
+    sketch_params: object
+    probs_table: jnp.ndarray
+    maxdiff_table: jnp.ndarray
+    # static
+    config: Config = flax.struct.field(pytree_node=False)
+    metric: str = flax.struct.field(pytree_node=False, default="angular")
+    sim_eps: float = flax.struct.field(pytree_node=False, default=5e-3)
+
+    @property
+    def n_devices(self) -> int:
+        return self.vectors.shape[0]
+
+    def rebuild_objects(self):
+        from clann_tpu.core.index import ClusteredIndex
+
+        return ClusteredIndex.rebuild_objects(self)  # same fields used
+
+    @property
+    def dims(self) -> int:
+        return self.vectors.shape[2]
+
+
+def partition_clusters(sizes: np.ndarray, n_devices: int) -> List[np.ndarray]:
+    """Greedy balanced bin packing of clusters by point count."""
+    order = np.argsort(sizes)[::-1]
+    loads = np.zeros(n_devices, dtype=np.int64)
+    groups: List[list] = [[] for _ in range(n_devices)]
+    for c in order:
+        d = int(np.argmin(loads))
+        groups[d].append(int(c))
+        loads[d] += int(sizes[c])
+    return [np.sort(np.asarray(g, dtype=np.int32)) for g in groups]
+
+
+def shard_index(index, n_devices: int) -> ShardedIndex:
+    """Split a built ClusteredIndex into balanced per-device shards."""
+    starts = np.asarray(index.cluster_starts)
+    sizes = np.diff(starts)
+    C = index.n_clusters
+    groups = partition_clusters(sizes, n_devices)
+    C_max = max(1, max(len(g) for g in groups))
+    n_max = max(1, int(max(sizes[g].sum() if len(g) else 0 for g in groups)))
+
+    g_sorted_hash = np.asarray(index.sorted_hash)
+    g_sorted_idx = np.asarray(index.sorted_idx)
+    g_vectors = np.asarray(index.vectors)
+    g_sketches = np.asarray(index.sketches)
+    g_centers = np.asarray(index.centers)
+    g_center_ids = np.asarray(index.center_ids)
+    g_radii = np.asarray(index.radii)
+    g_brute = np.asarray(index.brute)
+    g_assign = np.asarray(index.assignment)
+    L = g_sorted_hash.shape[0]
+    d = g_vectors.shape[1]
+    S, W = g_sketches.shape[1], g_sketches.shape[2]
+    n_global = g_vectors.shape[0]
+
+    out = {
+        "vectors": np.zeros((n_devices, n_max, d), np.float32),
+        "sorted_hash": np.full((n_devices, L, n_max), 0xFFFFFFFF, np.uint32),
+        "sorted_idx": np.zeros((n_devices, L, n_max), np.int32),
+        "sketches": np.zeros((n_devices, n_max, S, W), np.uint32),
+        "cluster_starts": np.zeros((n_devices, C_max + 1), np.int32),
+        "centers": np.zeros((n_devices, C_max, d), np.float32),
+        "center_ids": np.full((n_devices, C_max), -1, np.int32),
+        "radii": np.full((n_devices, C_max), PAD_RADIUS, np.float32),
+        "brute": np.zeros((n_devices, C_max), bool),
+        "assignment": np.zeros((n_devices, n_max), np.int32),
+        "global_ids": np.full((n_devices, n_max), -1, np.int32),
+    }
+
+    for dev, g in enumerate(groups):
+        # local point ids ordered by (cluster, original id)
+        inv = np.full(n_global, -1, np.int32)
+        local_starts = [0]
+        gids_parts = []
+        for c in g:
+            members = np.where(g_assign == c)[0].astype(np.int32)
+            gids_parts.append(members)
+            local_starts.append(local_starts[-1] + len(members))
+        gids = (
+            np.concatenate(gids_parts) if gids_parts else np.zeros(0, np.int32)
+        )
+        n_local = len(gids)
+        inv[gids] = np.arange(n_local, dtype=np.int32)
+
+        out["global_ids"][dev, :n_local] = gids
+        out["vectors"][dev, :n_local] = g_vectors[gids]
+        out["sketches"][dev, :n_local] = g_sketches[gids]
+        for ci, c in enumerate(g):
+            lo, hi = starts[c], starts[c + 1]
+            llo, lhi = local_starts[ci], local_starts[ci + 1]
+            out["sorted_hash"][dev, :, llo:lhi] = g_sorted_hash[:, lo:hi]
+            out["sorted_idx"][dev, :, llo:lhi] = inv[g_sorted_idx[:, lo:hi]]
+            out["assignment"][dev, llo:lhi] = ci
+            out["centers"][dev, ci] = g_centers[c]
+            out["center_ids"][dev, ci] = g_center_ids[c]
+            out["radii"][dev, ci] = g_radii[c]
+            out["brute"][dev, ci] = g_brute[c]
+        cs = np.asarray(local_starts, np.int32)
+        out["cluster_starts"][dev, : len(cs)] = cs
+        out["cluster_starts"][dev, len(cs):] = n_local
+
+    return ShardedIndex(
+        **{k: jnp.asarray(v) for k, v in out.items()},
+        hash_params=index.hash_params,
+        sketch_params=index.sketch_params,
+        probs_table=index.probs_table,
+        maxdiff_table=index.maxdiff_table,
+        config=index.config,
+        metric=index.metric,
+        sim_eps=index.sim_eps,
+    )
+
+
+def _local_index(sharded: ShardedIndex, arrays: dict, repl: dict):
+    """Assemble the device-local ClusteredIndex from shard_map blocks."""
+    from clann_tpu.core.index import ClusteredIndex
+
+    return ClusteredIndex(
+        vectors=arrays["vectors"][0],
+        sorted_hash=arrays["sorted_hash"][0],
+        sorted_idx=arrays["sorted_idx"][0],
+        sketches=arrays["sketches"][0],
+        cluster_starts=arrays["cluster_starts"][0],
+        centers=arrays["centers"][0],
+        center_ids=arrays["center_ids"][0],
+        radii=arrays["radii"][0],
+        brute=arrays["brute"][0],
+        assignment=arrays["assignment"][0],
+        hash_params=repl["hash_params"],
+        sketch_params=repl["sketch_params"],
+        probs_table=repl["probs_table"],
+        maxdiff_table=repl["maxdiff_table"],
+        config=sharded.config,
+        metric=sharded.metric,
+        sim_eps=sharded.sim_eps,
+    )
+
+
+def sharded_search_batch(
+    sharded: ShardedIndex,
+    queries_n: jnp.ndarray,
+    query_hashes: jnp.ndarray,
+    query_sketches: jnp.ndarray,
+    delta,
+    *,
+    k: int,
+    mesh=None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, SearchStats]:
+    """Search all shards and merge top-k across the mesh axis.
+
+    Returns replicated (sims desc (Q, k), GLOBAL ids (Q, k), stats summed
+    over devices).
+    """
+    if mesh is None:
+        mesh = make_mesh(sharded.n_devices)
+    cfg = sharded.config
+
+    sharded_arrays = {
+        f: getattr(sharded, f)
+        for f in (
+            "vectors", "sorted_hash", "sorted_idx", "sketches",
+            "cluster_starts", "centers", "center_ids", "radii", "brute",
+            "assignment", "global_ids",
+        )
+    }
+    replicated = {
+        f: getattr(sharded, f)
+        for f in ("hash_params", "sketch_params", "probs_table", "maxdiff_table")
+    }
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(CLUSTER_AXIS), P(), P(), P(), P(), P()),
+        out_specs=(P(), P(), P()),
+        # the adaptive while_loop carry mixes device-varying (local index)
+        # and replicated (query) operands; skip the VMA replication check
+        check_vma=False,
+    )
+    def run(arrays, repl, qn, qh, qs, delta):
+        index = _local_index(sharded, arrays, repl)
+        sims, ids, stats = search_batch_impl(
+            index, qn, qh, qs, delta,
+            k=k, chunk=cfg.candidate_chunk, min_depth=cfg.min_depth,
+        )
+        gids = arrays["global_ids"][0]
+        out_ids = jnp.where(ids >= 0, gids[jnp.clip(ids, 0, None)], -1)
+        # per-thread MaxBuffer merge -> mesh collective merge
+        all_sims = jax.lax.all_gather(sims, CLUSTER_AXIS)  # (D, Q, k)
+        all_ids = jax.lax.all_gather(out_ids, CLUSTER_AXIS)
+        D = all_sims.shape[0]
+        Q = sims.shape[0]
+        flat_sims = jnp.transpose(all_sims, (1, 0, 2)).reshape(Q, D * k)
+        flat_ids = jnp.transpose(all_ids, (1, 0, 2)).reshape(Q, D * k)
+        top_sims, sel = jax.lax.top_k(flat_sims, k)
+        top_ids = jnp.take_along_axis(flat_ids, sel, axis=1)
+        stats = SearchStats(
+            *(jax.lax.psum(s, CLUSTER_AXIS) for s in stats)
+        )
+        return top_sims, top_ids, stats
+
+    return run(
+        sharded_arrays, replicated, queries_n, query_hashes, query_sketches,
+        jnp.asarray(delta, jnp.float32),
+    )
+
+
+def sharded_search(
+    sharded: ShardedIndex,
+    queries,
+    k: Optional[int] = None,
+    delta: Optional[float] = None,
+    mesh=None,
+) -> Tuple[np.ndarray, np.ndarray, SearchStats]:
+    """Full sharded search: hash queries (replicated), scan, merge.
+
+    Returns (distances ascending (Q, k), global ids, stats).
+    """
+    from clann_tpu.ops.distances import l2_normalize
+
+    cfg = sharded.config
+    k = cfg.k if k is None else k
+    delta = cfg.delta if delta is None else delta
+    source, filterer = ShardedIndex.rebuild_objects(sharded)
+
+    qn = l2_normalize(jnp.asarray(np.asarray(queries, np.float32)))
+    qh = source.hash(qn)
+    qs = filterer.sketch(qn)
+    sims, ids, stats = sharded_search_batch(
+        sharded, qn, qh, qs, delta, k=k, mesh=mesh
+    )
+    dists = 2.0 * (1.0 - np.asarray(sims))
+    dists = np.where(np.asarray(ids) < 0, np.inf, dists)
+    return dists, np.asarray(ids), stats
+
+
+def dryrun(n_devices: int) -> None:
+    """Tiny end-to-end multichip step: build, shard, search, verify."""
+    from clann_tpu.core.index import build_index
+    from clann_tpu.data.synthetic import clustered_unit_vectors, random_unit_vectors
+
+    cfg = Config(
+        num_tables=4,
+        num_clusters_factor=1.0,
+        k=5,
+        delta=0.8,
+        hash_family="simhash",
+        candidate_chunk=64,
+        brute_force_threshold=8,
+        seed=0,
+    )
+    train = clustered_unit_vectors(512, 16, n_modes=max(8, 2 * n_devices), seed=0)
+    index = build_index(train, cfg)
+    sharded = shard_index(index, n_devices)
+    mesh = make_mesh(n_devices)
+    queries = random_unit_vectors(32, 16, seed=1)
+    dists, ids, stats = sharded_search(sharded, queries, mesh=mesh)
+    assert dists.shape == (32, 5) and ids.shape == (32, 5)
+    assert int(np.asarray(stats.distance_computations).sum()) > 0
+    assert ids.max() < 512 and np.all(np.diff(dists, axis=1) >= -1e-5)

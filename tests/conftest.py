@@ -8,15 +8,29 @@ MUST set env vars before jax is first imported.
 
 import os
 
-# The ambient environment pins JAX_PLATFORMS to the TPU tunnel; tests always
-# run on the virtual CPU mesh (override with CLANN_TEST_PLATFORM=tpu).
-os.environ["JAX_PLATFORMS"] = os.environ.get("CLANN_TEST_PLATFORM", "cpu")
+_want = os.environ.get("CLANN_TEST_PLATFORM", "cpu")
+os.environ["JAX_PLATFORMS"] = _want
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+# Persistent compilation cache: the nested while-loop search program takes
+# minutes to compile on the single-core CI host; cache it across runs.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/jax_comp_cache")
+)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import jax  # noqa: E402
+
+# The ambient axon sitecustomize registers the TPU PJRT plugin and sets
+# jax_platforms="axon,cpu" programmatically, overriding the env var. The
+# backend is not yet initialized at conftest time, so pin the config here to
+# force the virtual 8-device CPU mesh for tests.
+jax.config.update("jax_platforms", _want)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

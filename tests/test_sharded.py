@@ -1,0 +1,105 @@
+"""Multi-chip sharded search tests on the virtual 8-device CPU mesh.
+
+The reference has no distributed backend (SURVEY.md §2.5); these tests
+validate the TPU-native replacement: cluster-sharded shard_map search with
+all_gather top-k merge, equivalence to single-device search, and the
+dryrun_multichip driver entry.
+"""
+
+import numpy as np
+import pytest
+
+from clann_tpu.config import Config
+from clann_tpu.core.index import build_index
+from clann_tpu.data.synthetic import clustered_unit_vectors, random_unit_vectors
+from clann_tpu.metrics.recall import recall_by_ids
+from clann_tpu.ops.query import search
+from clann_tpu.parallel.mesh import make_mesh
+from clann_tpu.parallel.sharded import (
+    partition_clusters,
+    shard_index,
+    sharded_search,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = Config(
+        num_tables=8,
+        num_clusters_factor=0.5,
+        k=5,
+        delta=0.9,
+        hash_family="simhash",
+        candidate_chunk=128,
+        brute_force_threshold=20,
+        seed=4,
+    )
+    train = clustered_unit_vectors(2000, 16, n_modes=24, seed=2)
+    index = build_index(train, cfg)
+    queries = random_unit_vectors(24, 16, seed=3)
+    return cfg, train, index, queries
+
+
+class TestPartition:
+    def test_balanced(self):
+        sizes = np.array([100, 90, 10, 10, 10, 10, 50, 50])
+        groups = partition_clusters(sizes, 4)
+        loads = sorted(int(sizes[g].sum()) for g in groups)
+        assert sum(loads) == sizes.sum()
+        assert loads[-1] - loads[0] <= 100  # max piece bounds imbalance
+
+    def test_all_clusters_assigned(self):
+        sizes = np.arange(1, 14)
+        groups = partition_clusters(sizes, 4)
+        got = sorted(int(c) for g in groups for c in g)
+        assert got == list(range(13))
+
+
+class TestShardedSearch:
+    def test_shard_structure(self, setup):
+        _, train, index, _ = setup
+        sharded = shard_index(index, 4)
+        assert sharded.n_devices == 4
+        gids = np.asarray(sharded.global_ids)
+        real = gids[gids >= 0]
+        # every point on exactly one device
+        assert len(real) == train.shape[0]
+        assert len(np.unique(real)) == train.shape[0]
+
+    def test_matches_unsharded_recall(self, setup):
+        cfg, train, index, queries = setup
+        from clann_tpu.ops.distances import brute_force_topk
+
+        gt_d, gt_i = brute_force_topk(train, queries, k=5, metric="angular")
+        d1, i1, s1 = search(index, queries, k=5)
+        sharded = shard_index(index, 4)
+        mesh = make_mesh(4)
+        d2, i2, s2 = sharded_search(sharded, queries, k=5, mesh=mesh)
+        r1 = recall_by_ids(np.asarray(gt_i), i1, count=5)
+        r2 = recall_by_ids(np.asarray(gt_i), i2, count=5)
+        # weaker per-device ball-bound pruning can only help recall
+        assert r2 >= r1 - 0.05
+        assert r2 >= 0.7
+        # results sorted, ids valid & unique
+        assert np.all(np.diff(d2, axis=1) >= -1e-5)
+        for row in i2:
+            real = [i for i in row.tolist() if i >= 0]
+            assert len(set(real)) == len(real)
+
+    def test_eight_devices(self, setup):
+        _, train, index, queries = setup
+        sharded = shard_index(index, 8)
+        mesh = make_mesh(8)
+        d, ids, stats = sharded_search(sharded, queries, mesh=mesh)
+        assert d.shape == (24, 5)
+        assert int(np.asarray(stats.distance_computations).sum()) > 0
+
+
+class TestDryrun:
+    def test_graft_entry_dryrun(self):
+        import sys, os
+
+        sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+        import __graft_entry__
+
+        __graft_entry__.dryrun_multichip(8)
