@@ -181,3 +181,51 @@ def revealed_range(
     start = jnp.where(exact, lo_d, jnp.where(bit == 0, hi_d1, lo_d))
     end = jnp.where(exact, hi_d, jnp.where(bit == 0, hi_d, lo_d1))
     return start, jnp.maximum(end - start, 0)
+
+
+def candidate_stream(
+    lo: jnp.ndarray,
+    hi: jnp.ndarray,
+    query_hashes: jnp.ndarray,
+    max_hashbits: int,
+    min_depth: int = 1,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """All revealed ranges of a query's whole peeling walk, flattened.
+
+    Returns (starts, sizes): (Q, M) with M = (D - min_depth + 1) * L,
+    ordered depth-major descending (index j corresponds to depth
+    D - j // L, table j % L). Position j==0..L-1 is the exact-match range
+    [lo_D, hi_D); each later level is the one-sided spill revealed by
+    peeling one prefix bit (prefixmap.hpp:272-279, see revealed_range).
+
+    This is the key TPU redesign of the adaptive loop: the reference walks
+    one (depth, table) range at a time with pointer state
+    (collection.hpp:640-667); here the entire candidate stream layout is
+    materialized up front from the depth bounds, so the query loop consumes
+    fixed-size chunks of a virtual stream and the ONLY adaptive decision is
+    where to stop. Empty ranges (most of them, at high depths) occupy a
+    zero-width slot in the cumulative sum and cost nothing.
+    """
+    Q, L, _ = lo.shape
+    D = max_hashbits
+    depths = jnp.arange(D, min_depth - 1, -1, dtype=jnp.int32)  # (ND,) D..min
+    nd = depths.shape[0]
+
+    lo_d = lo[:, :, min_depth:][:, :, ::-1]  # (Q, L, ND) depth D..min_depth
+    hi_d = hi[:, :, min_depth:][:, :, ::-1]
+    # depth+1 bounds (clamped at D)
+    lo_d1 = jnp.concatenate([lo_d[:, :, :1], lo_d[:, :, :-1]], axis=2)
+    hi_d1 = jnp.concatenate([hi_d[:, :, :1], hi_d[:, :, :-1]], axis=2)
+
+    shift = (jnp.uint32(D) - (depths.astype(jnp.uint32) + 1)) % jnp.uint32(32)
+    bit = (query_hashes[:, :, None] >> shift[None, None, :]) & jnp.uint32(1)
+
+    exact = depths[None, None, :] == D
+    start = jnp.where(exact, lo_d, jnp.where(bit == 0, hi_d1, lo_d))
+    end = jnp.where(exact, hi_d, jnp.where(bit == 0, hi_d, lo_d1))
+    sizes = jnp.maximum(end - start, 0)
+
+    # flatten depth-major: (Q, ND, L) -> (Q, ND*L)
+    starts = jnp.transpose(start, (0, 2, 1)).reshape(Q, nd * L)
+    sizes = jnp.transpose(sizes, (0, 2, 1)).reshape(Q, nd * L)
+    return starts, sizes

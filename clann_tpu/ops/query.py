@@ -51,7 +51,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from clann_tpu.ops.distances import exact_dot, l2_normalize
-from clann_tpu.ops.prefixmap import depth_bounds, revealed_range
+from clann_tpu.ops.prefixmap import candidate_stream, depth_bounds
 
 
 class SearchStats(NamedTuple):
@@ -151,7 +151,15 @@ def search_batch_impl(
         return index.probs_table[dd, bucket]
 
     def inner_cluster_search(topk_sims, topk_ids, active, cluster, dc, cand_ct):
-        """Adaptive LSH scan of each query's current cluster."""
+        """Adaptive LSH scan of each query's current cluster.
+
+        Stream formulation: the full (depth-major) sequence of revealed
+        ranges is materialized as (starts, sizes) + a cumulative sum, and
+        the while_loop consumes `chunk` stream positions per iteration.
+        Iteration count is ceil(consumed / chunk) — independent of how many
+        prefix depths exist or how many of their ranges are empty (the
+        depth-at-a-time form wasted one iteration per empty depth).
+        """
         seg_lo = index.cluster_starts[cluster]
         seg_hi = index.cluster_starts[cluster + 1]
         seg_len = seg_hi - seg_lo
@@ -159,42 +167,43 @@ def search_batch_impl(
         lo, hi = depth_bounds(
             index.sorted_hash, query_hashes, seg_lo, seg_hi, D, n_iters
         )  # (Q, L, D+1)
+        starts_s, sizes_s = candidate_stream(
+            lo, hi, query_hashes, D, min_depth
+        )  # (Q, M), depth-major descending
+        # Brute clusters: a single range covering the whole segment on
+        # table 0 (reference: index.rs:666-685 brute_force per cluster).
+        M = sizes_s.shape[1]
+        brute_sizes = jnp.zeros((Q, M), jnp.int32).at[:, 0].set(seg_len)
+        brute_starts = jnp.zeros((Q, M), jnp.int32).at[:, 0].set(seg_lo)
+        sizes_s = jnp.where(is_brute[:, None], brute_sizes, sizes_s)
+        starts_s = jnp.where(is_brute[:, None], brute_starts, starts_s)
 
-        depth0 = jnp.full((Q,), D, jnp.int32)
+        fc = jnp.cumsum(sizes_s, axis=1)  # (Q, M)
+        total = fc[:, -1]
+
         off0 = jnp.zeros((Q,), jnp.int32)
-        qdone0 = (~active) | (seg_len <= 0)
+        qdone0 = (~active) | (total <= 0)
+        chunk_iota = jnp.arange(chunk, dtype=jnp.int32)
 
         def cond(s):
             return ~jnp.all(s[2])
 
         def body(s):
-            topk_sims, topk_ids, qdone, depth, off, dc, cand_ct = s
+            topk_sims, topk_ids, qdone, off, dc, cand_ct = s
 
-            starts_r, sizes_r = revealed_range(lo, hi, query_hashes, depth, D)
-            # Brute clusters: one range covering the whole segment on
-            # table 0 (reference: index.rs:666-685 brute_force per cluster).
-            brute_sizes = jnp.zeros((Q, L), jnp.int32).at[:, 0].set(seg_len)
-            brute_starts = jnp.zeros((Q, L), jnp.int32) + seg_lo[:, None]
-            sizes_r = jnp.where(is_brute[:, None], brute_sizes, sizes_r)
-            starts_r = jnp.where(is_brute[:, None], brute_starts, starts_r)
-
-            cum = jnp.cumsum(sizes_r, axis=1)  # (Q, L)
-            total = cum[:, -1]
-
-            pos = off[:, None] + jnp.arange(chunk, dtype=jnp.int32)[None, :]
+            pos = off[:, None] + chunk_iota[None, :]  # (Q, chunk)
             valid = (pos < total[:, None]) & (~qdone[:, None])
-            t_sel = jax.vmap(
+            j = jax.vmap(
                 lambda c, p: jnp.searchsorted(c, p, side="right")
-            )(cum, pos).astype(jnp.int32)
-            t_sel = jnp.clip(t_sel, 0, L - 1)
+            )(fc, pos).astype(jnp.int32)
+            j = jnp.clip(j, 0, M - 1)
             prev = jnp.where(
-                t_sel > 0,
-                jnp.take_along_axis(cum, jnp.maximum(t_sel - 1, 0), axis=1),
-                0,
+                j > 0, jnp.take_along_axis(fc, jnp.maximum(j - 1, 0), axis=1), 0
             )
             within = pos - prev
-            slot = jnp.take_along_axis(starts_r, t_sel, axis=1) + within
+            slot = jnp.take_along_axis(starts_s, j, axis=1) + within
             slot = jnp.clip(slot, 0, n - 1)
+            t_sel = j % L  # table of stream slot (depth-major layout)
             cand_ids = index.sorted_idx[t_sel, slot]  # (Q, chunk) global ids
 
             # --- sketch filter (reference: collection.hpp:793-904) ---
@@ -236,38 +245,35 @@ def search_batch_impl(
             dc = dc + jnp.sum(passes, axis=1, dtype=jnp.int32)
             cand_ct = cand_ct + jnp.sum(valid, axis=1, dtype=jnp.int32)
 
-            # --- advance cursors + termination ---
+            # --- advance cursor + termination (collection.hpp:927-943) ---
             off_new = off + chunk
             exhausted = off_new >= total
-            consumed_tables = jnp.sum(
-                (cum <= off_new[:, None]) & (sizes_r >= 0), axis=1
-            ).astype(jnp.float32)
+            # ranges fully consumed at the new cursor
+            r_star = jax.vmap(
+                lambda c, o: jnp.searchsorted(c, o, side="right")
+            )(fc, off_new[:, None])[:, 0].astype(jnp.int32)
+            depth_cur = jnp.maximum(D - r_star // L, min_depth)
+            tables_consumed = (r_star % L).astype(jnp.float32)
 
             kth_sim = topk_sims[:, k - 1]
-            p_d = probs_lookup(depth, kth_sim)
-            p_d1 = probs_lookup(depth + 1, kth_sim)
+            p_d = probs_lookup(depth_cur, kth_sim)
+            p_d1 = probs_lookup(depth_cur + 1, kth_sim)
             # At the first depth the not-yet-consumed tables carry no
             # guarantee yet (reference quirk: last_tables = tables at
             # depth == MAX_HASHBITS, collection.hpp:927-930).
             rest = jnp.where(
-                depth == D, 0.0, jnp.maximum(L - consumed_tables, 0.0)
+                depth_cur == D, 0.0, jnp.maximum(L - tables_consumed, 0.0)
             )
-            failure = jnp.power(1.0 - p_d, consumed_tables) * jnp.power(
+            failure = jnp.power(1.0 - p_d, tables_consumed) * jnp.power(
                 1.0 - p_d1, rest
             )
             lsh_done = (~is_brute) & (failure <= 1.0 - delta)
-            brute_done = is_brute & exhausted
-            depth_new = jnp.maximum(
-                jnp.where(exhausted & ~is_brute, depth - 1, depth), 0
-            )
-            off_new = jnp.where(exhausted, 0, off_new)
-            out_of_depth = depth_new < min_depth
-            qdone = qdone | lsh_done | brute_done | out_of_depth
+            qdone = qdone | lsh_done | exhausted
 
-            return (topk_sims, topk_ids, qdone, depth_new, off_new, dc, cand_ct)
+            return (topk_sims, topk_ids, qdone, off_new, dc, cand_ct)
 
-        topk_sims, topk_ids, _, _, _, dc, cand_ct = jax.lax.while_loop(
-            cond, body, (topk_sims, topk_ids, qdone0, depth0, off0, dc, cand_ct)
+        topk_sims, topk_ids, _, _, dc, cand_ct = jax.lax.while_loop(
+            cond, body, (topk_sims, topk_ids, qdone0, off0, dc, cand_ct)
         )
         return topk_sims, topk_ids, dc, cand_ct
 

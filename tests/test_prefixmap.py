@@ -1,0 +1,125 @@
+"""Tests for the sorted-table layout and prefix-range stream.
+
+Coverage/disjointness invariants replace the reference's pointer-walk
+semantics (prefixmap.hpp get_next_range): the union of all revealed ranges
+over the full peeling walk must be the whole segment, with no overlaps and
+no double counting (SURVEY.md §7 hard parts: "must not double-count
+candidates").
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from clann_tpu.ops.prefixmap import (
+    candidate_stream,
+    depth_bounds,
+    sort_tables_segmented,
+)
+
+D = 12  # small hash width keeps the test readable
+
+
+@pytest.fixture(scope="module")
+def table():
+    rng = np.random.default_rng(0)
+    n = 400
+    hashes = rng.integers(0, 1 << D, size=(2, n)).astype(np.uint32)
+    clusters = np.sort(rng.integers(0, 3, size=n)).astype(np.int32)
+    sh, si = sort_tables_segmented(jnp.asarray(hashes), jnp.asarray(clusters))
+    starts = np.searchsorted(clusters, np.arange(4))
+    return np.asarray(sh), np.asarray(si), starts, clusters
+
+
+class TestSortTables:
+    def test_sorted_within_segments(self, table):
+        sh, si, starts, clusters = table
+        for t in range(2):
+            for c in range(3):
+                seg = sh[t, starts[c] : starts[c + 1]]
+                assert np.all(np.diff(seg.astype(np.int64)) >= 0)
+
+    def test_ids_match_cluster(self, table):
+        sh, si, starts, clusters = table
+        for c in range(3):
+            ids = si[0, starts[c] : starts[c + 1]]
+            assert np.all(clusters[ids] == c)
+
+
+class TestDepthBounds:
+    def test_bounds_nested_and_correct(self, table):
+        sh, si, starts, clusters = table
+        qh = np.asarray([[0x2A3, 0x7FF]], np.uint32)  # one query, 2 tables
+        seg_lo = np.asarray([starts[1]], np.int32)
+        seg_hi = np.asarray([starts[2]], np.int32)
+        lo, hi = depth_bounds(
+            jnp.asarray(sh), jnp.asarray(qh), jnp.asarray(seg_lo),
+            jnp.asarray(seg_hi), D, n_iters=10,
+        )
+        lo, hi = np.asarray(lo)[0], np.asarray(hi)[0]
+        for t in range(2):
+            for d in range(D + 1):
+                # exact definition via numpy
+                pref = (qh[0, t] >> (D - d)) << (D - d) if d > 0 else 0
+                upper = pref + (1 << (D - d)) if d > 0 else 1 << 30
+                seg = sh[t, seg_lo[0] : seg_hi[0]].astype(np.int64)
+                np_lo = seg_lo[0] + np.searchsorted(seg, pref, side="left")
+                np_hi = seg_lo[0] + np.searchsorted(seg, upper, side="left")
+                assert lo[t, d] == np_lo, (t, d)
+                assert hi[t, d] == np_hi, (t, d)
+                if d > 0:
+                    # nesting: deeper prefix range inside shallower
+                    assert lo[t, d] >= lo[t, d - 1]
+                    assert hi[t, d] <= hi[t, d - 1]
+
+
+class TestCandidateStream:
+    def test_partition_of_segment(self, table):
+        """Ranges of the full walk exactly tile each table segment."""
+        sh, si, starts, clusters = table
+        qh = np.asarray([[0x0F0, 0x555]], np.uint32)
+        seg_lo = np.asarray([starts[0]], np.int32)
+        seg_hi = np.asarray([starts[1]], np.int32)
+        lo, hi = depth_bounds(
+            jnp.asarray(sh), jnp.asarray(qh), jnp.asarray(seg_lo),
+            jnp.asarray(seg_hi), D, n_iters=10,
+        )
+        st, sz = candidate_stream(lo, hi, jnp.asarray(qh), D, min_depth=1)
+        st, sz = np.asarray(st)[0], np.asarray(sz)[0]
+        L = 2
+        for t in range(L):
+            slots = []
+            for level in range(D):  # depths D..1
+                jdx = level * L + t
+                slots.extend(range(st[jdx], st[jdx] + sz[jdx]))
+            # depth 1 leaves the non-matching top-bit half unexplored,
+            # exactly like the reference walk (depth loop ends at 1)
+            covered = set(slots)
+            assert len(slots) == len(covered), "overlapping ranges"
+            d1 = 1
+            pref = (qh[0, t] >> (D - d1)) << (D - d1)
+            seg = sh[t, seg_lo[0] : seg_hi[0]].astype(np.int64)
+            explored = {
+                seg_lo[0] + i
+                for i, h in enumerate(seg)
+                if (h >> (D - 1)) == (pref >> (D - 1))
+            }
+            assert covered == explored
+
+    def test_sizes_nonnegative_and_bounded(self, table):
+        sh, si, starts, clusters = table
+        rng = np.random.default_rng(1)
+        qh = rng.integers(0, 1 << D, size=(5, 2)).astype(np.uint32)
+        seg_lo = np.full(5, starts[1], np.int32)
+        seg_hi = np.full(5, starts[2], np.int32)
+        lo, hi = depth_bounds(
+            jnp.asarray(sh), jnp.asarray(qh), jnp.asarray(seg_lo),
+            jnp.asarray(seg_hi), D, n_iters=10,
+        )
+        st, sz = candidate_stream(lo, hi, jnp.asarray(qh), D, min_depth=1)
+        sz = np.asarray(sz)
+        assert np.all(sz >= 0)
+        seg_len = starts[2] - starts[1]
+        # per (q, t), total stream <= segment length
+        per_table = sz.reshape(5, D, 2).sum(axis=1)
+        assert np.all(per_table <= seg_len)
