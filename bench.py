@@ -1,0 +1,187 @@
+"""Headline benchmark: QPS/chip at recall@10 >= 0.9, glove-100-angular scale.
+
+Runs on the real TPU chip (ambient axon env). Prints ONE JSON line:
+  {"metric": ..., "value": QPS, "unit": "queries/s", "vs_baseline": x}
+
+Dataset: no public ann-benchmarks files exist in this zero-egress image, so
+the benchmark uses a synthetic clustered unit-vector dataset with the exact
+glove-100-angular shape (1,183,514 train x 100 dims, 10,000 queries, k=10,
+delta=0.9 — BASELINE.md target config) and exact ground truth computed on
+device. The dataset+GT are cached under ~/.cache/clann_tpu.
+
+Baseline: the reference publishes no numbers (BASELINE.md). `vs_baseline`
+uses a generous 2,000 QPS estimate for the Rust/OpenMP reference
+(single-threaded query loop, SURVEY.md §2.5; PUFFINN ESA'19 reports
+10^2-10^3 QPS/core at recall 0.9 on glove-100) — see baseline_note in the
+output.
+
+Protocol: build the clustered index, sweep n_probe to the smallest value
+with recall@10 >= 0.9, then time repeated full query sweeps (warm,
+batched) at that n_probe. Also reports the reference-faithful adaptive-LSH
+path's QPS on a query subset as a secondary metric.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_QPS_ESTIMATE = 2000.0
+
+N_TRAIN = int(os.environ.get("BENCH_N", 1_183_514))
+DIMS = int(os.environ.get("BENCH_D", 100))
+N_QUERIES = int(os.environ.get("BENCH_Q", 10_000))
+K = 10
+DELTA = 0.9
+FACTOR = 0.4
+NUM_TABLES = int(os.environ.get("BENCH_L", 50))
+BATCH = 2048
+
+
+def log(msg):
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
+def get_dataset():
+    from clann_tpu.data.synthetic import clustered_unit_vectors
+    from clann_tpu.ops.distances import brute_force_topk
+
+    cache_dir = os.path.join(os.path.expanduser("~"), ".cache", "clann_tpu")
+    os.makedirs(cache_dir, exist_ok=True)
+    path = os.path.join(cache_dir, f"bench_{N_TRAIN}x{DIMS}_q{N_QUERIES}.npz")
+    if os.path.exists(path):
+        log(f"loading cached dataset {path}")
+        z = np.load(path)
+        return z["train"], z["test"], z["gt_d"], z["gt_i"]
+
+    log(f"generating synthetic glove-100-like dataset {N_TRAIN}x{DIMS}")
+    t0 = time.time()
+    train = clustered_unit_vectors(N_TRAIN, DIMS, n_modes=512, spread=0.45, seed=0)
+    test = clustered_unit_vectors(N_QUERIES, DIMS, n_modes=512, spread=0.45, seed=1)
+    log(f"generated in {time.time()-t0:.0f}s; computing exact ground truth on device")
+    t0 = time.time()
+    gt_d, gt_i = brute_force_topk(train, test, k=max(K, 10), metric="angular",
+                                  block_q=512)
+    gt_d, gt_i = np.asarray(gt_d), np.asarray(gt_i)
+    log(f"ground truth in {time.time()-t0:.0f}s")
+    np.savez_compressed(path, train=train, test=test, gt_d=gt_d, gt_i=gt_i)
+    return train, test, gt_d, gt_i
+
+
+def main():
+    import jax
+
+    log(f"devices: {jax.devices()}")
+    from clann_tpu.config import Config
+    from clann_tpu.core.index import build_index
+    from clann_tpu.metrics.recall import recall_values
+    from clann_tpu.ops.ivf import dense_search
+    from clann_tpu.ops.query import search as lsh_search
+
+    train, test, gt_d, gt_i = get_dataset()
+
+    cfg = Config(
+        num_tables=NUM_TABLES,
+        num_clusters_factor=FACTOR,
+        k=K,
+        delta=DELTA,
+        dataset_name=f"glove-{DIMS}-angular-synthetic",
+        candidate_chunk=512,
+        seed=0,
+    )
+    t0 = time.time()
+    index = build_index(train, cfg)
+    build_s = time.time() - t0
+    n_rows = int(index.seg_centers.shape[0])
+    log(
+        f"build: {build_s:.0f}s, clusters={index.n_clusters}, rows={n_rows}, "
+        f"memory={index.memory_usage()/1e9:.2f}GB"
+    )
+
+    # --- find the smallest n_probe with recall >= 0.9 (on a subset) ---
+    sub = min(2000, len(test))
+    chosen = None
+    recall = 0.0
+    for n_probe in [8, 12, 16, 24, 32, 48, 64, 96, 128, 192, 256]:
+        if n_probe > n_rows:
+            break
+        d_, _, st = dense_search(index, test[:sub], k=K, n_probe=n_probe,
+                                 batch_size=BATCH)
+        r, _, _ = recall_values(gt_d[:sub], d_, count=K)
+        log(
+            f"n_probe={n_probe}: recall={r:.4f} "
+            f"dc/q={st.distance_computations.mean():.0f}"
+        )
+        if r >= 0.9:
+            chosen, recall = n_probe, r
+            break
+    if chosen is None:
+        chosen, recall = min(256, n_rows), r
+
+    # --- timed warm sweeps over the full query set ---
+    dense_search(index, test, k=K, n_probe=chosen, batch_size=BATCH)  # warm
+    reps = 3
+    t0 = time.time()
+    for _ in range(reps):
+        dists, ids, stats = dense_search(
+            index, test, k=K, n_probe=chosen, batch_size=BATCH
+        )
+    elapsed = (time.time() - t0) / reps
+    qps = len(test) / elapsed
+    full_recall, _, _ = recall_values(gt_d, dists, count=K)
+    dc = float(np.mean(stats.distance_computations))
+    log(
+        f"dense: n_probe={chosen} QPS={qps:.0f} recall={full_recall:.4f} "
+        f"dc/q={dc:.0f} ({elapsed*1000:.0f}ms / {len(test)} queries)"
+    )
+
+    # --- secondary: reference-faithful LSH path on a subset ---
+    lsh_sub = min(1024, len(test))
+    lsh_qps = 0.0
+    lsh_recall = 0.0
+    try:
+        lsh_search(index, test[:lsh_sub], k=K, delta=DELTA, batch_size=1024)
+        t0 = time.time()
+        d_l, _, st_l = lsh_search(
+            index, test[:lsh_sub], k=K, delta=DELTA, batch_size=1024
+        )
+        lsh_qps = lsh_sub / (time.time() - t0)
+        lsh_recall, _, _ = recall_values(gt_d[:lsh_sub], d_l, count=K)
+        log(
+            f"lsh: QPS={lsh_qps:.0f} recall={lsh_recall:.4f} "
+            f"dc/q={st_l.distance_computations.mean():.0f}"
+        )
+    except Exception as e:  # secondary metric must not sink the bench
+        log(f"lsh path failed: {e}")
+
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    f"QPS/chip at recall@10>=0.9 on glove-100-angular "
+                    f"(synthetic {N_TRAIN}x{DIMS}, 10k queries, v5e-1)"
+                ),
+                "value": round(qps, 1),
+                "unit": "queries/s",
+                "vs_baseline": round(qps / BASELINE_QPS_ESTIMATE, 2),
+                "recall_at_10": round(float(full_recall), 4),
+                "n_probe": chosen,
+                "distance_computations_per_query": round(dc, 1),
+                "build_seconds": round(build_s, 1),
+                "index_bytes": index.memory_usage(),
+                "lsh_qps": round(lsh_qps, 1),
+                "lsh_recall": round(float(lsh_recall), 4),
+                "baseline_note": (
+                    "reference publishes no numbers (BASELINE.md); "
+                    "vs_baseline uses a 2000 QPS estimate for the "
+                    "Rust/OpenMP reference on glove-100 at recall 0.9"
+                ),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

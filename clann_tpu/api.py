@@ -82,17 +82,34 @@ class Clann:
         ]
 
     def search_batch(
-        self, queries, k: Optional[int] = None, delta: Optional[float] = None
+        self,
+        queries,
+        k: Optional[int] = None,
+        delta: Optional[float] = None,
+        mode: Optional[str] = None,
+        n_probe: Optional[int] = None,
     ):
         """Batched k-NN (the TPU-native primary entry point).
 
-        Returns (distances (Q, k) ascending, ids (Q, k), SearchStats).
+        mode: "lsh" (reference-faithful adaptive delta-recall search),
+        "dense" (IVF cluster probing, the MXU fast path), or "auto"
+        (config.search_mode; dense when the layout exists).
+        Returns (distances (Q, k) ascending, ids (Q, k), stats).
         """
+        from clann_tpu.ops.ivf import dense_search
         from clann_tpu.ops.query import search as _search
 
         index = self._require_built()
+        mode = mode or self.config.search_mode
+        if mode == "auto":
+            mode = "dense" if index.seg_vectors is not None else "lsh"
         t0 = time.perf_counter()
-        dists, ids, stats = _search(index, queries, k=k, delta=delta)
+        if mode == "dense":
+            dists, ids, stats = dense_search(index, queries, k=k, n_probe=n_probe)
+        elif mode == "lsh":
+            dists, ids, stats = _search(index, queries, k=k, delta=delta)
+        else:
+            raise DataError(f"unknown search mode {mode!r}")
         elapsed = time.perf_counter() - t0
         if self.metrics is not None:
             self.metrics.ingest_search(stats, elapsed)

@@ -80,6 +80,23 @@ class Config:
     min_depth: int = 1
     # Dtype used for rescoring matmuls on the MXU ("float32" | "bfloat16").
     rescore_dtype: str = "float32"
+    # --- dense (IVF) probing mode (no reference counterpart; the TPU-native
+    # fast path: probed clusters are scanned with one batched MXU matmul
+    # instead of per-candidate LSH gathers, see ops/ivf.py) ---
+    # Build the padded per-cluster dense layout alongside the LSH tables.
+    dense_layout: bool = True
+    # Max points per dense segment row; clusters larger than this are split
+    # into multiple rows (bounds padding waste on ragged clusters).
+    dense_seg_cap: int = 4096
+    # "lsh" = reference-faithful adaptive LSH; "dense" = IVF probing;
+    # "auto" = dense when the layout exists, else lsh.
+    search_mode: str = "auto"
+    # Number of clusters probed per query in dense mode; 0 = heuristic
+    # (enough clusters to cover ~n_probe_frac of expected mass).
+    n_probe: int = 0
+    # Per-cluster query-slot capacity in the inverted probe layout;
+    # 0 = heuristic. Overflowing probes are dropped (counted in stats).
+    probe_cap: int = 0
     # PRNG seed for hash function sampling. The reference uses a global
     # clock-seeded RNG (typedefs.hpp:17-22) making builds non-reproducible;
     # we deliberately diverge with explicit seeding (documented in SURVEY §7).

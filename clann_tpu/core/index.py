@@ -74,8 +74,23 @@ class ClusteredIndex:
     sketch_params: Any  # pytree of sketch family parameters
     probs_table: jnp.ndarray  # (D+2, B) f32 concatenated collision probs
     maxdiff_table: jnp.ndarray  # (B,) int32 sketch hamming thresholds
+    # --- optional dense (IVF) layout: row-chunked cluster segments ---
+    # Built when config.dense_layout; lets the dense probing path run one
+    # batched MXU matmul over all probed segments (ops/ivf.py) instead of
+    # per-candidate gathers. Each cluster is split into rows of at most
+    # config.dense_seg_cap points, so padding waste is bounded by
+    # C * dense_seg_cap regardless of how ragged the clusters are
+    # (SURVEY.md §7 ragged-cluster risk). A row inherits its owner
+    # cluster's center/radius; probing at row granularity refines, never
+    # coarsens, the cluster ordering. None when disabled.
+    seg_vectors: Optional[jnp.ndarray] = None  # (R, S_cap, d) f32
+    seg_ids: Optional[jnp.ndarray] = None  # (R, S_cap) int32, -1 pad
+    seg_centers: Optional[jnp.ndarray] = None  # (R, d) owner centers
+    seg_radii: Optional[jnp.ndarray] = None  # (R,) owner radii
+    seg_sizes: Optional[jnp.ndarray] = None  # (R,) real points per row
+    seg_cluster: Optional[jnp.ndarray] = None  # (R,) owner cluster id
     # --- static metadata ---
-    config: Config = flax.struct.field(pytree_node=False)
+    config: Config = flax.struct.field(pytree_node=False, default=None)
     metric: str = flax.struct.field(pytree_node=False, default="angular")
     sim_eps: float = flax.struct.field(pytree_node=False, default=5e-3)
 
@@ -143,6 +158,50 @@ class ClusteredIndex:
         filterer = SketchFilterer(self.dims, cfg.num_sketches, cfg.sketch_bits)
         filterer.params = self.sketch_params
         return source, filterer
+
+
+def build_dense_layout(
+    xn: np.ndarray,
+    cluster_order_ids: np.ndarray,
+    starts: np.ndarray,
+    centers_vec: np.ndarray,
+    radii: np.ndarray,
+    seg_cap: int,
+) -> dict:
+    """Row-chunked dense segments: every cluster split into <= seg_cap rows.
+
+    cluster_order_ids: (n,) global ids grouped by cluster (any table's
+    sorted_idx works — segments partition identically). Returns the
+    seg_* field dict for ClusteredIndex.
+    """
+    n_clusters = len(starts) - 1
+    rows = []
+    for c in range(n_clusters):
+        size = int(starts[c + 1] - starts[c])
+        n_rows = max(1, -(-size // seg_cap))
+        for r in range(n_rows):
+            lo = starts[c] + r * seg_cap
+            hi = min(starts[c] + (r + 1) * seg_cap, starts[c + 1])
+            rows.append((c, lo, hi))
+    R = len(rows)
+    ids_pad = np.full((R, seg_cap), -1, np.int32)
+    seg_sizes = np.zeros(R, np.int32)
+    seg_cluster = np.zeros(R, np.int32)
+    for i, (c, lo, hi) in enumerate(rows):
+        ids_pad[i, : hi - lo] = cluster_order_ids[lo:hi]
+        seg_sizes[i] = hi - lo
+        seg_cluster[i] = c
+    vec_pad = np.where(
+        (ids_pad >= 0)[:, :, None], xn[np.clip(ids_pad, 0, None)], 0.0
+    ).astype(np.float32)
+    return {
+        "seg_vectors": jnp.asarray(vec_pad),
+        "seg_ids": jnp.asarray(ids_pad),
+        "seg_centers": jnp.asarray(centers_vec[seg_cluster]),
+        "seg_radii": jnp.asarray(radii[seg_cluster].astype(np.float32)),
+        "seg_sizes": jnp.asarray(seg_sizes),
+        "seg_cluster": jnp.asarray(seg_cluster),
+    }
 
 
 def _hash_in_blocks(fn, x: jnp.ndarray, block: int):
@@ -229,6 +288,20 @@ def build_index(
         hashes.T, jnp.asarray(assignment, jnp.int32)
     )
 
+    # optional dense (IVF) layout: row-chunked per-cluster vector blocks
+    dense = (
+        build_dense_layout(
+            np.asarray(xn),
+            np.asarray(sorted_idx[0]),
+            starts,
+            np.asarray(xn)[centers_idx],
+            radii,
+            config.dense_seg_cap,
+        )
+        if config.dense_layout
+        else None
+    )
+
     # collision probability tables for the termination check
     probs = HashSourceProbs(family, config.max_hashbits, sim_eps=5e-3)
     n_buckets = probs.table.shape[1]
@@ -252,6 +325,7 @@ def build_index(
         sketch_params=filterer.params,
         probs_table=jnp.asarray(probs.table),
         maxdiff_table=jnp.asarray(maxdiff),
+        **(dense or {}),
         config=config,
         metric=metric,
         sim_eps=probs.sim_eps,

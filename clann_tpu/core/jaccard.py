@@ -1,0 +1,287 @@
+"""Standalone Jaccard (set) LSH index.
+
+Capability parity with PUFFINN's Jaccard instantiation
+(reference: Index<JaccardSimilarity> with MinHash tables + MinHash1Bit
+sketches, similarity_measure/jaccard.hpp defaults). As in the reference,
+Jaccard is a single-index capability: the clustered CLANN layer only wires
+cosine (SURVEY §2.2 — the FFI exposes insert/search_cosine only), so this
+index is flat (one segment).
+
+Shares the TPU query machinery with the vector path: sorted-table layout
+(ops/prefixmap.py), depth-major candidate stream, delta-recall failure
+check (ops/collision.py HashSourceProbs with the MinHash closed form), and
+dedup top-k merge (ops/query._merge_topk). Rescoring uses a dense
+multi-hot bitmap of each query's tokens, so exact Jaccard of a candidate
+chunk is gather + popcount-style reductions, not a scalar sorted merge.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from clann_tpu.config import Config
+from clann_tpu.data.setdata import JaccardData
+from clann_tpu.errors import DataError
+from clann_tpu.ops.collision import HashSourceProbs
+from clann_tpu.ops.minhash import MinHash, MinHash1Bit
+from clann_tpu.ops.prefixmap import candidate_stream, depth_bounds, sort_tables_segmented
+from clann_tpu.ops.query import SearchStats, _merge_topk
+from clann_tpu.ops.sketches import pack_bits_u32
+from clann_tpu.ops.sources import IndependentHashSource
+
+
+@flax.struct.dataclass
+class JaccardIndex:
+    tokens: jnp.ndarray  # (n, T) int32 sorted padded token sets
+    set_sizes: jnp.ndarray  # (n,) int32
+    sorted_hash: jnp.ndarray  # (L, n) uint32
+    sorted_idx: jnp.ndarray  # (L, n) int32
+    sketches: jnp.ndarray  # (n, S, W) uint32 MinHash1Bit sketches
+    hash_params: object
+    sketch_params: object
+    probs_table: jnp.ndarray  # (D+2, B)
+    sketch_p1_table: jnp.ndarray  # (B,) 1-bit collision prob per sim bucket
+    config: Config = flax.struct.field(pytree_node=False, default=None)
+    universe: int = flax.struct.field(pytree_node=False, default=0)
+    sim_eps: float = flax.struct.field(pytree_node=False, default=5e-3)
+
+    @property
+    def n(self) -> int:
+        return self.tokens.shape[0]
+
+
+def build_jaccard_index(data: JaccardData, config: Config) -> JaccardIndex:
+    """Build MinHash tables + 1-bit sketches over a set dataset."""
+    n = data.num_points()
+    if n == 0:
+        raise DataError("empty dataset")
+    tokens = jnp.asarray(data.tokens)
+    key = jax.random.PRNGKey(config.seed)
+    k_hash, k_sketch = jax.random.split(key)
+
+    family = MinHash(data.universe)
+    source = IndependentHashSource(
+        family, config.num_tables, config.max_hashbits
+    ).init(k_hash)
+    hashes = source.hash(tokens)  # (n, L)
+
+    sketch_family = MinHash1Bit(data.universe)
+    sk_params = sketch_family.sample(
+        k_sketch, config.num_sketches * config.sketch_bits
+    )
+    bits = sketch_family.hash(sk_params, tokens)  # (n, S*B) of {0,1}
+    sketches = pack_bits_u32(
+        bits.reshape(n, config.num_sketches, config.sketch_bits)
+    )
+
+    sorted_hash, sorted_idx = sort_tables_segmented(
+        hashes.T, jnp.zeros((n,), jnp.int32)
+    )
+
+    probs = HashSourceProbs(family, config.max_hashbits, sim_eps=5e-3)
+    n_buckets = probs.table.shape[1]
+    sims_grid = np.arange(n_buckets, dtype=np.float32) * probs.sim_eps
+    p1 = np.asarray(sketch_family.collision_probability(sims_grid, 1))
+    maxdiff = np.round(config.sketch_bits * (1.0 - p1)).astype(np.int32)
+
+    return JaccardIndex(
+        tokens=tokens,
+        set_sizes=jnp.sum(tokens >= 0, axis=1).astype(jnp.int32),
+        sorted_hash=sorted_hash,
+        sorted_idx=sorted_idx,
+        sketches=sketches,
+        hash_params=source.params,
+        sketch_params=sk_params,
+        probs_table=jnp.asarray(probs.table),
+        sketch_p1_table=jnp.asarray(maxdiff),
+        config=config,
+        universe=data.universe,
+        sim_eps=probs.sim_eps,
+    )
+
+
+def _query_bitmaps(query_tokens: jnp.ndarray, universe: int) -> jnp.ndarray:
+    """(Q, ceil(U/32)) uint32 multi-hot membership bitmaps.
+
+    Tokens must be unique per row (pad_sets guarantees this): distinct
+    tokens mapping into the same word have distinct bit positions, so a
+    scatter-add of single-bit words equals a scatter-or.
+    """
+    words = -(-universe // 32)
+    q = jnp.asarray(query_tokens)
+    valid = q >= 0
+    t = jnp.clip(q, 0, universe - 1).astype(jnp.uint32)
+    word = (t >> jnp.uint32(5)).astype(jnp.int32)
+    bit = jnp.where(valid, jnp.uint32(1) << (t & jnp.uint32(31)), jnp.uint32(0))
+    Q = q.shape[0]
+    rows = jnp.broadcast_to(jnp.arange(Q)[:, None], q.shape)
+    bm = jnp.zeros((Q, words), jnp.uint32)
+    return bm.at[rows, word].add(bit)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "chunk", "min_depth"))
+def jaccard_search_batch(
+    index: JaccardIndex,
+    query_tokens: jnp.ndarray,
+    qh: jnp.ndarray,
+    qsk: jnp.ndarray,
+    delta: jnp.ndarray,
+    *,
+    k: int,
+    chunk: int,
+    min_depth: int = 1,
+) -> Tuple[jnp.ndarray, jnp.ndarray, SearchStats]:
+    """Adaptive delta-recall search over the set index.
+
+    query_tokens: (Q, T) padded sorted token sets; qh (Q, L) table hashes;
+    qsk (Q, S, W) packed sketches (pre-hashed by jaccard_search — the
+    probability tables inside the hashing objects cannot be constructed
+    under a jit trace).
+    Returns (sims desc (Q, k), ids (Q, k), stats).
+    """
+    cfg = index.config
+    Q = query_tokens.shape[0]
+    n = index.n
+    L = index.sorted_hash.shape[0]
+    D = cfg.max_hashbits
+    S = index.sketches.shape[1]
+    n_iters = max(1, int(np.ceil(np.log2(max(2, n)))) + 1)
+
+    qbm = _query_bitmaps(query_tokens, index.universe)  # (Q, Wu)
+    q_sizes = jnp.sum(query_tokens >= 0, axis=1).astype(jnp.float32)
+
+    seg_lo = jnp.zeros((Q,), jnp.int32)
+    seg_hi = jnp.full((Q,), n, jnp.int32)
+    lo, hi = depth_bounds(index.sorted_hash, qh, seg_lo, seg_hi, D, n_iters)
+    starts_s, sizes_s = candidate_stream(lo, hi, qh, D, min_depth)
+    fc = jnp.cumsum(sizes_s, axis=1)
+    M = fc.shape[1]
+    total = fc[:, -1]
+
+    def rescore(cand_ids):
+        """Exact Jaccard via query bitmaps: (Q, chunk) sims."""
+        ctok = index.tokens[cand_ids]  # (Q, chunk, T)
+        valid = ctok >= 0
+        t = jnp.clip(ctok, 0, index.universe - 1).astype(jnp.uint32)
+        word = (t >> jnp.uint32(5)).astype(jnp.int32)
+        bitpos = t & jnp.uint32(31)
+        qw = qbm[jnp.arange(Q)[:, None, None], word]  # (Q, chunk, T)
+        member = ((qw >> bitpos) & jnp.uint32(1)).astype(jnp.float32)
+        inter = jnp.sum(jnp.where(valid, member, 0.0), axis=-1)  # (Q, chunk)
+        c_sizes = jnp.sum(valid, axis=-1).astype(jnp.float32)
+        union = q_sizes[:, None] + c_sizes - inter
+        return jnp.where(union > 0, inter / union, 0.0)
+
+    init = (
+        jnp.zeros((Q, k), jnp.float32),
+        jnp.full((Q, k), -1, jnp.int32),
+        total <= 0,
+        jnp.zeros((Q,), jnp.int32),
+        jnp.zeros((Q,), jnp.int32),
+        jnp.zeros((Q,), jnp.int32),
+    )
+    chunk_iota = jnp.arange(chunk, dtype=jnp.int32)
+
+    def cond(s):
+        return ~jnp.all(s[2])
+
+    def body(s):
+        topk_sims, topk_ids, qdone, off, dc, cand_ct = s
+        pos = off[:, None] + chunk_iota[None, :]
+        valid = (pos < total[:, None]) & (~qdone[:, None])
+        j = jax.vmap(lambda c, p: jnp.searchsorted(c, p, side="right"))(fc, pos)
+        j = jnp.clip(j.astype(jnp.int32), 0, M - 1)
+        prev = jnp.where(
+            j > 0, jnp.take_along_axis(fc, jnp.maximum(j - 1, 0), axis=1), 0
+        )
+        slot = jnp.take_along_axis(starts_s, j, axis=1) + (pos - prev)
+        slot = jnp.clip(slot, 0, n - 1)
+        t_sel = j % L
+        cand_ids = index.sorted_idx[t_sel, slot]
+
+        kth_sim = topk_sims[:, k - 1]
+        maxdiff = index.sketch_p1_table[
+            jnp.clip(
+                (kth_sim / index.sim_eps).astype(jnp.int32),
+                0,
+                index.sketch_p1_table.shape[0] - 1,
+            )
+        ]
+        sk_idx = t_sel % S
+        cand_sk = index.sketches[cand_ids, sk_idx, :]
+        q_sk = jnp.take_along_axis(qsk, sk_idx[:, :, None], axis=1)
+        ham = jnp.sum(
+            jax.lax.population_count(jnp.bitwise_xor(cand_sk, q_sk)), axis=-1
+        ).astype(jnp.int32)
+        passes = valid & (ham <= maxdiff[:, None])
+
+        sims = rescore(cand_ids)
+        masked = jnp.where(passes, cand_ids, n)
+        topk_sims, topk_ids = _merge_topk(
+            topk_sims, topk_ids, masked, sims, n_sentinel=n
+        )
+        dc = dc + jnp.sum(passes, axis=1, dtype=jnp.int32)
+        cand_ct = cand_ct + jnp.sum(valid, axis=1, dtype=jnp.int32)
+
+        off_new = off + chunk
+        r_star = jax.vmap(lambda c, o: jnp.searchsorted(c, o, side="right"))(
+            fc, off_new[:, None]
+        )[:, 0].astype(jnp.int32)
+        depth_cur = jnp.maximum(D - r_star // L, min_depth)
+        tables = (r_star % L).astype(jnp.float32)
+        kth_sim = topk_sims[:, k - 1]
+        bucket = jnp.clip(
+            (kth_sim / index.sim_eps).astype(jnp.int32),
+            0,
+            index.probs_table.shape[1] - 1,
+        )
+        p_d = index.probs_table[jnp.clip(depth_cur, 0, D + 1), bucket]
+        p_d1 = index.probs_table[jnp.clip(depth_cur + 1, 0, D + 1), bucket]
+        rest = jnp.where(depth_cur == D, 0.0, jnp.maximum(L - tables, 0.0))
+        failure = jnp.power(1.0 - p_d, tables) * jnp.power(1.0 - p_d1, rest)
+        qdone = qdone | (failure <= 1.0 - delta) | (off_new >= total)
+        return (topk_sims, topk_ids, qdone, off_new, dc, cand_ct)
+
+    topk_sims, topk_ids, _, _, dc, cand_ct = jax.lax.while_loop(cond, body, init)
+    stats = SearchStats(dc, cand_ct, jnp.ones((Q,), jnp.int32))
+    return topk_sims, topk_ids, stats
+
+
+def jaccard_search(
+    index: JaccardIndex, query_sets, k: Optional[int] = None,
+    delta: Optional[float] = None,
+) -> Tuple[np.ndarray, np.ndarray, SearchStats]:
+    """Search with raw python/padded sets; returns (sims desc, ids, stats)."""
+    from clann_tpu.data.setdata import pad_sets
+
+    cfg = index.config
+    k = cfg.k if k is None else k
+    delta = cfg.delta if delta is None else delta
+    if isinstance(query_sets, np.ndarray) and query_sets.ndim == 2:
+        qt = query_sets.astype(np.int32)
+    else:
+        qt = pad_sets(query_sets, index.universe)
+    qt = jnp.asarray(qt)
+
+    family = MinHash(index.universe)
+    source = IndependentHashSource(family, cfg.num_tables, cfg.max_hashbits)
+    source.params = index.hash_params
+    qh = source.hash(qt)  # (Q, L)
+    sketch_family = MinHash1Bit(index.universe)
+    qbits = sketch_family.hash(index.sketch_params, qt)
+    qsk = pack_bits_u32(
+        qbits.reshape(qt.shape[0], cfg.num_sketches, cfg.sketch_bits)
+    )
+
+    sims, ids, stats = jaccard_search_batch(
+        index, qt, qh, qsk, jnp.float32(delta),
+        k=k, chunk=cfg.candidate_chunk, min_depth=cfg.min_depth,
+    )
+    return np.asarray(sims), np.asarray(ids), stats

@@ -1,0 +1,115 @@
+"""Set-format data for Jaccard similarity.
+
+TPU-native equivalent of the reference's set machinery:
+- SetFormat — sorted u32 token sets with a universe bound check
+  (reference: libpuffinn/include/puffinn/format/set.hpp:30-48)
+- JaccardSimilarity — |intersection| / |union| via sorted merge
+  (reference: similarity_measure/jaccard.hpp:18-42)
+
+Sets are stored as a dense padded (n, t_max) int32 tensor, tokens sorted
+ascending with -1 padding, because ragged per-point vectors cannot live in
+an XLA program. Pairwise Jaccard is computed with an equality-matrix
+reduction on the VPU instead of a scalar sorted-merge loop.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from clann_tpu.errors import DataError
+
+
+def pad_sets(sets: Sequence[Sequence[int]], universe: int, t_max: int = 0):
+    """Validate + pad token sets to a dense (n, t_max) int32 tensor.
+
+    Mirrors SetFormat's universe bound check (set.hpp:30-48): any token
+    >= universe raises DataError. Duplicate tokens are dropped; tokens are
+    stored sorted ascending.
+    """
+    cleaned: List[np.ndarray] = []
+    for i, s in enumerate(sets):
+        arr = np.unique(np.asarray(list(s), dtype=np.int64))
+        if arr.size and (arr.min() < 0 or arr.max() >= universe):
+            raise DataError(
+                f"set {i} has token outside universe [0, {universe})"
+            )
+        cleaned.append(arr.astype(np.int32))
+    need = max((len(a) for a in cleaned), default=1)
+    t_max = max(t_max, need, 1)
+    out = np.full((len(cleaned), t_max), -1, np.int32)
+    for i, a in enumerate(cleaned):
+        out[i, : len(a)] = a
+    return out
+
+
+def jaccard_similarity_block(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """(na, nb) Jaccard similarities between padded set tensors.
+
+    a: (na, t), b: (nb, t) sorted padded token tensors. The reference's
+    sorted-merge loop (jaccard.hpp:18-42) becomes an equality-matrix
+    reduction: |A ∩ B| = sum over (ta, tb) of [a == b != pad].
+    """
+    a = jnp.asarray(a)
+    b = jnp.asarray(b)
+    sizes_a = jnp.sum(a >= 0, axis=1)  # (na,)
+    sizes_b = jnp.sum(b >= 0, axis=1)  # (nb,)
+    eq = (a[:, None, :, None] == b[None, :, None, :]) & (a[:, None, :, None] >= 0)
+    inter = jnp.sum(eq, axis=(2, 3))  # (na, nb)
+    union = sizes_a[:, None] + sizes_b[None, :] - inter
+    return jnp.where(union > 0, inter / union, 0.0)
+
+
+class JaccardData:
+    """Metric dataset over token sets (distance = 1 - jaccard).
+
+    The reference never wires Jaccard into the clustered CLANN layer (the
+    FFI exposes cosine insert/search only, SURVEY §2.2); as there, this
+    type backs the standalone set-LSH index (core/jaccard_index.py) and
+    brute-force search.
+    """
+
+    metric = "jaccard"
+
+    def __init__(self, sets, universe: int, t_max: int = 0):
+        if isinstance(sets, np.ndarray) and sets.ndim == 2:
+            self.tokens = sets.astype(np.int32)
+        else:
+            self.tokens = pad_sets(sets, universe, t_max)
+        self.universe = int(universe)
+        self.raw = self.tokens  # MetricData-compatible attribute
+
+    def num_points(self) -> int:
+        return self.tokens.shape[0]
+
+    def dimensions(self) -> int:
+        return self.universe
+
+    def get_point(self, i: int) -> np.ndarray:
+        row = self.tokens[i]
+        return row[row >= 0]
+
+    def similarities_to(self, query_sets: np.ndarray) -> np.ndarray:
+        """(n, q) Jaccard similarities against stored sets."""
+        return np.asarray(jaccard_similarity_block(self.tokens, query_sets)).T
+
+    def distance(self, i: int, j: int) -> float:
+        s = jaccard_similarity_block(self.tokens[i][None], self.tokens[j][None])
+        return float(1.0 - np.asarray(s)[0, 0])
+
+    def subset(self, indices) -> "JaccardData":
+        return JaccardData(self.tokens[np.asarray(indices)], self.universe)
+
+
+def brute_force_jaccard_topk(data: JaccardData, query_sets: np.ndarray, k: int):
+    """Exact top-k by Jaccard similarity (oracle; the set analog of
+    collection.hpp:524-541 search_bf)."""
+    sims = jaccard_similarity_block(data.tokens, jnp.asarray(query_sets))  # (n, q)
+    sims = np.asarray(sims).T  # (q, n)
+    k = min(k, data.num_points())
+    idx = np.argsort(-sims, axis=1, kind="stable")[:, :k]
+    vals = np.take_along_axis(sims, idx, axis=1)
+    return vals, idx.astype(np.int32)

@@ -151,6 +151,23 @@ def load_index(data, path: str):
             "same dataset (reference contract, src/lib.rs:22)"
         )
     xn = jnp.asarray(l2_normalize(jnp.asarray(x)) if metric == "angular" else x)
+
+    # Rebuild the dense layout from vectors + table order (not stored: it
+    # is derivable and large).
+    dense = None
+    if config.dense_layout:
+        from clann_tpu.core.index import build_dense_layout
+
+        xn_np = np.asarray(xn)
+        dense = build_dense_layout(
+            xn_np,
+            arrays["sorted_idx"][0],
+            arrays["cluster_starts"],
+            xn_np[arrays["center_ids"]],
+            arrays["radii"],
+            config.dense_seg_cap,
+        )
+
     return ClusteredIndex(
         vectors=xn,
         sorted_hash=jnp.asarray(arrays["sorted_hash"]),
@@ -166,6 +183,7 @@ def load_index(data, path: str):
         sketch_params=sketch_params,
         probs_table=jnp.asarray(arrays["probs_table"]),
         maxdiff_table=jnp.asarray(arrays["maxdiff_table"]),
+        **(dense or {}),
         config=config,
         metric=metric,
         sim_eps=sim_eps,

@@ -1,0 +1,197 @@
+"""Tests for set data / MinHash / Jaccard index and closest-pairs join.
+
+Models reference coverage:
+- SetFormat universe checks (format/set.hpp:30-48; format_test.hpp)
+- Jaccard similarity fixtures (similarity_measure_test.hpp)
+- MinHash collision-probability contract (hash_test.hpp:63-100 analog)
+- recall contract for the Jaccard index (collection_test.hpp:87-176)
+- closest-pairs join vs the brute-force join oracle
+  (collection.hpp:390-521)
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from clann_tpu.config import Config
+from clann_tpu.data.setdata import (
+    JaccardData,
+    brute_force_jaccard_topk,
+    jaccard_similarity_block,
+    pad_sets,
+)
+from clann_tpu.errors import DataError
+from clann_tpu.ops.minhash import MinHash, MinHash1Bit
+
+
+def random_sets(n, universe, avg_size, seed=0):
+    rng = np.random.default_rng(seed)
+    sets = []
+    for _ in range(n):
+        size = max(2, rng.poisson(avg_size))
+        sets.append(rng.choice(universe, size=min(size, universe), replace=False))
+    return sets
+
+
+class TestSetFormat:
+    def test_pad_and_sort(self):
+        out = pad_sets([[3, 1, 2], [5]], universe=10)
+        assert out.shape == (2, 3)
+        assert out[0].tolist() == [1, 2, 3]
+        assert out[1].tolist() == [5, -1, -1]
+
+    def test_universe_check(self):
+        # reference: set.hpp:30-48
+        with pytest.raises(DataError):
+            pad_sets([[0, 11]], universe=10)
+        with pytest.raises(DataError):
+            pad_sets([[-1]], universe=10)
+
+    def test_jaccard_values(self):
+        # reference: similarity_measure_test.hpp fixtures
+        a = pad_sets([[0, 1, 2, 3]], universe=10)
+        b = pad_sets([[0, 1, 2, 3], [2, 3, 4, 5], [7, 8]], universe=10, t_max=4)
+        sims = np.asarray(jaccard_similarity_block(a, b))
+        assert sims[0, 0] == pytest.approx(1.0)
+        assert sims[0, 1] == pytest.approx(2 / 6)
+        assert sims[0, 2] == pytest.approx(0.0)
+
+
+class TestMinHash:
+    def test_bits_and_range(self):
+        fam = MinHash(universe=100)
+        assert fam.bits_per_function == 7  # ceil_log(100)
+        params = fam.sample(jax.random.PRNGKey(0), 16)
+        tokens = pad_sets(random_sets(50, 100, 8, seed=1), 100)
+        h = np.asarray(fam.hash(params, tokens))
+        assert h.shape == (50, 16)
+        assert h.max() < (1 << 7)
+
+    def test_identical_sets_collide(self):
+        fam = MinHash(universe=64)
+        params = fam.sample(jax.random.PRNGKey(1), 8)
+        tokens = pad_sets([[1, 5, 9], [1, 5, 9]], universe=64)
+        h = np.asarray(fam.hash(params, tokens))
+        assert np.array_equal(h[0], h[1])
+
+    def test_collision_probability_formula(self):
+        # reference: minhash.hpp:244-253
+        fam = MinHash(universe=64)
+        # full-width hash: p == sim
+        assert float(fam.collision_probability(0.5, fam.bits_per_function)) == (
+            pytest.approx(0.5, abs=1e-6)
+        )
+        assert float(fam.collision_probability(0.3, 0)) == 1.0
+        # fewer bits -> higher collision probability
+        p1 = float(fam.collision_probability(0.5, 1))
+        p3 = float(fam.collision_probability(0.5, 3))
+        assert p1 > p3 > 0.5
+
+    def test_empirical_collision_rate(self):
+        # two sets with known jaccard; empirical vs formula
+        fam = MinHash(universe=200)
+        params = fam.sample(jax.random.PRNGKey(2), 600)
+        a = list(range(0, 40))
+        b = list(range(20, 60))  # |inter|=20 |union|=60 -> sim=1/3
+        tokens = pad_sets([a, b], universe=200)
+        h = np.asarray(fam.hash(params, tokens))
+        emp = (h[0] == h[1]).mean()
+        claimed = float(fam.collision_probability(1 / 3, fam.bits_per_function))
+        assert abs(emp - claimed) < 0.07, (emp, claimed)
+
+    def test_one_bit_variant(self):
+        # reference: minhash.hpp:256-283
+        fam = MinHash1Bit(universe=64)
+        assert fam.bits_per_function == 1
+        params = fam.sample(jax.random.PRNGKey(3), 32)
+        tokens = pad_sets(random_sets(20, 64, 6, seed=2), 64)
+        h = np.asarray(fam.hash(params, tokens))
+        assert set(np.unique(h)).issubset({0, 1})
+
+
+class TestJaccardIndex:
+    @pytest.fixture(scope="class")
+    def built(self):
+        from clann_tpu.core.jaccard import build_jaccard_index
+
+        universe = 500
+        sets = random_sets(800, universe, 12, seed=5)
+        data = JaccardData(sets, universe)
+        cfg = Config(
+            num_tables=16, k=5, delta=0.8, candidate_chunk=128,
+            max_hashbits=16, seed=7,
+        )
+        return build_jaccard_index(data, cfg), data
+
+    def test_structure(self, built):
+        index, data = built
+        assert index.sorted_hash.shape == (16, 800)
+        sh = np.asarray(index.sorted_hash)
+        assert np.all(np.diff(sh.astype(np.int64), axis=1) >= 0)
+
+    def test_recall_contract(self, built):
+        from clann_tpu.core.jaccard import jaccard_search
+
+        index, data = built
+        queries = data.tokens[:60]
+        gt_s, gt_i = brute_force_jaccard_topk(data, queries, k=5)
+        sims, ids, stats = jaccard_search(index, queries, k=5, delta=0.8)
+        # recall vs ground-truth kth similarity threshold
+        kth = gt_s[:, 4]
+        hits = (sims >= kth[:, None] - 1e-6).sum(axis=1)
+        recall = hits.mean() / 5
+        # reference contract: observed >= 0.8 * delta
+        # (puffinn.rs:216-224 analog)
+        assert recall >= 0.8 * 0.8, recall
+        assert np.mean(stats.distance_computations) < 800
+
+    def test_self_query(self, built):
+        from clann_tpu.core.jaccard import jaccard_search
+
+        index, data = built
+        sims, ids, _ = jaccard_search(index, data.tokens[:20], k=1, delta=0.9)
+        assert (sims[:, 0] >= 1.0 - 1e-6).mean() >= 0.9
+
+
+class TestClosestPairs:
+    def test_matches_brute_force_join(self, small_angular_dataset):
+        from clann_tpu.core.index import build_lsh_index
+        from clann_tpu.ops.join import closest_pairs, global_bf_join
+
+        ds = small_angular_dataset
+        x = ds.train[:600]
+        cfg = Config(
+            num_tables=12, k=10, hash_family="simhash",
+            candidate_chunk=128, seed=3,
+        )
+        index = build_lsh_index(x, cfg)
+        pairs, sims = closest_pairs(index, k=10, delta=0.8)
+        bf_pairs, bf_sims = global_bf_join(index, k=10)
+        # recall of true top-10 pairs
+        found = {tuple(p) for p in pairs.tolist()}
+        truth = {tuple(p) for p in bf_pairs.tolist()}
+        recall = len(found & truth) / 10
+        assert recall >= 0.6, (recall, sims[:3], bf_sims[:3])
+        # returned sims are correct for the returned pairs
+        xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+        for (i, j), s in zip(pairs.tolist(), sims.tolist()):
+            if i >= 0:
+                true_s = (np.dot(xn[i], xn[j]) + 1) / 2
+                assert abs(true_s - s) < 1e-4
+
+    def test_pairs_canonical_and_unique(self, small_angular_dataset):
+        from clann_tpu.core.index import build_lsh_index
+        from clann_tpu.ops.join import closest_pairs
+
+        ds = small_angular_dataset
+        cfg = Config(num_tables=8, k=10, hash_family="simhash", seed=4)
+        index = build_lsh_index(ds.train[:400], cfg)
+        pairs, sims = closest_pairs(index, k=20, delta=0.8)
+        seen = set()
+        for i, j in pairs.tolist():
+            if i < 0:
+                continue
+            assert i < j
+            assert (i, j) not in seen
+            seen.add((i, j))
+        assert np.all(np.diff(sims) <= 1e-6)
