@@ -66,7 +66,7 @@ def get_dataset():
                                   block_q=512)
     gt_d, gt_i = np.asarray(gt_d), np.asarray(gt_i)
     log(f"ground truth in {time.time()-t0:.0f}s")
-    np.savez_compressed(path, train=train, test=test, gt_d=gt_d, gt_i=gt_i)
+    np.savez(path, train=train, test=test, gt_d=gt_d, gt_i=gt_i)
     return train, test, gt_d, gt_i
 
 
@@ -81,6 +81,7 @@ def main():
     from clann_tpu.ops.query import search as lsh_search
 
     train, test, gt_d, gt_i = get_dataset()
+    log(f"dataset in memory: train={train.shape} test={test.shape}")
 
     cfg = Config(
         num_tables=NUM_TABLES,
@@ -91,6 +92,7 @@ def main():
         candidate_chunk=512,
         seed=0,
     )
+    log("building index...")
     t0 = time.time()
     index = build_index(train, cfg)
     build_s = time.time() - t0

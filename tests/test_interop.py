@@ -1,0 +1,157 @@
+"""Tests for the native codec and reference-format interop.
+
+Models the reference's serialization round-trip contract
+(collection_test.hpp:291-336: ser(de(ser(x))) == ser(x)) at the byte-stream
+level, plus full .h5 round trips through the native codec.
+"""
+
+import numpy as np
+import pytest
+
+from clann_tpu.config import Config
+from clann_tpu.core.index import build_index
+from clann_tpu.io.interop import (
+    load_reference_h5,
+    parse_reference_config,
+    save_reference_h5,
+)
+from clann_tpu.io.refcodec import (
+    f32_to_q15,
+    parse_reference_stream,
+    q15_to_f32,
+    write_reference_stream,
+)
+from clann_tpu.metrics.recall import recall_by_ids
+from clann_tpu.ops.distances import brute_force_topk
+from clann_tpu.ops.query import search
+
+
+class TestQ15:
+    def test_round_trip(self):
+        # reference: format_test.hpp exact Q15 conversions
+        x = np.asarray([0.0, 0.5, -0.5, 0.999, -1.0], np.float32)
+        q = f32_to_q15(x)
+        assert q.dtype == np.int16
+        np.testing.assert_allclose(q15_to_f32(q), x, atol=1.0 / 32768)
+
+    def test_clamping(self):
+        assert f32_to_q15(np.asarray([2.0]))[0] == 32767
+        assert f32_to_q15(np.asarray([-2.0]))[0] == -32768
+
+
+class TestStreamRoundTrip:
+    def test_byte_stability(self):
+        """ser(parse(ser(x))) produces identical arrays (the codec analog
+        of collection_test.hpp:291-336)."""
+        rng = np.random.default_rng(1)
+        n, d, storage = 40, 20, 32
+        vec = f32_to_q15(rng.standard_normal((n, storage)).astype(np.float32) * 0.1)
+        skp = f32_to_q15(rng.standard_normal((2048, storage)).astype(np.float32) * 0.1)
+        sk = rng.integers(0, 2**63, (n, 32), dtype=np.uint64)
+        hp = f32_to_q15(rng.standard_normal((48, storage)).astype(np.float32) * 0.1)
+        hashes = [np.sort(rng.integers(0, 1 << 24, n).astype(np.uint32)) for _ in range(2)]
+        ids = [rng.permutation(n).astype(np.uint32) for _ in range(2)]
+
+        buf1 = write_reference_stream(
+            vec, d, skp, sk, hp, 2, 24, 0, ids, hashes, n
+        )
+        parsed = parse_reference_stream(buf1)
+        buf2 = write_reference_stream(
+            parsed.vectors_q15, parsed.dims, parsed.sketch_planes,
+            parsed.sketches, parsed.hash_planes, parsed.num_hashers,
+            parsed.functions_per_hasher, parsed.bits_to_cut,
+            parsed.map_indices, parsed.map_hashes, parsed.last_rebuild,
+        )
+        assert buf1 == buf2
+
+    def test_sentinel_padding_stripped(self):
+        rng = np.random.default_rng(2)
+        n = 30
+        vec = f32_to_q15(rng.standard_normal((n, 16)).astype(np.float32) * 0.1)
+        skp = np.zeros((2048, 16), np.int16)
+        sk = np.zeros((n, 32), np.uint64)
+        hp = np.zeros((24, 16), np.int16)
+        hashes = [np.sort(rng.integers(0, 1 << 24, n).astype(np.uint32))]
+        ids = [np.arange(n, dtype=np.uint32)]
+        buf = write_reference_stream(vec, 16, skp, sk, hp, 1, 24, 0, ids, hashes, n)
+        parsed = parse_reference_stream(buf)
+        # parse strips the injected sentinels back out
+        assert len(parsed.map_hashes[0]) == n
+        np.testing.assert_array_equal(parsed.map_hashes[0], hashes[0])
+        assert parsed.map_hashes[0].max() < (1 << 24)
+
+
+class TestReferenceConfig:
+    def test_parse_rust_serde_json(self):
+        cfg = parse_reference_config(
+            '{"num_tables": 84, "num_clusters_factor": 0.4, "k": 10, '
+            '"delta": 0.9, "dataset_name": "glove-25-angular", '
+            '"metrics_output": "None"}'
+        )
+        assert cfg.num_tables == 84
+        assert cfg.num_clusters_factor == 0.4
+        assert cfg.dataset_name == "glove-25-angular"
+
+
+class TestH5RoundTrip:
+    def test_export_import_preserves_search(self, small_angular_dataset, tmp_path):
+        ds = small_angular_dataset
+        cfg = Config(
+            num_tables=10, num_clusters_factor=0.25, k=10, delta=0.9,
+            dataset_name="interop-test", hash_family="simhash",
+            candidate_chunk=128, seed=13,
+        )
+        index = build_index(ds.train, cfg)
+        path = str(tmp_path / "ref_format.h5")
+        save_reference_h5(index, path)
+
+        loaded = load_reference_h5(path)
+        assert loaded.n == index.n
+        # vectors survive the Q15 round trip to ~1/32768
+        np.testing.assert_allclose(
+            np.asarray(loaded.vectors), np.asarray(index.vectors), atol=2e-4
+        )
+        # searching the reloaded index preserves recall
+        gt_d, gt_i = brute_force_topk(ds.train, ds.test[:40], k=10, metric="angular")
+        _, ids, _ = search(loaded, ds.test[:40], k=10, delta=0.9)
+        r = recall_by_ids(np.asarray(gt_i), ids, count=10)
+        assert r >= 0.6, r
+
+    def test_export_blob_structure(self, small_angular_dataset, tmp_path):
+        import h5py
+
+        ds = small_angular_dataset
+        cfg = Config(
+            num_tables=6, num_clusters_factor=0.25, k=5,
+            hash_family="simhash", seed=3,
+        )
+        index = build_index(ds.train, cfg)
+        path = str(tmp_path / "ref2.h5")
+        save_reference_h5(index, path)
+        import json
+
+        with h5py.File(path, "r") as f:
+            assert "config" in f and "clusters" in f
+            clusters = json.loads(f["clusters"][()].decode())
+            brute = np.asarray(index.brute)
+            for c in clusters:
+                # reference ClusterCenter field shape (index.rs:27-35)
+                assert set(c) == {
+                    "idx", "center_idx", "radius", "assignment",
+                    "brute_force", "memory_used",
+                }
+                if not brute[c["idx"]]:
+                    assert f"index_{c['idx']}" in f
+            # every point assigned exactly once
+            all_pts = sorted(p for c in clusters for p in c["assignment"])
+            assert all_pts == list(range(ds.train.shape[0]))
+
+    def test_cp_family_export_rejected(self, small_angular_dataset, tmp_path):
+        from clann_tpu.errors import SerializeError
+
+        ds = small_angular_dataset
+        cfg = Config(num_tables=4, num_clusters_factor=0.2, k=5,
+                     hash_family="fht_cross_polytope", seed=1)
+        index = build_index(ds.train[:500], cfg)
+        with pytest.raises(SerializeError):
+            save_reference_h5(index, str(tmp_path / "cp.h5"))
