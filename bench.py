@@ -58,8 +58,8 @@ def get_dataset():
 
     log(f"generating synthetic glove-100-like dataset {N_TRAIN}x{DIMS}")
     t0 = time.time()
-    train = clustered_unit_vectors(N_TRAIN, DIMS, n_modes=512, spread=0.45, seed=0)
-    test = clustered_unit_vectors(N_QUERIES, DIMS, n_modes=512, spread=0.45, seed=1)
+    train = clustered_unit_vectors(N_TRAIN, DIMS, n_modes=1024, spread=0.7, seed=0)
+    test = clustered_unit_vectors(N_QUERIES, DIMS, n_modes=1024, spread=0.7, seed=1)
     log(f"generated in {time.time()-t0:.0f}s; computing exact ground truth on device")
     t0 = time.time()
     gt_d, gt_i = brute_force_topk(train, test, k=max(K, 10), metric="angular",

@@ -88,6 +88,7 @@ class Clann:
         delta: Optional[float] = None,
         mode: Optional[str] = None,
         n_probe: Optional[int] = None,
+        filter_type: str = "default",
     ):
         """Batched k-NN (the TPU-native primary entry point).
 
@@ -107,7 +108,9 @@ class Clann:
         if mode == "dense":
             dists, ids, stats = dense_search(index, queries, k=k, n_probe=n_probe)
         elif mode == "lsh":
-            dists, ids, stats = _search(index, queries, k=k, delta=delta)
+            dists, ids, stats = _search(
+                index, queries, k=k, delta=delta, filter_type=filter_type
+            )
         else:
             raise DataError(f"unknown search mode {mode!r}")
         elapsed = time.perf_counter() - t0

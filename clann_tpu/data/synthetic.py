@@ -48,7 +48,12 @@ def clustered_unit_vectors(
     weights = 1.0 / np.arange(1, n_modes + 1) ** 0.7
     weights /= weights.sum()
     which = rng.choice(n_modes, size=n, p=weights)
-    x = modes[which] + spread * rng.standard_normal((n, d)).astype(np.float32)
+    # Per-dimension noise scaled by 1/sqrt(d) so the noise NORM is ~spread
+    # regardless of dimensionality; unscaled noise would have norm
+    # spread*sqrt(d), drowning the mode direction in high d and producing
+    # near-uniform sphere data (the degenerate worst case for clustering).
+    sigma = spread / np.sqrt(d)
+    x = modes[which] + sigma * rng.standard_normal((n, d)).astype(np.float32)
     norms = np.linalg.norm(x, axis=1, keepdims=True)
     return (x / np.where(norms == 0, 1, norms)).astype(np.float32)
 

@@ -105,31 +105,58 @@ def ivf_search_batch_impl(
     pidx = jnp.where(slot_valid, sp[take], 0)
     dropped = jnp.sum(jnp.maximum(counts - cap, 0))
 
-    # 3. batched segment scoring on the MXU
-    qvecs = jnp.concatenate(
-        [queries_n, jnp.zeros((1, d), queries_n.dtype)], axis=0
-    )[qidx]  # (C, cap, d); dump row scores zeros
-    dots = jnp.einsum(
-        "cqd,csd->cqs",
-        qvecs,
-        index.seg_vectors,
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )  # (C, cap, S_max)
-    sims = jnp.clip((dots + 1.0) * 0.5, 0.0, 1.0)  # cosine.hpp:19-23
-    col_valid = (
-        jnp.arange(S_max, dtype=jnp.int32)[None, :] < seg_sizes[:, None]
-    )  # (C, S_max)
-    sims = jnp.where(
-        slot_valid[:, :, None] & col_valid[:, None, :], sims, -1.0
-    )
-
-    # 4. per-slot top-k, scatter to (Q+1, P, k), final merge
+    # 3+4. batched segment scoring on the MXU, chunked over row groups so
+    # the transient (rows, cap, S_max) score tensor stays within a fixed
+    # memory budget at any probe depth; each group immediately reduces its
+    # scores to a per-slot top-k.
     kk = min(k, S_max)
-    top_s, top_j = jax.lax.top_k(sims, kk)  # (C, cap, kk)
-    top_ids = jnp.take_along_axis(
-        jnp.broadcast_to(index.seg_ids[:, None, :], (C, cap, S_max)), top_j, axis=2
+    qpad = jnp.concatenate(
+        [queries_n, jnp.zeros((1, d), queries_n.dtype)], axis=0
     )
+    qvecs = qpad[qidx]  # (C, cap, d); dump row scores zeros
+    col_iota = jnp.arange(S_max, dtype=jnp.int32)
+
+    score_budget = 1 << 30  # 1 GiB of f32 scores per group
+    group = max(1, min(C, score_budget // max(1, cap * S_max * 4)))
+    n_groups = -(-C // group)
+    padC = n_groups * group
+
+    def pad_rows(x, fill):
+        return jnp.pad(
+            x,
+            [(0, padC - C)] + [(0, 0)] * (x.ndim - 1),
+            constant_values=fill,
+        )
+
+    g_qvecs = pad_rows(qvecs, 0).reshape(n_groups, group, cap, d)
+    g_segv = pad_rows(index.seg_vectors, 0).reshape(n_groups, group, S_max, d)
+    g_sizes = pad_rows(seg_sizes, 0).reshape(n_groups, group)
+    g_valid = pad_rows(slot_valid, False).reshape(n_groups, group, cap)
+    g_ids = pad_rows(index.seg_ids, -1).reshape(n_groups, group, S_max)
+
+    def score_group(args):
+        qv, sv, sz, sl_valid, ids = args
+        dots = jnp.einsum(
+            "cqd,csd->cqs",
+            qv,
+            sv,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (group, cap, S_max)
+        sims = jnp.clip((dots + 1.0) * 0.5, 0.0, 1.0)  # cosine.hpp:19-23
+        cv = col_iota[None, :] < sz[:, None]
+        sims = jnp.where(sl_valid[:, :, None] & cv[:, None, :], sims, -1.0)
+        ts, tj = jax.lax.top_k(sims, kk)
+        ti = jnp.take_along_axis(
+            jnp.broadcast_to(ids[:, None, :], tj.shape[:2] + (S_max,)), tj, axis=2
+        )
+        return ts, ti
+
+    top_s, top_ids = jax.lax.map(
+        score_group, (g_qvecs, g_segv, g_sizes, g_valid, g_ids)
+    )
+    top_s = top_s.reshape(padC, cap, kk)[:C]
+    top_ids = top_ids.reshape(padC, cap, kk)[:C]
     if kk < k:
         pad = k - kk
         top_s = jnp.pad(top_s, ((0, 0), (0, 0), (0, pad)), constant_values=-1.0)

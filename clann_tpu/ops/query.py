@@ -117,6 +117,7 @@ def search_batch_impl(
     chunk: int,
     min_depth: int = 1,
     with_stats: bool = True,
+    filter_type: str = "default",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, SearchStats]:
     """Search a pre-hashed query batch. Returns (sims desc, ids, stats).
 
@@ -224,7 +225,16 @@ def search_batch_impl(
                 jax.lax.population_count(jnp.bitwise_xor(cand_sk, q_sk)),
                 axis=-1,
             ).astype(jnp.int32)
-            passes = valid & (is_brute[:, None] | (ham <= maxdiff[:, None]))
+            if filter_type == "none":
+                # FilterType::None (reference: collection.hpp:670-712):
+                # every candidate is scored, no sketch test
+                passes = valid
+            else:
+                # Default and Simple both test popcount(xor) <= maxdiff;
+                # they differ only in CPU scheduling (ring buffer vs plain
+                # loop, collection.hpp:714-765 vs 768-948) which has no
+                # batched analog.
+                passes = valid & (is_brute[:, None] | (ham <= maxdiff[:, None]))
 
             # --- exact rescore on the MXU ---
             vecs = index.vectors[cand_ids]  # (Q, chunk, d)
@@ -317,7 +327,8 @@ def search_batch_impl(
 
 
 search_batch_jit = functools.partial(
-    jax.jit, static_argnames=("k", "chunk", "min_depth", "with_stats")
+    jax.jit,
+    static_argnames=("k", "chunk", "min_depth", "with_stats", "filter_type"),
 )(search_batch_impl)
 
 
@@ -327,6 +338,7 @@ def search(
     k: int = None,
     delta: float = None,
     batch_size: int = 1024,
+    filter_type: str = "default",
 ) -> Tuple[np.ndarray, np.ndarray, SearchStats]:
     """Full search: hash + sketch queries, scan clusters, return k-NN.
 
@@ -362,6 +374,7 @@ def search(
             k=k,
             chunk=cfg.candidate_chunk,
             min_depth=cfg.min_depth,
+            filter_type=filter_type,
         )
         if pad:
             sims, ids = sims[:-pad], ids[:-pad]
@@ -379,3 +392,34 @@ def search(
     dists = 2.0 * (1.0 - sims)  # puffinn_types.rs:77-79 inverse
     dists = np.where(ids < 0, np.inf, dists)
     return dists, ids, stats
+
+
+def search_by_id(
+    index,
+    point_ids,
+    k: int = None,
+    delta: float = None,
+    exclude_self: bool = True,
+) -> Tuple[np.ndarray, np.ndarray, SearchStats]:
+    """k-NN of already-indexed points (reference: collection.hpp:341-356
+    search_from_index). With exclude_self, the point itself is removed from
+    its own result list (an extra slot is searched to keep k results)."""
+    ids = np.atleast_1d(np.asarray(point_ids, np.int64))
+    queries = np.asarray(index.vectors)[ids]
+    kk = (k or index.config.k) + (1 if exclude_self else 0)
+    dists, out_ids, stats = search(index, queries, k=kk, delta=delta)
+    if exclude_self:
+        keep_d = np.empty((len(ids), kk - 1), np.float32)
+        keep_i = np.empty((len(ids), kk - 1), np.int32)
+        for row, pid in enumerate(ids):
+            mask = out_ids[row] != pid
+            # keep first k non-self entries (pad if self was absent)
+            sel = np.where(mask)[0][: kk - 1]
+            keep_d[row] = dists[row][sel] if len(sel) == kk - 1 else np.pad(
+                dists[row][sel], (0, kk - 1 - len(sel)), constant_values=np.inf
+            )
+            keep_i[row] = out_ids[row][sel] if len(sel) == kk - 1 else np.pad(
+                out_ids[row][sel], (0, kk - 1 - len(sel)), constant_values=-1
+            )
+        return keep_d, keep_i, stats
+    return dists, out_ids, stats
