@@ -55,12 +55,17 @@ def parse_reference_config(config_json: str) -> Config:
     )
 
 
-def load_reference_h5(path: str, config: Optional[Config] = None):
+def load_reference_h5(
+    path: str, data=None, config: Optional[Config] = None
+):
     """Load a reference-written index file into a ClusteredIndex.
 
-    The raw vectors live inside the per-cluster PUFFINN blobs (Q15
-    fixed-point), so unlike our own format no external dataset is needed.
-    Tables are rebuilt with shared hash functions (see module docstring).
+    `data` is the original dataset, as the reference's init_from_file
+    requires (src/lib.rs:22). It may be omitted when every cluster has a
+    PUFFINN blob: the Q15 vectors embedded in the blobs are then
+    reassembled instead (brute-force clusters carry no blob, so their
+    vectors only exist in the caller's dataset). Tables are rebuilt with
+    shared hash functions (see module docstring).
     """
     h5py = _require_h5py()
     from clann_tpu.core.index import build_index
@@ -84,7 +89,11 @@ def load_reference_h5(path: str, config: Optional[Config] = None):
                 blobs[c["idx"]] = np.asarray(f[name], dtype=np.uint8).tobytes()
     cfg = config or parse_reference_config(cfg_json)
 
-    # Reassemble the dataset in original order from cluster assignments.
+    if data is not None:
+        return build_index(np.asarray(data, np.float32), cfg)
+
+    # No dataset supplied: reassemble it in original order from the Q15
+    # vectors embedded in the per-cluster blobs.
     total = sum(len(c.get("assignment", [])) for c in clusters)
     if total == 0:
         raise SerializeError(

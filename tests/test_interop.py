@@ -105,12 +105,24 @@ class TestH5RoundTrip:
         path = str(tmp_path / "ref_format.h5")
         save_reference_h5(index, path)
 
-        loaded = load_reference_h5(path)
+        loaded = load_reference_h5(path, data=ds.train)
         assert loaded.n == index.n
-        # vectors survive the Q15 round trip to ~1/32768
         np.testing.assert_allclose(
             np.asarray(loaded.vectors), np.asarray(index.vectors), atol=2e-4
         )
+        # blob-only load (no dataset) works when no cluster is brute-force;
+        # with brute clusters present it must fail with a clear error
+        from clann_tpu.errors import SerializeError
+        if bool(np.asarray(index.brute).any()):
+            with pytest.raises(SerializeError):
+                load_reference_h5(path)
+        else:
+            loaded2 = load_reference_h5(path)
+            # Q15 round trip: vectors within 1/32768 after renormalization
+            np.testing.assert_allclose(
+                np.asarray(loaded2.vectors), np.asarray(index.vectors),
+                atol=2e-3,
+            )
         # searching the reloaded index preserves recall
         gt_d, gt_i = brute_force_topk(ds.train, ds.test[:40], k=10, metric="angular")
         _, ids, _ = search(loaded, ds.test[:40], k=10, delta=0.9)
