@@ -102,11 +102,41 @@ def main():
         f"memory={index.memory_usage()/1e9:.2f}GB"
     )
 
-    # --- find the smallest n_probe with recall >= 0.9 (on a subset) ---
+    candidates = []  # (name, qps, recall, dc, extra)
+
+    def timed(fn, reps=3):
+        fn()  # warm / compile
+        t0 = time.time()
+        for _ in range(reps):
+            out = fn()
+        return (time.time() - t0) / reps, out
+
+    # --- candidate 1: full dense scan with hardware approx_max_k ---
+    from clann_tpu.ops.ivf import scan_search
+
+    el, (d_s, _, st_s) = timed(
+        lambda: scan_search(index, test, k=K, recall_target=0.95)
+    )
+    r_s, _, _ = recall_values(gt_d, d_s, count=K)
+    log(f"scan(approx): QPS={len(test)/el:.0f} recall={r_s:.4f} "
+        f"({el*1000:.0f}ms)")
+    candidates.append(("scan-approx", len(test) / el, r_s,
+                       float(np.mean(st_s.distance_computations))))
+
+    # --- candidate 2: exact dense scan ---
+    el, (d_e, _, st_e) = timed(
+        lambda: scan_search(index, test, k=K, exact=True), reps=1
+    )
+    r_e, _, _ = recall_values(gt_d, d_e, count=K)
+    log(f"scan(exact): QPS={len(test)/el:.0f} recall={r_e:.4f}")
+    candidates.append(("scan-exact", len(test) / el, r_e,
+                       float(np.mean(st_e.distance_computations))))
+
+    # --- candidate 3: IVF probing at the smallest passing n_probe ---
     sub = min(2000, len(test))
     chosen = None
-    recall = 0.0
-    for n_probe in [8, 12, 16, 24, 32, 48, 64, 96, 128, 192, 256]:
+    r = 0.0
+    for n_probe in [8, 12, 16, 24, 32, 48, 64, 96, 128]:
         if n_probe > n_rows:
             break
         d_, _, st = dense_search(index, test[:sub], k=K, n_probe=n_probe,
@@ -117,27 +147,23 @@ def main():
             f"dc/q={st.distance_computations.mean():.0f}"
         )
         if r >= 0.9:
-            chosen, recall = n_probe, r
+            chosen = n_probe
             break
-    if chosen is None:
-        chosen, recall = min(256, n_rows), r
-
-    # --- timed warm sweeps over the full query set ---
-    dense_search(index, test, k=K, n_probe=chosen, batch_size=BATCH)  # warm
-    reps = 3
-    t0 = time.time()
-    for _ in range(reps):
-        dists, ids, stats = dense_search(
-            index, test, k=K, n_probe=chosen, batch_size=BATCH
+    if chosen is not None:
+        el, (d_i, _, st_i) = timed(
+            lambda: dense_search(index, test, k=K, n_probe=chosen,
+                                 batch_size=BATCH)
         )
-    elapsed = (time.time() - t0) / reps
-    qps = len(test) / elapsed
-    full_recall, _, _ = recall_values(gt_d, dists, count=K)
-    dc = float(np.mean(stats.distance_computations))
-    log(
-        f"dense: n_probe={chosen} QPS={qps:.0f} recall={full_recall:.4f} "
-        f"dc/q={dc:.0f} ({elapsed*1000:.0f}ms / {len(test)} queries)"
-    )
+        r_i, _, _ = recall_values(gt_d, d_i, count=K)
+        log(f"ivf(n_probe={chosen}): QPS={len(test)/el:.0f} recall={r_i:.4f}")
+        candidates.append((f"ivf-p{chosen}", len(test) / el, r_i,
+                           float(np.mean(st_i.distance_computations))))
+
+    # headline: fastest candidate meeting the recall bar
+    passing = [c for c in candidates if c[2] >= 0.9]
+    best = max(passing or candidates, key=lambda c: c[1])
+    mode_name, qps, full_recall, dc = best
+    log(f"headline: {mode_name} QPS={qps:.0f} recall={full_recall:.4f}")
 
     # --- secondary: reference-faithful LSH path on a subset ---
     lsh_sub = min(1024, len(test))
@@ -169,7 +195,12 @@ def main():
                 "unit": "queries/s",
                 "vs_baseline": round(qps / BASELINE_QPS_ESTIMATE, 2),
                 "recall_at_10": round(float(full_recall), 4),
-                "n_probe": chosen,
+                "mode": mode_name,
+                "candidates": [
+                    {"mode": c[0], "qps": round(c[1], 1),
+                     "recall": round(float(c[2]), 4)}
+                    for c in candidates
+                ],
                 "distance_computations_per_query": round(dc, 1),
                 "build_seconds": round(build_s, 1),
                 "index_bytes": index.memory_usage(),

@@ -97,7 +97,7 @@ class Clann:
         (config.search_mode; dense when the layout exists).
         Returns (distances (Q, k) ascending, ids (Q, k), stats).
         """
-        from clann_tpu.ops.ivf import dense_search
+        from clann_tpu.ops.ivf import dense_search, scan_search
         from clann_tpu.ops.query import search as _search
 
         index = self._require_built()
@@ -107,6 +107,8 @@ class Clann:
         t0 = time.perf_counter()
         if mode == "dense":
             dists, ids, stats = dense_search(index, queries, k=k, n_probe=n_probe)
+        elif mode == "scan":
+            dists, ids, stats = scan_search(index, queries, k=k)
         elif mode == "lsh":
             dists, ids, stats = _search(
                 index, queries, k=k, delta=delta, filter_type=filter_type

@@ -54,6 +54,53 @@ def auto_n_probe(n_rows: int) -> int:
     return int(min(n_rows, max(8, round(np.sqrt(n_rows) * 1.5))))
 
 
+def scan_search(
+    index,
+    queries,
+    k: Optional[int] = None,
+    recall_target: float = 0.95,
+    exact: bool = False,
+    batch_q: int = 2048,
+):
+    """Full dense scan of the index vectors (the C=1 full-probe case).
+
+    Blocked bf16 MXU matmuls + hardware `approx_max_k`; see
+    ops/distances.dense_scan_topk. Index vectors are already
+    device-resident, so repeated calls pay no host transfer. Returns
+    (distances ascending, ids, DenseSearchStats).
+    """
+    from clann_tpu.ops.distances import _dense_scan_jit, l2_normalize
+
+    k = (index.config.k if k is None else k)
+    qn = l2_normalize(jnp.asarray(np.asarray(queries, np.float32)))
+    if qn.ndim == 1:
+        qn = qn[None, :]
+    n = index.vectors.shape[0]
+    block_points = min(262144, n)
+    outs_s, outs_i = [], []
+    for s in range(0, qn.shape[0], batch_q):
+        blk = qn[s : s + batch_q]
+        ts, ti = _dense_scan_jit(
+            index.vectors, blk, k=k, block_points=block_points,
+            recall_target=recall_target, exact=exact,
+        )
+        outs_s.append(np.asarray(ts))
+        outs_i.append(np.asarray(ti))
+    dots = np.concatenate(outs_s)
+    ids = np.concatenate(outs_i)
+    dists = np.where(ids >= 0, np.clip(1.0 - dots, 0.0, 2.0), np.inf)
+    Q = ids.shape[0]
+    dc = np.full(Q, n, np.int32)
+    stats = DenseSearchStats(
+        distance_computations=dc,
+        candidates=dc,
+        clusters_visited=np.full(Q, index.n_clusters, np.int32),
+        dropped_probes=np.int32(0),
+        uncertified=np.zeros(Q, np.int32),
+    )
+    return dists, ids, stats
+
+
 def auto_probe_cap(n_queries: int, n_probe: int, n_clusters: int) -> int:
     """Slot capacity per cluster: 4x the average load, padded to 8."""
     avg = n_queries * n_probe / max(1, n_clusters)

@@ -1,0 +1,64 @@
+"""Tests for the fused Pallas scan kernel (interpret mode on CPU).
+
+The kernel-vs-reference equivalence strategy mirrors the reference's
+SIMD-vs-scalar tests (math_test.hpp:12-51): the fused kernel's candidate
+set must reproduce brute-force top-k up to the binned-approximation
+semantics, and returned values must be exact.
+"""
+
+import numpy as np
+import pytest
+
+from clann_tpu.data.synthetic import clustered_unit_vectors, random_unit_vectors
+from clann_tpu.metrics.recall import recall_by_ids
+from clann_tpu.ops.distances import brute_force_topk
+from clann_tpu.ops.pallas.scan_topk import pallas_scan_topk
+
+
+class TestFusedScan:
+    def test_matches_brute_force(self):
+        base = clustered_unit_vectors(3000, 32, n_modes=16, seed=0)
+        queries = random_unit_vectors(64, 32, seed=1)
+        gt_d, gt_i = brute_force_topk(base, queries, k=10, metric="angular")
+        sims, ids = pallas_scan_topk(
+            base, queries, k=10, num_bins=32, block_n=512, q_tile=64,
+            interpret=True,
+        )
+        r = recall_by_ids(np.asarray(gt_i), ids, count=10)
+        assert r >= 0.9, r
+        # returned values are exact for returned ids
+        bn = base / np.linalg.norm(base, axis=1, keepdims=True)
+        qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+        for q in range(0, 64, 13):
+            for j in range(10):
+                if ids[q, j] >= 0:
+                    true = float(bn[ids[q, j]] @ qn[q])
+                    assert abs(true - sims[q, j]) < 1e-4
+
+    def test_descending_and_unique(self):
+        base = random_unit_vectors(1500, 16, seed=3)
+        queries = random_unit_vectors(32, 16, seed=4)
+        sims, ids = pallas_scan_topk(
+            base, queries, k=8, num_bins=16, block_n=512, q_tile=32,
+            interpret=True,
+        )
+        assert np.all(np.diff(sims, axis=1) <= 1e-6)
+        for row in ids:
+            real = [i for i in row.tolist() if i >= 0]
+            assert len(set(real)) == len(real)
+
+    def test_padding_never_returned(self):
+        # n not a multiple of block_n: padded points must not appear
+        base = random_unit_vectors(700, 16, seed=5)
+        queries = random_unit_vectors(16, 16, seed=6)
+        sims, ids = pallas_scan_topk(
+            base, queries, k=5, num_bins=16, block_n=512, q_tile=16,
+            interpret=True,
+        )
+        assert ids.max() < 700
+        assert ids.min() >= 0
+
+    def test_k_bounded_by_bins(self):
+        base = random_unit_vectors(600, 16, seed=7)
+        with pytest.raises(ValueError):
+            pallas_scan_topk(base, base[:4], k=20, num_bins=16, interpret=True)
