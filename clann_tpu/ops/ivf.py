@@ -54,6 +54,28 @@ def auto_n_probe(n_rows: int) -> int:
     return int(min(n_rows, max(8, round(np.sqrt(n_rows) * 1.5))))
 
 
+# Padded bf16 copies of index vectors for the fused Pallas scan, cached per
+# index so repeated searches pay no re-padding/transfer. The source array is
+# kept in the value to pin its id.
+_PALLAS_BASE_CACHE: dict = {}
+
+
+def _pallas_base(index, block_n: int):
+    key = (id(index.vectors), block_n)
+    hit = _PALLAS_BASE_CACHE.get(key)
+    if hit is not None and hit[0] is index.vectors:
+        return hit[1]
+    n, d = index.vectors.shape
+    dpad = ((d + 127) // 128) * 128
+    n_pad = ((n + block_n - 1) // block_n) * block_n
+    base_p = jnp.zeros((n_pad, dpad), jnp.bfloat16)
+    base_p = base_p.at[:n, :d].set(index.vectors.astype(jnp.bfloat16))
+    if len(_PALLAS_BASE_CACHE) > 4:
+        _PALLAS_BASE_CACHE.clear()
+    _PALLAS_BASE_CACHE[key] = (index.vectors, base_p)
+    return base_p
+
+
 def scan_search(
     index,
     queries,
@@ -61,11 +83,13 @@ def scan_search(
     recall_target: float = 0.95,
     exact: bool = False,
     batch_q: int = 2048,
+    use_pallas: bool = False,
 ):
     """Full dense scan of the index vectors (the C=1 full-probe case).
 
-    Blocked bf16 MXU matmuls + hardware `approx_max_k`; see
-    ops/distances.dense_scan_topk. Index vectors are already
+    Blocked bf16 MXU matmuls + hardware `approx_max_k` (see
+    ops/distances.dense_scan_topk), or the fused Pallas kernel when
+    use_pallas (ops/pallas/scan_topk.py). Index vectors are already
     device-resident, so repeated calls pay no host transfer. Returns
     (distances ascending, ids, DenseSearchStats).
     """
@@ -76,18 +100,53 @@ def scan_search(
     if qn.ndim == 1:
         qn = qn[None, :]
     n = index.vectors.shape[0]
-    block_points = min(262144, n)
-    outs_s, outs_i = [], []
-    for s in range(0, qn.shape[0], batch_q):
-        blk = qn[s : s + batch_q]
-        ts, ti = _dense_scan_jit(
-            index.vectors, blk, k=k, block_points=block_points,
-            recall_target=recall_target, exact=exact,
-        )
-        outs_s.append(np.asarray(ts))
-        outs_i.append(np.asarray(ti))
-    dots = np.concatenate(outs_s)
-    ids = np.concatenate(outs_i)
+
+    if use_pallas:
+        from clann_tpu.ops.pallas.scan_topk import fused_scan_candidates
+
+        block_n = 16384 if n >= 16384 else max(256, 1 << (n - 1).bit_length())
+        num_bins = min(128, block_n)
+        q_tile = 256
+        base_p = _pallas_base(index, block_n)
+        dpad = base_p.shape[1]
+        outs_s, outs_i = [], []
+        for s in range(0, qn.shape[0], batch_q):
+            blk = qn[s : s + batch_q]
+            q_real = blk.shape[0]
+            q_pad = ((q_real + q_tile - 1) // q_tile) * q_tile
+            qp = jnp.zeros((q_pad, dpad), jnp.bfloat16)
+            qp = qp.at[:q_real, : blk.shape[1]].set(blk.astype(jnp.bfloat16))
+            vals, cids = fused_scan_candidates(
+                base_p, qp, n_real=n,
+                num_bins=num_bins, block_n=block_n, q_tile=q_tile,
+            )
+            vals, cids = vals[:q_real], cids[:q_real]
+            safe = jnp.clip(cids, 0, n - 1)
+            ex = jnp.einsum(
+                "qbd,qd->qb", index.vectors[safe], blk,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            ex = jnp.where(cids >= 0, ex, -jnp.inf)
+            ts, sel = jax.lax.top_k(ex, k)
+            outs_s.append(ts)
+            outs_i.append(jnp.take_along_axis(cids, sel, axis=1))
+    else:
+        # bound the transient (batch, block) score matrix to ~2GB
+        block_points = min(262144, n, max(32768, int(2e9 / (4 * min(batch_q, qn.shape[0])))))
+        outs_s, outs_i = [], []
+        for s in range(0, qn.shape[0], batch_q):
+            blk = qn[s : s + batch_q]
+            ts, ti = _dense_scan_jit(
+                index.vectors, blk, k=k, block_points=block_points,
+                recall_target=recall_target, exact=exact,
+            )
+            # keep device arrays; materialize once at the end so batches
+            # pipeline asynchronously instead of syncing per batch
+            outs_s.append(ts)
+            outs_i.append(ti)
+    dots = np.concatenate([np.asarray(t) for t in outs_s])
+    ids = np.concatenate([np.asarray(t) for t in outs_i])
     dists = np.where(ids >= 0, np.clip(1.0 - dots, 0.0, 2.0), np.inf)
     Q = ids.shape[0]
     dc = np.full(Q, n, np.int32)

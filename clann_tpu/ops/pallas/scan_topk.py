@@ -21,6 +21,19 @@ comparable to approx_max_k(recall_target~0.95).
 This is the TPU counterpart of the reference's innermost hot loop — the
 AVX2 i16 dot + MaxBuffer scan (math.hpp:11-34, maxbuffer.hpp) — rebuilt as
 a systolic-array streaming kernel.
+
+Performance notes (measured on v5e, 1.18M x 100, 2048-query batches):
+- the scan is ELEMENTWISE-bound, not matmul-bound: every per-score pass
+  over the 2.4G scores costs ~2.4ms at VPU rate, and the matmul itself is
+  ~3ms; XLA's hardware approx_max_k pipeline (36ms) already sits near
+  this bound, so the fused kernel matches rather than beats it.
+- in-kernel RUNNING top-k merges (scratch carried across grid steps)
+  lower to scalar code in Mosaic and cost ~1000x the matmul — hence the
+  stateless emit-winners design with the reduction in XLA.
+- bin reductions must run along SUBLANES (transposed dot output,
+  leading-dim reshape); lane-dim slicing per bin scalarizes.
+- tiny unaligned output blocks (lane dim < 128) trigger relayout slow
+  paths; the (q_tile, 128)-aligned winner layout is ~10x faster.
 """
 
 from __future__ import annotations
@@ -34,67 +47,37 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _merge_top(vals, ids, new_vals, new_ids, nb):
-    """Merge two (Qt, NB) candidate sets, keeping the NB largest per row.
+def _scan_kernel(q_ref, b_ref, vals_ref, ids_ref, *, nb, block_n):
+    """One grid step: score one point block against one query tile and
+    emit the per-bin winners (value + id) for that block.
 
-    In-kernel top-NB via iterative max extraction (no sort/top_k lowering
-    needed in Mosaic): NB rounds of row-max + one-hot invalidation.
+    Stateless across grid steps — every (query tile, block) pair writes its
+    own output slice, and the cross-block top-k reduction happens outside
+    the kernel in XLA. The dot is computed TRANSPOSED, (block_n, q_tile),
+    so bins lie along the sublane axis where grouped reductions vectorize
+    (splitting the lane axis per bin scalarizes in Mosaic).
     """
-    cat_v = jnp.concatenate([vals, new_vals], axis=1)  # (Qt, 2NB)
-    cat_i = jnp.concatenate([ids, new_ids], axis=1)
-    width = cat_v.shape[1]
-    col = jax.lax.broadcasted_iota(jnp.int32, cat_v.shape, 1)
-    out_v = []
-    out_i = []
-    for _ in range(nb):
-        m = jnp.max(cat_v, axis=1, keepdims=True)  # (Qt, 1)
-        amax = jnp.argmax(cat_v, axis=1)[:, None]  # (Qt, 1)
-        sel = col == amax
-        picked_i = jnp.sum(jnp.where(sel, cat_i, 0), axis=1, keepdims=True)
-        out_v.append(m)
-        out_i.append(picked_i)
-        cat_v = jnp.where(sel, -jnp.inf, cat_v)
-    return jnp.concatenate(out_v, axis=1), jnp.concatenate(out_i, axis=1)
-
-
-def _scan_kernel(q_ref, b_ref, vals_ref, ids_ref, vs, is_, *, nb, block_n, n_real):
-    qt_i = pl.program_id(0)
     blk_j = pl.program_id(1)
-    n_blocks = pl.num_programs(1)
-
-    @pl.when(blk_j == 0)
-    def _():
-        vs[:] = jnp.full_like(vs, -jnp.inf)
-        is_[:] = jnp.full_like(is_, -1)
+    per_bin = block_n // nb
 
     q = q_ref[:]  # (Qt, dpad) bf16
     b = b_ref[:]  # (block_n, dpad) bf16
-    scores = jnp.dot(q, b.T, preferred_element_type=jnp.float32)  # (Qt, B)
-
-    # mask padding columns (points beyond n_real)
-    base_col = blk_j * block_n
-    col_ids = base_col + jax.lax.broadcasted_iota(
-        jnp.int32, scores.shape, 1
-    )
-    scores = jnp.where(col_ids < n_real, scores, -jnp.inf)
-
-    # binned winners: reshape (Qt, NB, B/NB)
-    qt = scores.shape[0]
-    per_bin = block_n // nb
-    s3 = scores.reshape(qt, nb, per_bin)
-    bin_max = jnp.max(s3, axis=2)  # (Qt, NB)
-    bin_arg = jnp.argmax(s3, axis=2).astype(jnp.int32)  # (Qt, NB)
-    bin_base = jax.lax.broadcasted_iota(jnp.int32, (qt, nb), 1) * per_bin
-    bin_ids = base_col + bin_base + bin_arg
-
-    mv, mi = _merge_top(vs[:], is_[:], bin_max, bin_ids, nb)
-    vs[:] = mv
-    is_[:] = mi
-
-    @pl.when(blk_j == n_blocks - 1)
-    def _():
-        vals_ref[:] = vs[:]
-        ids_ref[:] = is_[:]
+    sT = jax.lax.dot_general(
+        b,
+        q,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (block_n, Qt)
+    s3 = sT.reshape(nb, per_bin, sT.shape[1])  # leading-dim split: legal
+    m = jnp.max(s3, axis=1)  # (nb, Qt)
+    sub = jax.lax.broadcasted_iota(jnp.int32, s3.shape, 1)
+    arg = jnp.min(
+        jnp.where(s3 >= m[:, None, :], sub, jnp.int32(1 << 30)), axis=1
+    )  # (nb, Qt)
+    bin_base = jax.lax.broadcasted_iota(jnp.int32, arg.shape, 0) * per_bin
+    ids = blk_j * block_n + bin_base + arg
+    vals_ref[:, :] = m.T  # (Qt, nb) — lane-aligned output block
+    ids_ref[:, :] = ids.T
 
 
 @functools.partial(
@@ -106,8 +89,8 @@ def fused_scan_candidates(
     queries_bf16: jnp.ndarray,  # (Q_pad, dpad) bf16
     *,
     n_real: int,
-    num_bins: int = 16,
-    block_n: int = 1024,
+    num_bins: int = 128,
+    block_n: int = 16384,
     q_tile: int = 256,
     interpret: bool = False,
 ):
@@ -118,8 +101,9 @@ def fused_scan_candidates(
     assert block_n % num_bins == 0
     grid = (q_pad // q_tile, n_pad // block_n)
 
+    n_blocks = n_pad // block_n
     kernel = functools.partial(
-        _scan_kernel, nb=num_bins, block_n=block_n, n_real=n_real
+        _scan_kernel, nb=num_bins, block_n=block_n
     )
     vals, ids = pl.pallas_call(
         kernel,
@@ -134,33 +118,45 @@ def fused_scan_candidates(
         ],
         out_specs=[
             pl.BlockSpec(
-                (q_tile, num_bins), lambda i, j: (i, 0),
+                (q_tile, num_bins), lambda i, j: (i, j),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (q_tile, num_bins), lambda i, j: (i, 0),
+                (q_tile, num_bins), lambda i, j: (i, j),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((q_pad, num_bins), jnp.float32),
-            jax.ShapeDtypeStruct((q_pad, num_bins), jnp.int32),
+            jax.ShapeDtypeStruct((q_pad, n_blocks * num_bins), jnp.float32),
+            jax.ShapeDtypeStruct((q_pad, n_blocks * num_bins), jnp.int32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((q_tile, num_bins), jnp.float32),
-            pltpu.VMEM((q_tile, num_bins), jnp.int32),
-        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
     )(queries_bf16, base_bf16)
-    return vals, ids
+    # cross-block reduction in XLA: flatten (n_blocks, NB) candidates per
+    # query and take the strongest num_bins
+    flat_v = vals
+    flat_i = ids
+    # padded dataset rows are masked here instead of in-kernel (a
+    # full-width iota mask per grid step costs 8MB of VMEM)
+    flat_v = jnp.where(flat_i < n_real, flat_v, -jnp.inf)
+    if flat_v.shape[1] > num_bins:
+        top_v, sel = jax.lax.top_k(flat_v, num_bins)
+        top_i = jnp.take_along_axis(flat_i, sel, axis=1)
+    else:
+        top_v, top_i = flat_v, flat_i
+    top_i = jnp.where(jnp.isfinite(top_v), top_i, -1)
+    return top_v, top_i
 
 
 def pallas_scan_topk(
     base,
     queries,
     k: int = 10,
-    num_bins: int = 16,
-    block_n: int = 1024,
+    num_bins: int = 128,
+    block_n: int = 16384,
     q_tile: int = 256,
     batch_q: int = 4096,
     interpret: bool = False,
