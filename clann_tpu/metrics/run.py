@@ -86,6 +86,8 @@ class RunMetrics:
     distance_computations: Optional[np.ndarray] = None
     candidates: Optional[np.ndarray] = None
     clusters_visited: Optional[np.ndarray] = None
+    probed_clusters: Optional[np.ndarray] = None  # (Q, P) cluster per probe
+    probed_counts: Optional[np.ndarray] = None  # (Q, P) candidates per probe
     total_search_time_s: float = 0.0
     recall_mean: float = 0.0
     recall_std: float = 0.0
@@ -109,6 +111,10 @@ class RunMetrics:
         self.distance_computations = np.asarray(stats.distance_computations)
         self.candidates = np.asarray(stats.candidates)
         self.clusters_visited = np.asarray(stats.clusters_visited)
+        pc = getattr(stats, "probed_clusters", None)
+        self.probed_clusters = None if pc is None else np.asarray(pc)
+        pn = getattr(stats, "probed_counts", None)
+        self.probed_counts = None if pn is None else np.asarray(pn)
         nq = len(self.distance_computations)
         self.total_search_time_s = total_time_s
         # batch execution has no per-query wall time; attribute evenly
@@ -149,6 +155,8 @@ class RunMetrics:
             self._save_search(cur)
             if granularity in (MetricsGranularity.QUERY, MetricsGranularity.CLUSTER):
                 self._save_queries(cur)
+            if granularity == MetricsGranularity.CLUSTER:
+                self._save_clusters(cur)
             conn.commit()
         except sqlite3.IntegrityError as e:
             # UNIQUE violation == config already recorded (sqlite.rs:50-61)
@@ -262,6 +270,35 @@ class RunMetrics:
                (num_clusters, num_tables, k, delta, dataset, git_commit_hash,
                 query_idx, query_time_ms, distance_computations)
                VALUES (?,?,?,?,?,?,?,?,?)""",
+            rows,
+        )
+
+    def _save_clusters(self, cur) -> None:
+        """Per-(query, cluster) rows (reference: sqlite.rs search_metrics_
+        cluster writer). Available for the dense probing path, whose stats
+        carry per-probe cluster ids and candidate counts; probes of the
+        same cluster (row-chunked segments) are merged."""
+        if self.probed_clusters is None or self.probed_counts is None:
+            return
+        nc, L, ds, gh = self._key()
+        c = self.config
+        rows = []
+        for qi in range(self.probed_clusters.shape[0]):
+            agg = {}
+            for cl, cnt in zip(self.probed_clusters[qi], self.probed_counts[qi]):
+                cl = int(cl)
+                if cl >= 0:
+                    agg[cl] = agg.get(cl, 0) + int(cnt)
+            for cl, cnt in agg.items():
+                rows.append(
+                    (nc, L, c.k, c.delta, ds, gh, int(qi), cl, cnt, 0, cnt)
+                )
+        cur.executemany(
+            """INSERT INTO search_metrics_cluster
+               (num_clusters, num_tables, k, delta, dataset, git_commit_hash,
+                query_idx, cluster_idx, n_candidates, cluster_time_ms,
+                cluster_distance_computations)
+               VALUES (?,?,?,?,?,?,?,?,?,?,?)""",
             rows,
         )
 

@@ -47,6 +47,10 @@ class DenseSearchStats(NamedTuple):
     dropped_probes: jnp.ndarray  # () int32 — probe-slot capacity overflow
     uncertified: jnp.ndarray  # (Q,) int32 — unprobed clusters whose ball
     #                            overlaps the query's kth-distance sphere
+    # per-probe detail for CLUSTER-granularity metrics
+    # (reference: search_metrics_cluster rows, sqlite.rs:238-287)
+    probed_clusters: Optional[jnp.ndarray] = None  # (Q, P) owner cluster ids
+    probed_counts: Optional[jnp.ndarray] = None  # (Q, P) points scanned
 
 
 def auto_n_probe(n_rows: int) -> int:
@@ -298,6 +302,8 @@ def ivf_search_batch_impl(
         clusters_visited=jnp.full((Q,), P, jnp.int32),
         dropped_probes=dropped.astype(jnp.int32),
         uncertified=uncertified,
+        probed_clusters=index.seg_cluster[probe],
+        probed_counts=probed_sizes.astype(jnp.int32),
     )
     return final_s, final_i, stats
 
@@ -348,7 +354,8 @@ def dense_search(
         if pad:
             sims, ids = sims[:-pad], ids[:-pad]
             stats = DenseSearchStats(
-                *(s if np.ndim(s) == 0 else s[:-pad] for s in stats)
+                *(s if (s is None or np.ndim(s) == 0) else s[:-pad]
+                  for s in stats)
             )
         out_s.append(np.asarray(sims))
         out_i.append(np.asarray(ids))
@@ -362,6 +369,10 @@ def dense_search(
         np.concatenate([np.asarray(s.clusters_visited) for s in out_st]),
         np.sum([int(s.dropped_probes) for s in out_st]),
         np.concatenate([np.asarray(s.uncertified) for s in out_st]),
+        np.concatenate([np.asarray(s.probed_clusters) for s in out_st])
+        if out_st[0].probed_clusters is not None else None,
+        np.concatenate([np.asarray(s.probed_counts) for s in out_st])
+        if out_st[0].probed_counts is not None else None,
     )
     dists = 2.0 * (1.0 - sims)
     dists = np.where(ids < 0, np.inf, dists)

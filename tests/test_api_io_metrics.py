@@ -182,3 +182,30 @@ class TestMetrics:
             "puffinn_results",
             "puffinn_results_query",
         }
+
+
+class TestClusterGranularity:
+    def test_cluster_rows_from_dense_path(self, built, tmp_path):
+        handle, ds = built
+        db = str(tmp_path / "cluster_gran.db")
+        dists, ids, stats = handle.search_batch(ds.test[:12], mode="dense")
+        assert stats.probed_clusters is not None
+        import clann_tpu
+        clann_tpu.save_metrics(
+            handle, db, MetricsGranularity.CLUSTER,
+            ground_truth_distances=ds.distances[:12], run_distances=dists,
+        )
+        conn = sqlite3.connect(db)
+        (n_rows,) = conn.execute(
+            "SELECT COUNT(*) FROM search_metrics_cluster"
+        ).fetchone()
+        rows = conn.execute(
+            "SELECT query_idx, cluster_idx, n_candidates FROM "
+            "search_metrics_cluster WHERE query_idx=0"
+        ).fetchall()
+        conn.close()
+        assert n_rows > 0
+        # candidates per cluster are positive and clusters are valid
+        for qi, ci, cnt in rows:
+            assert 0 <= ci < handle.index.n_clusters
+            assert cnt > 0
