@@ -166,6 +166,9 @@ def main():
         if r >= 0.9:
             chosen = n_probe
             break
+        if n_probe >= 48 and r < 0.75:
+            log("ivf cannot reach 0.9 at reasonable probe depth; skipping")
+            break
     if chosen is not None:
         el, (d_i, _, st_i) = timed(
             lambda: dense_search(index, test, k=K, n_probe=chosen,
@@ -186,14 +189,14 @@ def main():
     # small sample + small batch: the adaptive scan visits every cluster
     # sequentially on this (deliberately hard) dataset, and a single huge
     # batched while_loop execution can trip the TPU runtime watchdog
-    lsh_sub = min(128, len(test))
+    lsh_sub = min(64, len(test))
     lsh_qps = 0.0
     lsh_recall = 0.0
     try:
-        lsh_search(index, test[:lsh_sub], k=K, delta=DELTA, batch_size=128)
+        lsh_search(index, test[:lsh_sub], k=K, delta=DELTA, batch_size=32)
         t0 = time.time()
         d_l, _, st_l = lsh_search(
-            index, test[:lsh_sub], k=K, delta=DELTA, batch_size=128
+            index, test[:lsh_sub], k=K, delta=DELTA, batch_size=32
         )
         lsh_qps = lsh_sub / (time.time() - t0)
         lsh_recall, _, _ = recall_values(gt_d[:lsh_sub], d_l, count=K)
