@@ -28,6 +28,13 @@ import time
 
 import numpy as np
 
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.expanduser("~"), ".cache", "jax_comp_cache"),
+)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+
 BASELINE_QPS_ESTIMATE = 2000.0
 
 N_TRAIN = int(os.environ.get("BENCH_N", 1_183_514))

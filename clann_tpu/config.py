@@ -75,6 +75,12 @@ class Config:
     # Per-query candidate chunk processed per rescore step. Static shape so
     # XLA compiles one program; larger = fewer loop steps, more padding work.
     candidate_chunk: int = 512
+    # Sketch-filter window = candidate_chunk * filter_expand stream
+    # positions examined per step; only filter-passing candidates (up to
+    # candidate_chunk of them) get their vectors gathered and rescored —
+    # the batched analog of the reference's FILTER_BUFFER_SIZE=128 staging
+    # buffer (collection.hpp:775-781).
+    filter_expand: int = 8
     # Depth at which the adaptive query loop gives up (reference runs 24..1;
     # stopping early only increases work never decreases recall).
     min_depth: int = 1

@@ -93,6 +93,9 @@ class ClusteredIndex:
     config: Config = flax.struct.field(pytree_node=False, default=None)
     metric: str = flax.struct.field(pytree_node=False, default="angular")
     sim_eps: float = flax.struct.field(pytree_node=False, default=5e-3)
+    # largest cluster segment (static; sizes binary-search iteration counts
+    # and the stream's entry depth in ops/query.py). 0 = unknown -> n.
+    max_seg_len: int = flax.struct.field(pytree_node=False, default=0)
 
     # Convenience shape accessors (python-level, static under jit).
     @property
@@ -161,18 +164,21 @@ class ClusteredIndex:
 
 
 def build_dense_layout(
-    xn: np.ndarray,
+    xn,
     cluster_order_ids: np.ndarray,
     starts: np.ndarray,
-    centers_vec: np.ndarray,
+    centers_vec,
     radii: np.ndarray,
     seg_cap: int,
 ) -> dict:
     """Row-chunked dense segments: every cluster split into <= seg_cap rows.
 
     cluster_order_ids: (n,) global ids grouped by cluster (any table's
-    sorted_idx works — segments partition identically). Returns the
-    seg_* field dict for ClusteredIndex.
+    sorted_idx works — segments partition identically). `xn` and
+    `centers_vec` may be device arrays: only integer bookkeeping runs on
+    the host; the big padded-vector gather runs on device (pulling the
+    dataset back to the host costs minutes through the transfer relay).
+    Returns the seg_* field dict for ClusteredIndex.
     """
     n_clusters = len(starts) - 1
     rows = []
@@ -191,13 +197,17 @@ def build_dense_layout(
         ids_pad[i, : hi - lo] = cluster_order_ids[lo:hi]
         seg_sizes[i] = hi - lo
         seg_cluster[i] = c
-    vec_pad = np.where(
-        (ids_pad >= 0)[:, :, None], xn[np.clip(ids_pad, 0, None)], 0.0
-    ).astype(np.float32)
+    ids_dev = jnp.asarray(ids_pad)
+    xn_dev = jnp.asarray(xn)
+    vec_pad = jnp.where(
+        (ids_dev >= 0)[:, :, None],
+        xn_dev[jnp.clip(ids_dev, 0, None)],
+        0.0,
+    ).astype(jnp.float32)
     return {
-        "seg_vectors": jnp.asarray(vec_pad),
-        "seg_ids": jnp.asarray(ids_pad),
-        "seg_centers": jnp.asarray(centers_vec[seg_cluster]),
+        "seg_vectors": vec_pad,
+        "seg_ids": ids_dev,
+        "seg_centers": jnp.asarray(centers_vec)[jnp.asarray(seg_cluster)],
         "seg_radii": jnp.asarray(radii[seg_cluster].astype(np.float32)),
         "seg_sizes": jnp.asarray(seg_sizes),
         "seg_cluster": jnp.asarray(seg_cluster),
@@ -239,7 +249,10 @@ def build_index(
     5. Per-table segmented sort (replaces PrefixMap::rebuild radix sorts at
        collection.hpp:299-302 / prefixmap.hpp:169-247).
     """
-    x = np.asarray(data, dtype=np.float32)
+    if hasattr(data, "shape") and getattr(data, "ndim", 0) == 2:
+        x = data  # may already be a device array; avoid host round trips
+    else:
+        x = np.asarray(data, dtype=np.float32)
     if x.ndim != 2 or x.shape[0] == 0:
         raise DataError("empty or non-2D dataset")
     n, d = x.shape
@@ -248,7 +261,10 @@ def build_index(
     log.info("build: n=%d d=%d clusters=%d L=%d", n, d, n_clusters, config.num_tables)
 
     if metric == "angular":
-        xn = np.asarray(l2_normalize(jnp.asarray(x)))
+        # ONE host->device transfer; everything downstream stays on device
+        # (the transfer relay runs at single-digit MB/s — a single
+        # unnecessary dataset round trip costs minutes at 1M points)
+        xn = l2_normalize(jnp.asarray(x, jnp.float32))
     else:
         raise IndexCreationError(
             f"LSH index supports the angular metric (got {metric!r}); "
@@ -279,7 +295,7 @@ def build_index(
     ).init(k_hash)
     filterer = SketchFilterer(d, config.num_sketches, config.sketch_bits).init(k_sketch)
 
-    xj = jnp.asarray(xn)
+    xj = xn if isinstance(xn, jnp.ndarray) else jnp.asarray(xn)
     hashes = _hash_in_blocks(source.hash, xj, hash_block)  # (n, L) uint32
     sketches = _hash_in_blocks(filterer.sketch, xj, hash_block)  # (n, S, W)
 
@@ -291,10 +307,10 @@ def build_index(
     # optional dense (IVF) layout: row-chunked per-cluster vector blocks
     dense = (
         build_dense_layout(
-            np.asarray(xn),
+            xj,
             np.asarray(sorted_idx[0]),
             starts,
-            np.asarray(xn)[centers_idx],
+            xj[jnp.asarray(centers_idx)],
             radii,
             config.dense_seg_cap,
         )
@@ -329,6 +345,7 @@ def build_index(
         config=config,
         metric=metric,
         sim_eps=probs.sim_eps,
+        max_seg_len=int(sizes.max()) if len(sizes) else 0,
     )
 
 

@@ -31,7 +31,7 @@ from clann_tpu.data.setdata import JaccardData
 from clann_tpu.errors import DataError
 from clann_tpu.ops.collision import HashSourceProbs
 from clann_tpu.ops.minhash import MinHash, MinHash1Bit
-from clann_tpu.ops.prefixmap import candidate_stream, depth_bounds, sort_tables_segmented
+from clann_tpu.ops.prefixmap import candidate_stream, count_leq, depth_bounds, sort_tables_segmented
 from clann_tpu.ops.query import SearchStats, _merge_topk
 from clann_tpu.ops.sketches import pack_bits_u32
 from clann_tpu.ops.sources import IndependentHashSource
@@ -196,8 +196,7 @@ def jaccard_search_batch(
         topk_sims, topk_ids, qdone, off, dc, cand_ct = s
         pos = off[:, None] + chunk_iota[None, :]
         valid = (pos < total[:, None]) & (~qdone[:, None])
-        j = jax.vmap(lambda c, p: jnp.searchsorted(c, p, side="right"))(fc, pos)
-        j = jnp.clip(j.astype(jnp.int32), 0, M - 1)
+        j = jnp.clip(count_leq(fc, pos), 0, M - 1)
         prev = jnp.where(
             j > 0, jnp.take_along_axis(fc, jnp.maximum(j - 1, 0), axis=1), 0
         )
@@ -231,9 +230,7 @@ def jaccard_search_batch(
         cand_ct = cand_ct + jnp.sum(valid, axis=1, dtype=jnp.int32)
 
         off_new = off + chunk
-        r_star = jax.vmap(lambda c, o: jnp.searchsorted(c, o, side="right"))(
-            fc, off_new[:, None]
-        )[:, 0].astype(jnp.int32)
+        r_star = count_leq(fc, off_new[:, None])[:, 0]
         depth_cur = jnp.maximum(D - r_star // L, min_depth)
         tables = (r_star % L).astype(jnp.float32)
         kth_sim = topk_sims[:, k - 1]

@@ -187,6 +187,8 @@ def load_index(data, path: str):
         config=config,
         metric=metric,
         sim_eps=sim_eps,
+        max_seg_len=int(np.diff(arrays["cluster_starts"]).max())
+        if len(arrays["cluster_starts"]) > 1 else 0,
     )
 
 

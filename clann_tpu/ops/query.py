@@ -51,7 +51,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from clann_tpu.ops.distances import exact_dot, l2_normalize
-from clann_tpu.ops.prefixmap import candidate_stream, depth_bounds
+from clann_tpu.ops.prefixmap import candidate_stream, count_leq, depth_bounds
 
 
 class SearchStats(NamedTuple):
@@ -118,6 +118,7 @@ def search_batch_impl(
     min_depth: int = 1,
     with_stats: bool = True,
     filter_type: str = "default",
+    filter_expand: int = 8,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, SearchStats]:
     """Search a pre-hashed query batch. Returns (sims desc, ids, stats).
 
@@ -133,7 +134,14 @@ def search_batch_impl(
     C = index.centers.shape[0]
     D = index.config.max_hashbits
     S = index.sketches.shape[1]
-    n_iters = max(1, int(np.ceil(np.log2(max(2, n)))) + 1)
+    max_seg = index.max_seg_len or n
+    n_iters = max(1, int(np.ceil(np.log2(max(2, max_seg)))) + 1)
+    # entry depth: deeper prefixes than log2(max segment)+2 have ~no
+    # candidates; entering the peel walk there matches the state the
+    # reference reaches after burning through the empty depths
+    # (ops/prefixmap.candidate_stream docstring)
+    d_entry = int(np.clip(np.ceil(np.log2(max(2, max_seg))) + 2, min_depth, D))
+    window = chunk * filter_expand  # sketch-filter window (positions/step)
 
     # Cluster ordering: one matmul + argsort
     # (reference: index.rs:592-616 sort_cluster_indices_by_distance).
@@ -166,11 +174,12 @@ def search_batch_impl(
         seg_len = seg_hi - seg_lo
         is_brute = index.brute[cluster] | (seg_len < 100)  # collection.hpp:550-554
         lo, hi = depth_bounds(
-            index.sorted_hash, query_hashes, seg_lo, seg_hi, D, n_iters
-        )  # (Q, L, D+1)
+            index.sorted_hash, query_hashes, seg_lo, seg_hi, D, n_iters,
+            up_to_depth=d_entry,
+        )  # (Q, L, d_entry+1)
         starts_s, sizes_s = candidate_stream(
-            lo, hi, query_hashes, D, min_depth
-        )  # (Q, M), depth-major descending
+            lo, hi, query_hashes, D, min_depth, start_depth=d_entry
+        )  # (Q, M), depth-major descending from d_entry
         # Brute clusters: a single range covering the whole segment on
         # table 0 (reference: index.rs:666-685 brute_force per cluster).
         M = sizes_s.shape[1]
@@ -184,7 +193,7 @@ def search_batch_impl(
 
         off0 = jnp.zeros((Q,), jnp.int32)
         qdone0 = (~active) | (total <= 0)
-        chunk_iota = jnp.arange(chunk, dtype=jnp.int32)
+        window_iota = jnp.arange(window, dtype=jnp.int32)
 
         def cond(s):
             return ~jnp.all(s[2])
@@ -192,12 +201,11 @@ def search_batch_impl(
         def body(s):
             topk_sims, topk_ids, qdone, off, dc, cand_ct = s
 
-            pos = off[:, None] + chunk_iota[None, :]  # (Q, chunk)
+            # --- phase 1: sketch-filter a wide window of stream positions
+            # (cheap: 8B of sketch per candidate) ---
+            pos = off[:, None] + window_iota[None, :]  # (Q, W)
             valid = (pos < total[:, None]) & (~qdone[:, None])
-            j = jax.vmap(
-                lambda c, p: jnp.searchsorted(c, p, side="right")
-            )(fc, pos).astype(jnp.int32)
-            j = jnp.clip(j, 0, M - 1)
+            j = jnp.clip(count_leq(fc, pos), 0, M - 1)
             prev = jnp.where(
                 j > 0, jnp.take_along_axis(fc, jnp.maximum(j - 1, 0), axis=1), 0
             )
@@ -205,9 +213,8 @@ def search_batch_impl(
             slot = jnp.take_along_axis(starts_s, j, axis=1) + within
             slot = jnp.clip(slot, 0, n - 1)
             t_sel = j % L  # table of stream slot (depth-major layout)
-            cand_ids = index.sorted_idx[t_sel, slot]  # (Q, chunk) global ids
+            cand_ids = index.sorted_idx[t_sel, slot]  # (Q, W) global ids
 
-            # --- sketch filter (reference: collection.hpp:793-904) ---
             kth_sim = topk_sims[:, k - 1]
             maxdiff = index.maxdiff_table[
                 jnp.clip(
@@ -217,10 +224,10 @@ def search_batch_impl(
                 )
             ]  # (Q,)
             sk_idx = t_sel % S  # sketch per table (collection.hpp:826 ring)
-            cand_sk = index.sketches[cand_ids, sk_idx, :]  # (Q, chunk, W)
+            cand_sk = index.sketches[cand_ids, sk_idx, :]  # (Q, W, Wd)
             q_sk = jnp.take_along_axis(
                 query_sketches, sk_idx[:, :, None], axis=1
-            )  # (Q, chunk, W)
+            )  # (Q, W, Wd)
             ham = jnp.sum(
                 jax.lax.population_count(jnp.bitwise_xor(cand_sk, q_sk)),
                 axis=-1,
@@ -236,8 +243,23 @@ def search_batch_impl(
                 # batched analog.
                 passes = valid & (is_brute[:, None] | (ham <= maxdiff[:, None]))
 
-            # --- exact rescore on the MXU ---
-            vecs = index.vectors[cand_ids]  # (Q, chunk, d)
+            # --- phase 2: consume up to the position where `chunk` passing
+            # candidates accumulate (the reference's FILTER_BUFFER flush,
+            # collection.hpp:775-781), compact the passers, rescore only
+            # them (vector gathers for non-passers are the dominant cost) ---
+            cumpass = jnp.cumsum(passes, axis=1)  # (Q, W)
+            consumed = jnp.sum(cumpass <= chunk, axis=1)  # (Q,) <= W
+            in_window = window_iota[None, :] < consumed[:, None]
+            take = passes & in_window
+            rank = jnp.where(take, cumpass - 1, chunk)  # compact slot or dump
+            rows = jnp.arange(Q, dtype=jnp.int32)[:, None]
+            compact_ids = jnp.full((Q, chunk + 1), n, jnp.int32)
+            compact_ids = compact_ids.at[rows, rank].set(
+                jnp.where(take, cand_ids, n)
+            )[:, :chunk]
+
+            safe_ids = jnp.clip(compact_ids, 0, n - 1)
+            vecs = index.vectors[safe_ids]  # (Q, chunk, d)
             dots = jnp.einsum(
                 "qcd,qd->qc",
                 vecs,
@@ -247,32 +269,31 @@ def search_batch_impl(
             )
             sims = jnp.clip((dots + 1.0) * 0.5, 0.0, 1.0)  # cosine.hpp:19-23
 
-            masked_ids = jnp.where(passes, cand_ids, n)  # n == sentinel
             topk_sims, topk_ids = _merge_topk(
-                topk_sims, topk_ids, masked_ids, sims, n_sentinel=n
+                topk_sims, topk_ids, compact_ids, sims, n_sentinel=n
             )
 
-            dc = dc + jnp.sum(passes, axis=1, dtype=jnp.int32)
-            cand_ct = cand_ct + jnp.sum(valid, axis=1, dtype=jnp.int32)
+            dc = dc + jnp.sum(take, axis=1, dtype=jnp.int32)
+            cand_ct = cand_ct + jnp.sum(
+                valid & in_window, axis=1, dtype=jnp.int32
+            )
 
             # --- advance cursor + termination (collection.hpp:927-943) ---
-            off_new = off + chunk
+            off_new = off + consumed
             exhausted = off_new >= total
             # ranges fully consumed at the new cursor
-            r_star = jax.vmap(
-                lambda c, o: jnp.searchsorted(c, o, side="right")
-            )(fc, off_new[:, None])[:, 0].astype(jnp.int32)
-            depth_cur = jnp.maximum(D - r_star // L, min_depth)
+            r_star = count_leq(fc, off_new[:, None])[:, 0]
+            depth_cur = jnp.maximum(d_entry - r_star // L, min_depth)
             tables_consumed = (r_star % L).astype(jnp.float32)
 
             kth_sim = topk_sims[:, k - 1]
             p_d = probs_lookup(depth_cur, kth_sim)
             p_d1 = probs_lookup(depth_cur + 1, kth_sim)
-            # At the first depth the not-yet-consumed tables carry no
-            # guarantee yet (reference quirk: last_tables = tables at
-            # depth == MAX_HASHBITS, collection.hpp:927-930).
+            # At the first (entry) depth the not-yet-consumed tables carry
+            # no guarantee yet (reference quirk: last_tables = tables at
+            # the first depth level, collection.hpp:927-930).
             rest = jnp.where(
-                depth_cur == D, 0.0, jnp.maximum(L - tables_consumed, 0.0)
+                depth_cur == d_entry, 0.0, jnp.maximum(L - tables_consumed, 0.0)
             )
             failure = jnp.power(1.0 - p_d, tables_consumed) * jnp.power(
                 1.0 - p_d1, rest
@@ -328,7 +349,10 @@ def search_batch_impl(
 
 search_batch_jit = functools.partial(
     jax.jit,
-    static_argnames=("k", "chunk", "min_depth", "with_stats", "filter_type"),
+    static_argnames=(
+        "k", "chunk", "min_depth", "with_stats", "filter_type",
+        "filter_expand",
+    ),
 )(search_batch_impl)
 
 
@@ -375,6 +399,7 @@ def search(
             chunk=cfg.candidate_chunk,
             min_depth=cfg.min_depth,
             filter_type=filter_type,
+            filter_expand=cfg.filter_expand,
         )
         if pad:
             sims, ids = sims[:-pad], ids[:-pad]

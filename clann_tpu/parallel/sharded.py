@@ -69,6 +69,7 @@ class ShardedIndex:
     config: Config = flax.struct.field(pytree_node=False)
     metric: str = flax.struct.field(pytree_node=False, default="angular")
     sim_eps: float = flax.struct.field(pytree_node=False, default=5e-3)
+    max_seg_len: int = flax.struct.field(pytree_node=False, default=0)
 
     @property
     def n_devices(self) -> int:
@@ -174,6 +175,7 @@ def shard_index(index, n_devices: int) -> ShardedIndex:
         config=index.config,
         metric=index.metric,
         sim_eps=index.sim_eps,
+        max_seg_len=index.max_seg_len,
     )
 
 
@@ -199,6 +201,7 @@ def _local_index(sharded: ShardedIndex, arrays: dict, repl: dict):
         config=sharded.config,
         metric=sharded.metric,
         sim_eps=sharded.sim_eps,
+        max_seg_len=sharded.max_seg_len,
     )
 
 
