@@ -123,14 +123,12 @@ def brute_force_topk(base, queries, k: int = 10, metric: str = "angular", block_
     return _brute_force_topk_jit(base, queries, k=k, metric=metric, block_q=block_q)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("k", "block_points", "recall_target", "exact"),
-)
-def _dense_scan_jit(
+def _dense_scan_impl(
     base_n, queries_n, *, k: int, block_points: int, recall_target: float,
     exact: bool,
 ):
+    """Traceable dense-scan body (inlined under shard_map by
+    parallel/sharded.py); use `_dense_scan_jit` directly."""
     n = base_n.shape[0]
     nb = -(-n // block_points)
     pad = nb * block_points - n
@@ -166,6 +164,12 @@ def _dense_scan_jit(
     )
     (top_s, top_i), _ = jax.lax.scan(scan_block, init, (blocks, base_ids))
     return top_s, top_i
+
+
+_dense_scan_jit = functools.partial(
+    jax.jit,
+    static_argnames=("k", "block_points", "recall_target", "exact"),
+)(_dense_scan_impl)
 
 
 def dense_scan_topk(

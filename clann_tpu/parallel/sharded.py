@@ -323,7 +323,80 @@ def dryrun(n_devices: int) -> None:
     sharded = shard_index(index, n_devices)
     mesh = make_mesh(n_devices)
     queries = random_unit_vectors(32, 16, seed=1)
+    # adaptive LSH path over the mesh
     dists, ids, stats = sharded_search(sharded, queries, mesh=mesh)
     assert dists.shape == (32, 5) and ids.shape == (32, 5)
     assert int(np.asarray(stats.distance_computations).sum()) > 0
     assert ids.max() < 512 and np.all(np.diff(dists, axis=1) >= -1e-5)
+    # dense scan path over the mesh
+    d2, i2, _ = sharded_scan_search(sharded, queries, k=5, exact=True, mesh=mesh)
+    assert d2.shape == (32, 5) and i2.max() < 512
+    assert np.all(np.diff(d2, axis=1) >= -1e-5)
+
+
+def sharded_scan_search(
+    sharded: ShardedIndex,
+    queries,
+    k: Optional[int] = None,
+    recall_target: float = 0.95,
+    exact: bool = False,
+    mesh=None,
+) -> Tuple[np.ndarray, np.ndarray, SearchStats]:
+    """Full dense scan sharded over the mesh (the multi-chip fast path).
+
+    Every device scans its local point shard with the blocked
+    approx_max_k pipeline (ops/distances._dense_scan_impl) and the
+    per-device top-k sets are merged with an all_gather — the same
+    collective merge as the LSH path. Point shards are disjoint, so no
+    dedup is needed. Returns (distances ascending, GLOBAL ids, stats).
+    """
+    from clann_tpu.ops.distances import _dense_scan_impl, l2_normalize
+
+    if mesh is None:
+        mesh = make_mesh(sharded.n_devices)
+    k = sharded.config.k if k is None else k
+    qn = l2_normalize(jnp.asarray(np.asarray(queries, np.float32)))
+    if qn.ndim == 1:
+        qn = qn[None, :]
+    n_local = sharded.vectors.shape[1]
+    block_points = min(262144, n_local)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(CLUSTER_AXIS), P(CLUSTER_AXIS), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def run(vec_shard, gid_shard, qn):
+        vecs = vec_shard[0]  # (n_local, d)
+        gids = gid_shard[0]  # (n_local,)
+        # padded rows (gid < 0) are zero vectors; mask via global ids
+        sims, lids = _dense_scan_impl(
+            vecs, qn, k=k, block_points=block_points,
+            recall_target=recall_target, exact=exact,
+        )
+        safe = jnp.clip(lids, 0, n_local - 1)
+        out_ids = jnp.where(lids >= 0, gids[safe], -1)
+        sims = jnp.where(out_ids >= 0, sims, -jnp.inf)
+        all_s = jax.lax.all_gather(sims, CLUSTER_AXIS)  # (D, Q, k)
+        all_i = jax.lax.all_gather(out_ids, CLUSTER_AXIS)
+        D = all_s.shape[0]
+        Q = sims.shape[0]
+        fs = jnp.transpose(all_s, (1, 0, 2)).reshape(Q, D * k)
+        fi = jnp.transpose(all_i, (1, 0, 2)).reshape(Q, D * k)
+        ts, sel = jax.lax.top_k(fs, k)
+        return ts, jnp.take_along_axis(fi, sel, axis=1)
+
+    sims, ids = run(sharded.vectors, sharded.global_ids, qn)
+    sims_np = np.asarray(sims)
+    ids_np = np.asarray(ids)
+    dists = np.where(ids_np >= 0, np.clip(1.0 - sims_np, 0.0, 2.0), np.inf)
+    Q = ids_np.shape[0]
+    n_total = int(np.asarray(sharded.global_ids >= 0).sum())
+    stats = SearchStats(
+        distance_computations=np.full(Q, n_total, np.int32),
+        candidates=np.full(Q, n_total, np.int32),
+        clusters_visited=np.full(Q, sharded.centers.shape[1], np.int32),
+    )
+    return dists, ids_np, stats

@@ -103,3 +103,34 @@ class TestDryrun:
         import __graft_entry__
 
         __graft_entry__.dryrun_multichip(8)
+
+
+class TestShardedScan:
+    def test_matches_oracle(self, setup):
+        from clann_tpu.parallel.sharded import sharded_scan_search
+        from clann_tpu.ops.distances import brute_force_topk
+
+        cfg, train, index, queries = setup
+        sharded = shard_index(index, 8)
+        mesh = make_mesh(8)
+        dists, ids, stats = sharded_scan_search(
+            sharded, queries, k=5, exact=True, mesh=mesh
+        )
+        gt_d, gt_i = brute_force_topk(train, queries, k=5, metric="angular")
+        np.testing.assert_allclose(dists, np.asarray(gt_d), atol=1e-3)
+        r = recall_by_ids(np.asarray(gt_i), ids, count=5)
+        assert r >= 0.99, r
+
+    def test_approx_recall(self, setup):
+        from clann_tpu.parallel.sharded import sharded_scan_search
+        from clann_tpu.ops.distances import brute_force_topk
+
+        cfg, train, index, queries = setup
+        sharded = shard_index(index, 4)
+        mesh = make_mesh(4)
+        dists, ids, _ = sharded_scan_search(
+            sharded, queries, k=5, recall_target=0.95, mesh=mesh
+        )
+        gt_d, gt_i = brute_force_topk(train, queries, k=5, metric="angular")
+        r = recall_by_ids(np.asarray(gt_i), ids, count=5)
+        assert r >= 0.85, r
