@@ -97,7 +97,7 @@ class Clann:
         (config.search_mode; dense when the layout exists).
         Returns (distances (Q, k) ascending, ids (Q, k), stats).
         """
-        from clann_tpu.ops.ivf import dense_search, scan_search
+        from clann_tpu.ops.ivf import adaptive_dense_search, dense_search, scan_search
         from clann_tpu.ops.query import search as _search
 
         index = self._require_built()
@@ -109,6 +109,8 @@ class Clann:
             dists, ids, stats = dense_search(index, queries, k=k, n_probe=n_probe)
         elif mode == "scan":
             dists, ids, stats = scan_search(index, queries, k=k)
+        elif mode == "adaptive":
+            dists, ids, stats = adaptive_dense_search(index, queries, k=k)
         elif mode == "lsh":
             dists, ids, stats = _search(
                 index, queries, k=k, delta=delta, filter_type=filter_type

@@ -178,15 +178,18 @@ def ivf_search_batch_impl(
     k: int,
     n_probe: int,
     probe_cap: int,
+    probe_rows: "Optional[jnp.ndarray]" = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, DenseSearchStats]:
     """Dense probe search. Returns (sims desc (Q, k), global ids, stats).
 
-    Traceable; see `ivf_search_batch` for the jitted entry.
+    probe_rows: optional explicit (Q, P) segment-row ids to probe (used by
+    the adaptive wave driver); when absent the top n_probe rows by center
+    distance are probed. Traceable; see `ivf_search_batch` for the jitted
+    entry.
     """
     Q, d = queries_n.shape
     C = index.seg_centers.shape[0]  # number of segment ROWS
     S_max = index.seg_vectors.shape[1]
-    P = min(n_probe, C)
     cap = probe_cap
 
     seg_sizes = index.seg_sizes  # (C,) real points per row
@@ -196,8 +199,13 @@ def ivf_search_batch_impl(
     center_dist = jnp.clip(
         1.0 - exact_dot(queries_n, index.seg_centers.T), 0.0, 2.0
     )
-    neg_d, probe = jax.lax.top_k(-center_dist, P)  # (Q, P)
-    probe = probe.astype(jnp.int32)
+    if probe_rows is None:
+        P = min(n_probe, C)
+        neg_d, probe = jax.lax.top_k(-center_dist, P)  # (Q, P)
+        probe = probe.astype(jnp.int32)
+    else:
+        probe = jnp.asarray(probe_rows, jnp.int32)
+        P = probe.shape[1]
 
     # 2. invert to cluster-major padded query lists
     flat_c = probe.reshape(-1)
@@ -311,6 +319,106 @@ def ivf_search_batch_impl(
 ivf_search_batch = functools.partial(
     jax.jit, static_argnames=("k", "n_probe", "probe_cap")
 )(ivf_search_batch_impl)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "probe_cap"))
+def _probe_wave(index, queries_n, probe_rows, *, k: int, probe_cap: int):
+    return ivf_search_batch_impl(
+        index, queries_n, k=k, n_probe=probe_rows.shape[1],
+        probe_cap=probe_cap, probe_rows=probe_rows,
+    )
+
+
+def adaptive_dense_search(
+    index,
+    queries,
+    k: Optional[int] = None,
+    wave: int = 16,
+    max_waves: Optional[int] = None,
+    probe_cap: Optional[int] = None,
+) -> Tuple[np.ndarray, np.ndarray, DenseSearchStats]:
+    """Adaptive dense probing: waves of segment rows until the ball-overlap
+    certificate retires each query.
+
+    The dense-mode analog of the reference's sequential cluster scan with
+    early termination (index.rs:331-439): rows are visited in center-
+    distance order, `wave` rows per step, and a query stops as soon as the
+    nearest unvisited row cannot contain a better neighbor
+    (dist(q, center) - radius > kth_dist, index.rs:342-361 — including its
+    documented non-metric caveat). Run to completion this is exact up to
+    that caveat; on clusterable data it probes far fewer rows than a fixed
+    n_probe tuned for worst-case recall.
+    """
+    cfg = index.config
+    k = cfg.k if k is None else k
+    R = int(index.seg_centers.shape[0])
+    max_waves = max_waves or -(-R // wave)
+
+    qn = l2_normalize(jnp.asarray(np.asarray(queries, np.float32)))
+    if qn.ndim == 1:
+        qn = qn[None, :]
+    Q = qn.shape[0]
+    cap = probe_cap or cfg.probe_cap or auto_probe_cap(Q, wave, R)
+
+    center_dist = np.asarray(
+        jnp.clip(1.0 - exact_dot(qn, index.seg_centers.T), 0.0, 2.0)
+    )
+    order = np.argsort(center_dist, axis=1).astype(np.int32)  # (Q, R)
+    radii = np.asarray(index.seg_radii)
+    seg_sizes = np.asarray(index.seg_sizes)
+
+    top_s = np.zeros((Q, k), np.float32)
+    top_i = np.full((Q, k), -1, np.int32)
+    done = np.zeros(Q, bool)
+    dc = np.zeros(Q, np.int64)
+    visited = np.zeros(Q, np.int32)
+    waves_run = 0
+    for w in range(max_waves):
+        lo = w * wave
+        hi = min(lo + wave, R)
+        probe_w = order[:, lo:hi]
+        if probe_w.shape[1] < wave:
+            probe_w = np.pad(probe_w, ((0, 0), (0, wave - probe_w.shape[1])),
+                             mode="edge")
+        sims, ids, _ = _probe_wave(
+            index, qn, jnp.asarray(probe_w), k=k, probe_cap=cap
+        )
+        sims, ids = np.asarray(sims), np.asarray(ids)
+        waves_run += 1
+        active = ~done
+        # merge wave results for active queries (rows are disjoint across
+        # waves, so a concatenate + top-k merge needs no dedup)
+        cat_s = np.concatenate([top_s, np.where(active[:, None], sims, -1)], 1)
+        cat_i = np.concatenate([top_i, np.where(active[:, None], ids, -1)], 1)
+        sel = np.argsort(-cat_s, axis=1, kind="stable")[:, :k]
+        top_s = np.take_along_axis(cat_s, sel, axis=1)
+        top_i = np.take_along_axis(cat_i, sel, axis=1)
+        dc += np.where(active, seg_sizes[probe_w].sum(axis=1), 0)
+        visited += np.where(active, hi - lo, 0)
+        # certificate: can the next unvisited row improve the k-th?
+        if hi >= R:
+            done[:] = True
+        else:
+            nxt = order[:, hi]
+            kth_dist = np.where(
+                top_i[:, k - 1] >= 0, 2.0 * (1.0 - top_s[:, k - 1]), np.inf
+            )
+            min_possible = (
+                center_dist[np.arange(Q), nxt] - radii[nxt]
+            )
+            done |= min_possible > kth_dist
+        if done.all():
+            break
+
+    dists = np.where(top_i >= 0, 2.0 * (1.0 - top_s), np.inf)
+    stats = DenseSearchStats(
+        distance_computations=dc.astype(np.int32),
+        candidates=dc.astype(np.int32),
+        clusters_visited=visited,
+        dropped_probes=np.int32(0),
+        uncertified=(~done).astype(np.int32),
+    )
+    return dists, top_i, stats
 
 
 def dense_search(

@@ -139,3 +139,31 @@ class TestModeDispatch:
         h.index = index
         d, i, s = h.search_batch(ds.test[:4], mode="auto")
         assert d.shape == (4, 5)
+
+
+class TestAdaptiveDense:
+    def test_exact_when_run_to_completion(self, built):
+        from clann_tpu.ops.ivf import adaptive_dense_search
+
+        index, ds = built
+        dists, ids, stats = adaptive_dense_search(index, ds.test, k=10, wave=4)
+        mean_recall, _, _ = recall_values(ds.distances, dists, count=10)
+        # exact up to the reference's non-metric ball-bound caveat
+        assert mean_recall >= 0.98, mean_recall
+        assert np.all(stats.uncertified == 0)
+
+    def test_stops_early_on_clustered_data(self, built):
+        from clann_tpu.ops.ivf import adaptive_dense_search
+
+        index, ds = built
+        _, _, stats = adaptive_dense_search(index, ds.test, k=10, wave=4)
+        R = int(index.seg_centers.shape[0])
+        # at least some queries retire before visiting every row
+        assert np.mean(stats.clusters_visited) < R
+
+    def test_api_mode(self, built):
+        index, ds = built
+        h = clann_tpu.Clann(ds.train, index.config)
+        h.index = index
+        d, i, s = h.search_batch(ds.test[:8], mode="adaptive")
+        assert d.shape == (8, 10)
