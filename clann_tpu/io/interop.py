@@ -105,7 +105,14 @@ def load_reference_h5(
     for c in clusters:
         assignment = c.get("assignment", [])
         if c["idx"] in blobs:
-            parsed = parse_reference_stream(blobs[c["idx"]])
+            try:
+                parsed = parse_reference_stream(blobs[c["idx"]])
+            except SerializeError:
+                from clann_tpu.io.refcodec import FAMILY_FHT_CROSS_POLYTOPE
+
+                parsed = parse_reference_stream(
+                    blobs[c["idx"]], family=FAMILY_FHT_CROSS_POLYTOPE
+                )
             if dims is None:
                 dims = parsed.dims
                 vectors = np.zeros((total, dims), np.float32)
@@ -138,11 +145,10 @@ def save_reference_h5(index, path: str) -> str:
     from clann_tpu.io.refcodec import f32_to_q15, write_reference_stream
 
     cfg = index.config
-    if cfg.hash_family != "simhash":
+    if cfg.hash_family not in ("simhash", "fht_cross_polytope"):
         raise SerializeError(
-            "reference export currently supports hash_family='simhash' "
-            f"(got {cfg.hash_family!r}); the FHT cross-polytope writer is "
-            "not implemented yet"
+            "reference export supports hash_family 'simhash' and "
+            f"'fht_cross_polytope' (got {cfg.hash_family!r})"
         )
     starts = np.asarray(index.cluster_starts)
     assignment = np.asarray(index.assignment)
@@ -159,7 +165,6 @@ def save_reference_h5(index, path: str) -> str:
         sketches[:, :, 0].astype(np.uint64) << np.uint64(32)
     ) | sketches[:, :, 1].astype(np.uint64)
 
-    dirs = np.asarray(index.hash_params["dirs"])  # (F, d) f32 unit rows
     sk_dirs = np.asarray(index.sketch_params["dirs"])
     d = vectors.shape[1]
     storage_len = ((d + 15) // 16) * 16  # 16-value padding (generic.hpp:33-40)
@@ -169,8 +174,23 @@ def save_reference_h5(index, path: str) -> str:
         out[:, :d] = f32_to_q15(mat)
         return out
 
-    planes = to_q15_padded(dirs)
     sk_planes = to_q15_padded(sk_dirs)
+    is_cp = cfg.hash_family == "fht_cross_polytope"
+    if is_cp:
+        from clann_tpu.io.refcodec import write_reference_stream_fhtcp
+        from clann_tpu.ops.collision import cross_polytope_estimates
+        from clann_tpu.ops.hashing import ceil_log2
+
+        signs = np.asarray(index.hash_params["signs"]).astype(np.int8)
+        dp = signs.shape[2]
+        estimates = cross_polytope_estimates(
+            dp, cfg.estimation_repetitions, cfg.estimation_eps
+        ).astype(np.float32)
+        bpf = ceil_log2(d) + 1
+        fph = (cfg.max_hashbits + bpf - 1) // bpf
+        cut = bpf * fph - cfg.max_hashbits
+    else:
+        planes = to_q15_padded(np.asarray(index.hash_params["dirs"]))
 
     clusters_json = []
     with h5py.File(path, "w") as f:
@@ -201,19 +221,37 @@ def save_reference_h5(index, path: str) -> str:
                 sorted_hash[t, lo:hi].astype(np.uint32)
                 for t in range(sorted_hash.shape[0])
             ]
-            buf = write_reference_stream(
-                to_q15_padded(vectors[members]),
-                d,
-                sk_planes,
-                sk64[members],
-                planes,
-                num_hashers=cfg.num_tables,
-                functions_per_hasher=cfg.max_hashbits,
-                bits_to_cut=0,
-                map_indices=map_indices,
-                map_hashes=map_hashes,
-                last_rebuild=len(members),
-            )
+            if is_cp:
+                buf = write_reference_stream_fhtcp(
+                    to_q15_padded(vectors[members]),
+                    d,
+                    sk_planes,
+                    sk64[members],
+                    signs,
+                    estimates,
+                    cfg.estimation_repetitions,
+                    cfg.estimation_eps,
+                    num_hashers=cfg.num_tables,
+                    functions_per_hasher=fph,
+                    bits_to_cut=cut,
+                    map_indices=map_indices,
+                    map_hashes=map_hashes,
+                    last_rebuild=len(members),
+                )
+            else:
+                buf = write_reference_stream(
+                    to_q15_padded(vectors[members]),
+                    d,
+                    sk_planes,
+                    sk64[members],
+                    planes,
+                    num_hashers=cfg.num_tables,
+                    functions_per_hasher=cfg.max_hashbits,
+                    bits_to_cut=0,
+                    map_indices=map_indices,
+                    map_hashes=map_hashes,
+                    last_rebuild=len(members),
+                )
             f.create_dataset(
                 f"index_{c}", data=np.frombuffer(buf, dtype=np.uint8)
             )

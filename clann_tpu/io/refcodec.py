@@ -122,6 +122,22 @@ def load_library() -> ctypes.CDLL:
         ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint32),
         ctypes.c_uint32,
     ]
+    lib.clann_ref_write_fhtcp.restype = ctypes.c_void_p
+    lib.clann_ref_write_fhtcp.argtypes = [
+        ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32,
+        ctypes.POINTER(ctypes.c_int16),
+        ctypes.c_uint32, ctypes.POINTER(ctypes.c_int16),
+        ctypes.c_uint64, ctypes.POINTER(ctypes.c_uint64),
+        ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32,
+        ctypes.c_uint32, ctypes.c_int32, ctypes.c_uint32,
+        ctypes.POINTER(ctypes.c_int8),
+        ctypes.c_uint32, ctypes.c_float,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_uint32, ctypes.c_uint32,
+        ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32,
+        ctypes.c_uint32, ctypes.POINTER(ctypes.c_uint64),
+        ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint32),
+        ctypes.c_uint32,
+    ]
     lib.clann_ref_out_data.restype = ctypes.POINTER(ctypes.c_uint8)
     lib.clann_ref_out_data.argtypes = [ctypes.c_void_p]
     lib.clann_ref_out_len.restype = ctypes.c_uint64
@@ -259,6 +275,66 @@ def write_reference_stream(
         sk.size, sk.ctypes.data_as(u64p),
         32, sketch_planes.shape[0] // 32, 0,
         hp.shape[0], hp.ctypes.data_as(i16p),
+        num_hashers, functions_per_hasher, bits_to_cut,
+        len(map_indices), lens.ctypes.data_as(u64p),
+        mi.ctypes.data_as(u32p), mh.ctypes.data_as(u32p),
+        last_rebuild,
+    )
+    try:
+        ln = lib.clann_ref_out_len(h)
+        data = np.ctypeslib.as_array(lib.clann_ref_out_data(h), shape=(ln,))
+        return bytes(data)
+    finally:
+        lib.clann_ref_out_free(h)
+
+
+def write_reference_stream_fhtcp(
+    vectors_q15: np.ndarray,
+    dims: int,
+    sketch_planes: np.ndarray,
+    sketches: np.ndarray,
+    signs: np.ndarray,  # (F, R, 2^log_dims) +-1 int8
+    estimates: np.ndarray,  # (log_dims+2, n_buckets) f32
+    est_reps: int,
+    est_eps: float,
+    num_hashers: int,
+    functions_per_hasher: int,
+    bits_to_cut: int,
+    map_indices: list,
+    map_hashes: list,
+    last_rebuild: int,
+) -> bytes:
+    """Emit a reference-loadable FHT-cross-polytope/independent stream
+    (the reference cosine default, similarity_measure/cosine.hpp:16)."""
+    lib = load_library()
+    vec = np.ascontiguousarray(vectors_q15, dtype=np.int16)
+    n, storage_len = vec.shape
+    skp = np.ascontiguousarray(sketch_planes, dtype=np.int16)
+    sk = np.ascontiguousarray(sketches, dtype=np.uint64).reshape(-1)
+    sg = np.ascontiguousarray(signs, dtype=np.int8)
+    F, R, dp = sg.shape
+    log_dims = int(np.log2(dp))
+    est = np.ascontiguousarray(estimates, dtype=np.float32)
+    lens = np.asarray([len(m) for m in map_indices], dtype=np.uint64)
+    mi = np.ascontiguousarray(
+        np.concatenate(map_indices) if map_indices else np.zeros(0), dtype=np.uint32
+    )
+    mh = np.ascontiguousarray(
+        np.concatenate(map_hashes) if map_hashes else np.zeros(0), dtype=np.uint32
+    )
+    i8p = ctypes.POINTER(ctypes.c_int8)
+    i16p = ctypes.POINTER(ctypes.c_int16)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    h = lib.clann_ref_write_fhtcp(
+        dims, storage_len, n, vec.ctypes.data_as(i16p),
+        skp.shape[0], skp.ctypes.data_as(i16p),
+        sk.size, sk.ctypes.data_as(u64p),
+        32, sketch_planes.shape[0] // 32, 0,
+        F, log_dims, R, sg.ctypes.data_as(i8p),
+        est_reps, est_eps,
+        est.ctypes.data_as(f32p), est.shape[0], est.shape[1],
         num_hashers, functions_per_hasher, bits_to_cut,
         len(map_indices), lens.ctypes.data_as(u64p),
         mi.ctypes.data_as(u32p), mh.ctypes.data_as(u32p),

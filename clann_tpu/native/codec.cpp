@@ -468,6 +468,112 @@ void* clann_ref_write_simhash(
   return out;
 }
 
+// Writes a reference-loadable stream for an FHT cross-polytope index with
+// an independent source (the reference's cosine default,
+// similarity_measure/cosine.hpp:16). Layout mirrors write_simhash with the
+// CP function/family encodings (crosspolytope.hpp:165-240 + estimates).
+void* clann_ref_write_fhtcp(
+    uint32_t dims, uint32_t storage_len, uint32_t n, const int16_t* data,
+    // sketch machinery (SimHash family, as in the reference default)
+    uint32_t num_sketch_fns, const int16_t* sketch_planes,
+    uint64_t num_sketch_words, const uint64_t* sketches,
+    uint32_t sketch_hashers, uint32_t sketch_fph, uint32_t sketch_cut,
+    // table machinery: FHT-CP functions as +-1 sign diagonals
+    uint32_t num_hash_fns, int32_t log_dims, uint32_t num_rotations,
+    const int8_t* signs,  // (num_hash_fns, num_rotations << log_dims)
+    uint32_t est_reps, float est_eps,
+    const float* estimates, uint32_t est_rows, uint32_t est_cols,
+    uint32_t num_hashers, uint32_t fph, uint32_t bits_to_cut,
+    uint32_t num_maps, const uint64_t* map_lens, const uint32_t* map_indices,
+    const uint32_t* map_hashes, uint32_t last_rebuild) {
+  auto* out = new Writer();
+  // Dataset
+  out->set<uint32_t>(dims);
+  out->set<uint32_t>(storage_len);
+  out->set<uint32_t>(n);
+  out->put(data, size_t(n) * storage_len * 2);
+  // Filterer (SimHash sketches)
+  out->set<uint32_t>(0);  // independent
+  out->set<uint32_t>(dims);
+  out->set<uint32_t>(storage_len);
+  out->set<uint64_t>(num_sketch_fns);
+  for (uint32_t i = 0; i < num_sketch_fns; i++) {
+    out->set<uint32_t>(storage_len);
+    out->put(sketch_planes + size_t(i) * storage_len, size_t(storage_len) * 2);
+  }
+  out->set<uint32_t>(sketch_hashers);
+  out->set<uint32_t>(sketch_fph);
+  out->set<uint8_t>(1);
+  out->set<uint32_t>(num_sketch_fns);
+  out->set<uint32_t>(sketch_cut);
+  out->set<uint64_t>(num_sketch_words);
+  out->put(sketches, num_sketch_words * 8);
+  // HashArgs: independent + FHTCrossPolytopeArgs
+  out->set<uint32_t>(0);
+  out->set<int32_t>(static_cast<int32_t>(num_rotations));
+  out->set<uint32_t>(est_reps);
+  out->set<float>(est_eps);
+  // has_hash_source
+  out->set<uint8_t>(1);
+  // source: FHT-CP family = desc + args + estimates
+  out->set<uint32_t>(dims);
+  out->set<uint32_t>(storage_len);
+  out->set<int32_t>(static_cast<int32_t>(num_rotations));
+  out->set<uint32_t>(est_reps);
+  out->set<float>(est_eps);
+  out->set<uint64_t>(est_rows);
+  for (uint32_t r = 0; r < est_rows; r++) {
+    out->set<uint64_t>(est_cols);
+    out->put(estimates + size_t(r) * est_cols, size_t(est_cols) * 4);
+  }
+  out->set<float>(est_eps);
+  // functions
+  size_t signs_len = size_t(num_rotations) << log_dims;
+  out->set<uint64_t>(num_hash_fns);
+  for (uint32_t i = 0; i < num_hash_fns; i++) {
+    out->set<int32_t>(static_cast<int32_t>(dims));
+    out->set<int32_t>(log_dims);
+    out->set<uint32_t>(num_rotations);
+    out->put(signs + size_t(i) * signs_len, signs_len);
+  }
+  out->set<uint32_t>(num_hashers);
+  out->set<uint32_t>(fph);
+  out->set<uint8_t>(static_cast<uint8_t>(log_dims + 1));
+  out->set<uint32_t>(num_hash_fns);
+  out->set<uint32_t>(bits_to_cut);
+  // maps (same sentinel + directory injection as the simhash writer)
+  constexpr int kSegmentSize = 12;
+  out->set<uint64_t>(num_maps);
+  out->set<uint8_t>(0);
+  size_t off = 0;
+  for (uint32_t m = 0; m < num_maps; m++) {
+    uint64_t len = map_lens[m];
+    uint64_t padded = len + 2 * kSegmentSize;
+    out->set<uint64_t>(padded);
+    std::vector<uint32_t> idx(padded, 0), hsh(padded, 0xffffffffu);
+    std::memcpy(idx.data() + kSegmentSize, map_indices + off, len * 4);
+    std::memcpy(hsh.data() + kSegmentSize, map_hashes + off, len * 4);
+    out->put(idx.data(), padded * 4);
+    out->put(hsh.data(), padded * 4);
+    out->set<uint64_t>(0);
+    out->set<uint32_t>(kMaxHashbits);
+    std::vector<uint32_t> dir(kPrefixIndexLen, 0);
+    uint64_t cursor = 0;
+    for (uint32_t prefix = 0; prefix < (kPrefixIndexLen - 1); prefix++) {
+      while (cursor < len &&
+             (map_hashes[off + cursor] >> (kMaxHashbits - 13)) < prefix) {
+        cursor++;
+      }
+      dir[prefix] = kSegmentSize + static_cast<uint32_t>(cursor);
+    }
+    dir[kPrefixIndexLen - 1] = kSegmentSize + static_cast<uint32_t>(len);
+    out->put(dir.data(), dir.size() * 4);
+    off += len;
+  }
+  out->set<uint32_t>(last_rebuild);
+  return out;
+}
+
 const uint8_t* clann_ref_out_data(void* h) {
   return static_cast<Writer*>(h)->buf.data();
 }

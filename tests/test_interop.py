@@ -158,12 +158,18 @@ class TestH5RoundTrip:
             all_pts = sorted(p for c in clusters for p in c["assignment"])
             assert all_pts == list(range(ds.train.shape[0]))
 
-    def test_cp_family_export_rejected(self, small_angular_dataset, tmp_path):
-        from clann_tpu.errors import SerializeError
-
+    def test_cp_family_round_trip(self, small_angular_dataset, tmp_path):
         ds = small_angular_dataset
         cfg = Config(num_tables=4, num_clusters_factor=0.2, k=5,
-                     hash_family="fht_cross_polytope", seed=1)
+                     hash_family="fht_cross_polytope", seed=1,
+                     estimation_repetitions=200, estimation_eps=2e-2)
         index = build_index(ds.train[:500], cfg)
-        with pytest.raises(SerializeError):
-            save_reference_h5(index, str(tmp_path / "cp.h5"))
+        path = str(tmp_path / "cp.h5")
+        save_reference_h5(index, path)
+        loaded = load_reference_h5(path, data=ds.train[:500])
+        assert loaded.n == 500
+        _, ids, _ = search(loaded, ds.test[:20], k=5, delta=0.8)
+        gt_d, gt_i = brute_force_topk(
+            ds.train[:500], ds.test[:20], k=5, metric="angular"
+        )
+        assert recall_by_ids(np.asarray(gt_i), ids, count=5) >= 0.5
