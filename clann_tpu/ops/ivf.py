@@ -136,8 +136,13 @@ def scan_search(
             outs_s.append(ts)
             outs_i.append(jnp.take_along_axis(cids, sel, axis=1))
     else:
-        # bound the transient (batch, block) score matrix to ~2GB
-        block_points = min(262144, n, max(32768, int(2e9 / (4 * min(batch_q, qn.shape[0])))))
+        # bound the transient (batch, block) score matrix to ~4GB; measured
+        # optimum at glove scale: one 10k-query call with ~100k-point blocks
+        # (120k QPS vs 70k at 2k-query batches)
+        block_points = min(
+            262144, n,
+            max(32768, int(4e9 / (4 * min(batch_q, qn.shape[0])))),
+        )
         outs_s, outs_i = [], []
         for s in range(0, qn.shape[0], batch_q):
             blk = qn[s : s + batch_q]
