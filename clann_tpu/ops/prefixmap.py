@@ -158,6 +158,10 @@ def revealed_range(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """The one-sided range newly revealed when entering `depth`.
 
+    Reference implementation of the single-depth peel step, kept as the
+    readable specification of the rule `candidate_stream` vectorizes over
+    all depths at once (the query engine uses candidate_stream).
+
     lo, hi: (Q, L, D+1) from depth_bounds. depth: (Q,) current depth in
     [1, D]; depth == D means the exact-match range [lo_D, hi_D).
     Returns (start, size): (Q, L) int32.
