@@ -100,7 +100,12 @@ def scan_search(
     from clann_tpu.ops.distances import _dense_scan_jit, l2_normalize
 
     k = (index.config.k if k is None else k)
-    qn = l2_normalize(jnp.asarray(np.asarray(queries, np.float32)))
+    # preserve device residency: np.asarray on a device array would pull
+    # the whole query set back through the (slow) host transfer path
+    q = queries if isinstance(queries, jnp.ndarray) else jnp.asarray(
+        np.asarray(queries, np.float32)
+    )
+    qn = l2_normalize(q.astype(jnp.float32))
     if qn.ndim == 1:
         qn = qn[None, :]
     n = index.vectors.shape[0]
@@ -359,7 +364,10 @@ def adaptive_dense_search(
     R = int(index.seg_centers.shape[0])
     max_waves = max_waves or -(-R // wave)
 
-    qn = l2_normalize(jnp.asarray(np.asarray(queries, np.float32)))
+    q = queries if isinstance(queries, jnp.ndarray) else jnp.asarray(
+        np.asarray(queries, np.float32)
+    )
+    qn = l2_normalize(q.astype(jnp.float32))
     if qn.ndim == 1:
         qn = qn[None, :]
     Q = qn.shape[0]
@@ -446,10 +454,12 @@ def dense_search(
     if n_probe is None:
         n_probe = cfg.n_probe or auto_n_probe(C)
 
-    q = jnp.asarray(np.asarray(queries, np.float32))
+    q = queries if isinstance(queries, jnp.ndarray) else jnp.asarray(
+        np.asarray(queries, np.float32)
+    )
     if q.ndim == 1:
         q = q[None, :]
-    qn = l2_normalize(q)
+    qn = l2_normalize(q.astype(jnp.float32))
 
     out_s, out_i, out_st = [], [], []
     for start in range(0, qn.shape[0], batch_size):
