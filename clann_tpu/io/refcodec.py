@@ -69,6 +69,12 @@ def load_library() -> ctypes.CDLL:
     u8p = ctypes.POINTER(ctypes.c_uint8)
     lib.clann_ref_parse.restype = ctypes.c_void_p
     lib.clann_ref_parse.argtypes = [u8p, ctypes.c_uint64, ctypes.c_int32]
+    lib.clann_ref_parse_chunk.restype = ctypes.c_int32
+    lib.clann_ref_parse_chunk.argtypes = [ctypes.c_void_p, u8p, ctypes.c_uint64]
+    lib.clann_ref_is_chunked.restype = ctypes.c_uint32
+    lib.clann_ref_is_chunked.argtypes = [ctypes.c_void_p]
+    lib.clann_ref_expected_maps.restype = ctypes.c_uint64
+    lib.clann_ref_expected_maps.argtypes = [ctypes.c_void_p]
     lib.clann_ref_free.argtypes = [ctypes.c_void_p]
     lib.clann_ref_error.restype = ctypes.c_char_p
     lib.clann_ref_error.argtypes = [ctypes.c_void_p]
@@ -120,7 +126,7 @@ def load_library() -> ctypes.CDLL:
         ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32,
         ctypes.c_uint32, ctypes.POINTER(ctypes.c_uint64),
         ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint32),
-        ctypes.c_uint32,
+        ctypes.c_uint32, ctypes.c_uint32,
     ]
     lib.clann_ref_write_fhtcp.restype = ctypes.c_void_p
     lib.clann_ref_write_fhtcp.argtypes = [
@@ -136,7 +142,12 @@ def load_library() -> ctypes.CDLL:
         ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32,
         ctypes.c_uint32, ctypes.POINTER(ctypes.c_uint64),
         ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint32),
-        ctypes.c_uint32,
+        ctypes.c_uint32, ctypes.c_uint32,
+    ]
+    lib.clann_ref_write_chunk.restype = ctypes.c_void_p
+    lib.clann_ref_write_chunk.argtypes = [
+        ctypes.c_uint64, ctypes.POINTER(ctypes.c_uint32),
+        ctypes.POINTER(ctypes.c_uint32),
     ]
     lib.clann_ref_out_data.restype = ctypes.POINTER(ctypes.c_uint8)
     lib.clann_ref_out_data.argtypes = [ctypes.c_void_p]
@@ -172,9 +183,14 @@ class ReferenceIndexData:
 
 
 def parse_reference_stream(
-    buf: bytes, family: int = FAMILY_SIMHASH
+    buf: bytes, family: int = FAMILY_SIMHASH, chunks: Optional[list] = None
 ) -> ReferenceIndexData:
-    """Parse a reference index byte stream into arrays."""
+    """Parse a reference index byte stream into arrays.
+
+    `chunks`: per-table PrefixMap chunk streams for an index serialized with
+    use_chunks=true (collection.hpp:178-209; upstream pickles store these as
+    separate byte strings and replay them through deserialize_chunk).
+    """
     lib = load_library()
     arr = np.frombuffer(bytearray(buf), dtype=np.uint8)
     h = lib.clann_ref_parse(
@@ -184,6 +200,27 @@ def parse_reference_stream(
         err = lib.clann_ref_error(h)
         if err:
             raise SerializeError(f"reference stream parse failed: {err.decode()}")
+        if lib.clann_ref_is_chunked(h):
+            expected = lib.clann_ref_expected_maps(h)
+            got = len(chunks or [])
+            if got != expected:
+                raise SerializeError(
+                    f"chunked stream expects {expected} map chunks, got {got}"
+                )
+            for c in chunks or []:
+                carr = np.frombuffer(bytearray(c), dtype=np.uint8)
+                ok = lib.clann_ref_parse_chunk(
+                    h, carr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                    len(c),
+                )
+                if not ok:
+                    err = lib.clann_ref_error(h)
+                    raise SerializeError(
+                        "chunk parse failed: "
+                        f"{err.decode() if err else 'unknown'}"
+                    )
+        elif chunks:
+            raise SerializeError("chunks supplied for a non-chunked stream")
         out = ReferenceIndexData()
         out.dims = lib.clann_ref_dims(h)
         out.storage_len = lib.clann_ref_storage_len(h)
@@ -251,8 +288,15 @@ def write_reference_stream(
     map_indices: list,
     map_hashes: list,
     last_rebuild: int,
-) -> bytes:
-    """Emit a reference-loadable SimHash/independent index stream."""
+    use_chunks: bool = False,
+):
+    """Emit a reference-loadable SimHash/independent index stream.
+
+    With use_chunks=True, returns (main_stream, [chunk_bytes]) following the
+    reference's chunked layout (collection.hpp:184-209): the main stream
+    records num_maps + use_chunks=1 but omits the PrefixMaps, which are
+    emitted one per chunk.
+    """
     lib = load_library()
     vec = np.ascontiguousarray(vectors_q15, dtype=np.int16)
     n, storage_len = vec.shape
@@ -278,14 +322,37 @@ def write_reference_stream(
         num_hashers, functions_per_hasher, bits_to_cut,
         len(map_indices), lens.ctypes.data_as(u64p),
         mi.ctypes.data_as(u32p), mh.ctypes.data_as(u32p),
-        last_rebuild,
+        last_rebuild, 1 if use_chunks else 0,
     )
     try:
         ln = lib.clann_ref_out_len(h)
         data = np.ctypeslib.as_array(lib.clann_ref_out_data(h), shape=(ln,))
-        return bytes(data)
+        main = bytes(data)
     finally:
         lib.clann_ref_out_free(h)
+    if not use_chunks:
+        return main
+    return main, _write_chunks(lib, map_indices, map_hashes)
+
+
+def _write_chunks(lib, map_indices: list, map_hashes: list) -> list:
+    """One serialized PrefixMap chunk per table (collection.hpp:171-176)."""
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    chunks = []
+    for mi, mh in zip(map_indices, map_hashes):
+        mi = np.ascontiguousarray(mi, dtype=np.uint32)
+        mh = np.ascontiguousarray(mh, dtype=np.uint32)
+        h = lib.clann_ref_write_chunk(
+            len(mi), mi.ctypes.data_as(u32p), mh.ctypes.data_as(u32p)
+        )
+        try:
+            ln = lib.clann_ref_out_len(h)
+            chunks.append(bytes(
+                np.ctypeslib.as_array(lib.clann_ref_out_data(h), shape=(ln,))
+            ))
+        finally:
+            lib.clann_ref_out_free(h)
+    return chunks
 
 
 def write_reference_stream_fhtcp(
@@ -303,9 +370,11 @@ def write_reference_stream_fhtcp(
     map_indices: list,
     map_hashes: list,
     last_rebuild: int,
-) -> bytes:
+    use_chunks: bool = False,
+):
     """Emit a reference-loadable FHT-cross-polytope/independent stream
-    (the reference cosine default, similarity_measure/cosine.hpp:16)."""
+    (the reference cosine default, similarity_measure/cosine.hpp:16).
+    With use_chunks=True returns (main_stream, [chunk_bytes])."""
     lib = load_library()
     vec = np.ascontiguousarray(vectors_q15, dtype=np.int16)
     n, storage_len = vec.shape
@@ -338,11 +407,14 @@ def write_reference_stream_fhtcp(
         num_hashers, functions_per_hasher, bits_to_cut,
         len(map_indices), lens.ctypes.data_as(u64p),
         mi.ctypes.data_as(u32p), mh.ctypes.data_as(u32p),
-        last_rebuild,
+        last_rebuild, 1 if use_chunks else 0,
     )
     try:
         ln = lib.clann_ref_out_len(h)
         data = np.ctypeslib.as_array(lib.clann_ref_out_data(h), shape=(ln,))
-        return bytes(data)
+        main = bytes(data)
     finally:
         lib.clann_ref_out_free(h)
+    if not use_chunks:
+        return main
+    return main, _write_chunks(lib, map_indices, map_hashes)

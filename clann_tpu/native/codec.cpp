@@ -128,6 +128,12 @@ struct ParsedIndex {
   std::vector<std::vector<uint32_t>> map_hashes;
   std::vector<uint32_t> map_hash_length;
   uint32_t last_rebuild = 0;
+  // chunked serialization (collection.hpp:178-209, use_chunks=true): the
+  // main stream carries num_maps but no inline PrefixMaps; each map arrives
+  // as its own chunk stream (one PrefixMap::serialize each,
+  // collection.hpp:171-176)
+  bool chunked = false;
+  uint64_t expected_maps = 0;
   std::string error;
 };
 
@@ -254,6 +260,36 @@ bool read_prefix_map(Reader& r, ParsedIndex& ix) {
   return true;
 }
 
+// Serializes one PrefixMap: sentinel padding on both ends plus a correct
+// 13-bit prefix directory so the reference can query the map without a
+// rebuild (prefixmap.hpp:99-153,209-240).
+void write_map(Writer* out, uint64_t len, const uint32_t* indices,
+               const uint32_t* hashes) {
+  constexpr int kSegmentSize = 12;  // prefixmap.hpp:60
+  uint64_t padded = len + 2 * kSegmentSize;
+  out->set<uint64_t>(padded);
+  std::vector<uint32_t> idx(padded, 0), hsh(padded, 0xffffffffu);
+  if (len) {
+    std::memcpy(idx.data() + kSegmentSize, indices, len * 4);
+    std::memcpy(hsh.data() + kSegmentSize, hashes, len * 4);
+  }
+  out->put(idx.data(), padded * 4);
+  out->put(hsh.data(), padded * 4);
+  out->set<uint64_t>(0);  // rebuilding_len
+  out->set<uint32_t>(kMaxHashbits);  // hash_length
+  std::vector<uint32_t> dir(kPrefixIndexLen, 0);
+  uint64_t cursor = 0;
+  for (uint32_t prefix = 0; prefix < (kPrefixIndexLen - 1); prefix++) {
+    while (cursor < len &&
+           (hashes[cursor] >> (kMaxHashbits - 13)) < prefix) {
+      cursor++;
+    }
+    dir[prefix] = kSegmentSize + static_cast<uint32_t>(cursor);
+  }
+  dir[kPrefixIndexLen - 1] = kSegmentSize + static_cast<uint32_t>(len);
+  out->put(dir.data(), dir.size() * 4);
+}
+
 }  // namespace
 
 extern "C" {
@@ -289,15 +325,38 @@ void* clann_ref_parse(const uint8_t* buf, uint64_t len, int32_t family) {
     }
     uint64_t num_maps = r.get<uint64_t>();
     uint8_t use_chunks = r.get<uint8_t>();
-    if (use_chunks) { ix->error = "chunked serialization unsupported"; break; }
-    for (uint64_t i = 0; i < num_maps; i++) {
-      if (!read_prefix_map(r, *ix)) { ix->error = "prefix map"; break; }
+    ix->chunked = use_chunks != 0;
+    ix->expected_maps = num_maps;
+    if (!use_chunks) {
+      for (uint64_t i = 0; i < num_maps; i++) {
+        if (!read_prefix_map(r, *ix)) { ix->error = "prefix map"; break; }
+      }
     }
     if (!ix->error.empty()) break;
     ix->last_rebuild = r.get<uint32_t>();
     if (!r.ok) ix->error = "truncated stream";
   } while (false);
   return ix;
+}
+
+// Parses one PrefixMap chunk stream into a chunked-parsed index (the
+// counterpart of Index::deserialize_chunk, collection.hpp:171-176).
+// Returns 1 on success, 0 on failure (error retrievable via clann_ref_error).
+int32_t clann_ref_parse_chunk(void* h, const uint8_t* buf, uint64_t len) {
+  auto* ix = static_cast<ParsedIndex*>(h);
+  Reader r{buf, buf + len};
+  if (!read_prefix_map(r, *ix)) {
+    ix->error = "prefix map chunk";
+    return 0;
+  }
+  return 1;
+}
+
+uint32_t clann_ref_is_chunked(void* h) {
+  return static_cast<ParsedIndex*>(h)->chunked ? 1 : 0;
+}
+uint64_t clann_ref_expected_maps(void* h) {
+  return static_cast<ParsedIndex*>(h)->expected_maps;
 }
 
 void clann_ref_free(void* h) { delete static_cast<ParsedIndex*>(h); }
@@ -392,7 +451,7 @@ void* clann_ref_write_simhash(
     uint32_t fph, uint32_t bits_to_cut,
     // tables: concatenated per-map arrays with per-map length
     uint32_t num_maps, const uint64_t* map_lens, const uint32_t* map_indices,
-    const uint32_t* map_hashes, uint32_t last_rebuild) {
+    const uint32_t* map_hashes, uint32_t last_rebuild, uint32_t use_chunks) {
   auto* out = new Writer();
   // Dataset
   out->set<uint32_t>(dims);
@@ -433,36 +492,16 @@ void* clann_ref_write_simhash(
   out->set<uint8_t>(1);
   out->set<uint32_t>(num_hash_fns);
   out->set<uint32_t>(bits_to_cut);
-  // maps: inject SEGMENT_SIZE sentinel padding on both ends and a correct
-  // 13-bit prefix directory so the reference can query a loaded index
-  // without a rebuild (prefixmap.hpp:209-240)
-  constexpr int kSegmentSize = 12;  // prefixmap.hpp:60
+  // maps (sentinel + directory injection in write_map); with use_chunks the
+  // maps are omitted here and emitted via clann_ref_write_chunk instead
   out->set<uint64_t>(num_maps);
-  out->set<uint8_t>(0);  // use_chunks = false
-  size_t off = 0;
-  for (uint32_t m = 0; m < num_maps; m++) {
-    uint64_t len = map_lens[m];
-    uint64_t padded = len + 2 * kSegmentSize;
-    out->set<uint64_t>(padded);
-    std::vector<uint32_t> idx(padded, 0), hsh(padded, 0xffffffffu);
-    std::memcpy(idx.data() + kSegmentSize, map_indices + off, len * 4);
-    std::memcpy(hsh.data() + kSegmentSize, map_hashes + off, len * 4);
-    out->put(idx.data(), padded * 4);
-    out->put(hsh.data(), padded * 4);
-    out->set<uint64_t>(0);  // rebuilding_len
-    out->set<uint32_t>(kMaxHashbits);  // hash_length
-    std::vector<uint32_t> dir(kPrefixIndexLen, 0);
-    uint64_t cursor = 0;
-    for (uint32_t prefix = 0; prefix < (kPrefixIndexLen - 1); prefix++) {
-      while (cursor < len &&
-             (map_hashes[off + cursor] >> (kMaxHashbits - 13)) < prefix) {
-        cursor++;
-      }
-      dir[prefix] = kSegmentSize + static_cast<uint32_t>(cursor);
+  out->set<uint8_t>(use_chunks ? 1 : 0);
+  if (!use_chunks) {
+    size_t off = 0;
+    for (uint32_t m = 0; m < num_maps; m++) {
+      write_map(out, map_lens[m], map_indices + off, map_hashes + off);
+      off += map_lens[m];
     }
-    dir[kPrefixIndexLen - 1] = kSegmentSize + static_cast<uint32_t>(len);
-    out->put(dir.data(), dir.size() * 4);
-    off += len;
   }
   out->set<uint32_t>(last_rebuild);
   return out;
@@ -485,7 +524,7 @@ void* clann_ref_write_fhtcp(
     const float* estimates, uint32_t est_rows, uint32_t est_cols,
     uint32_t num_hashers, uint32_t fph, uint32_t bits_to_cut,
     uint32_t num_maps, const uint64_t* map_lens, const uint32_t* map_indices,
-    const uint32_t* map_hashes, uint32_t last_rebuild) {
+    const uint32_t* map_hashes, uint32_t last_rebuild, uint32_t use_chunks) {
   auto* out = new Writer();
   // Dataset
   out->set<uint32_t>(dims);
@@ -542,35 +581,26 @@ void* clann_ref_write_fhtcp(
   out->set<uint32_t>(num_hash_fns);
   out->set<uint32_t>(bits_to_cut);
   // maps (same sentinel + directory injection as the simhash writer)
-  constexpr int kSegmentSize = 12;
   out->set<uint64_t>(num_maps);
-  out->set<uint8_t>(0);
-  size_t off = 0;
-  for (uint32_t m = 0; m < num_maps; m++) {
-    uint64_t len = map_lens[m];
-    uint64_t padded = len + 2 * kSegmentSize;
-    out->set<uint64_t>(padded);
-    std::vector<uint32_t> idx(padded, 0), hsh(padded, 0xffffffffu);
-    std::memcpy(idx.data() + kSegmentSize, map_indices + off, len * 4);
-    std::memcpy(hsh.data() + kSegmentSize, map_hashes + off, len * 4);
-    out->put(idx.data(), padded * 4);
-    out->put(hsh.data(), padded * 4);
-    out->set<uint64_t>(0);
-    out->set<uint32_t>(kMaxHashbits);
-    std::vector<uint32_t> dir(kPrefixIndexLen, 0);
-    uint64_t cursor = 0;
-    for (uint32_t prefix = 0; prefix < (kPrefixIndexLen - 1); prefix++) {
-      while (cursor < len &&
-             (map_hashes[off + cursor] >> (kMaxHashbits - 13)) < prefix) {
-        cursor++;
-      }
-      dir[prefix] = kSegmentSize + static_cast<uint32_t>(cursor);
+  out->set<uint8_t>(use_chunks ? 1 : 0);
+  if (!use_chunks) {
+    size_t off = 0;
+    for (uint32_t m = 0; m < num_maps; m++) {
+      write_map(out, map_lens[m], map_indices + off, map_hashes + off);
+      off += map_lens[m];
     }
-    dir[kPrefixIndexLen - 1] = kSegmentSize + static_cast<uint32_t>(len);
-    out->put(dir.data(), dir.size() * 4);
-    off += len;
   }
   out->set<uint32_t>(last_rebuild);
+  return out;
+}
+
+// One serialized PrefixMap chunk (collection.hpp:171-176 deserialize_chunk /
+// serialize_chunks): what upstream's pickle support stores as separate byte
+// strings (python_wrapper.cpp append_chunk/serialize_chunks).
+void* clann_ref_write_chunk(uint64_t len, const uint32_t* indices,
+                            const uint32_t* hashes) {
+  auto* out = new Writer();
+  write_map(out, len, indices, hashes);
   return out;
 }
 

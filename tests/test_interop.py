@@ -64,6 +64,45 @@ class TestStreamRoundTrip:
         )
         assert buf1 == buf2
 
+    def test_chunked_round_trip(self):
+        """use_chunks=true layout (collection.hpp:178-209): main stream
+        omits the PrefixMaps; each arrives as its own chunk stream."""
+        from clann_tpu.errors import SerializeError
+
+        rng = np.random.default_rng(3)
+        n, d, storage = 40, 20, 32
+        vec = f32_to_q15(rng.standard_normal((n, storage)).astype(np.float32) * 0.1)
+        skp = f32_to_q15(rng.standard_normal((2048, storage)).astype(np.float32) * 0.1)
+        sk = rng.integers(0, 2**63, (n, 32), dtype=np.uint64)
+        hp = f32_to_q15(rng.standard_normal((48, storage)).astype(np.float32) * 0.1)
+        hashes = [np.sort(rng.integers(0, 1 << 24, n).astype(np.uint32)) for _ in range(3)]
+        ids = [rng.permutation(n).astype(np.uint32) for _ in range(3)]
+        args = (vec, d, skp, sk, hp, 2, 24, 0, ids, hashes, n)
+
+        flat = write_reference_stream(*args)
+        main, chunks = write_reference_stream(*args, use_chunks=True)
+        assert len(chunks) == 3
+        # chunked main stream drops the inline maps
+        assert len(main) < len(flat)
+
+        parsed = parse_reference_stream(main, chunks=chunks)
+        for m in range(3):
+            np.testing.assert_array_equal(parsed.map_hashes[m], hashes[m])
+            np.testing.assert_array_equal(parsed.map_indices[m], ids[m])
+        # re-serializing flat reproduces the non-chunked bytes exactly
+        re_flat = write_reference_stream(
+            parsed.vectors_q15, parsed.dims, parsed.sketch_planes,
+            parsed.sketches, parsed.hash_planes, parsed.num_hashers,
+            parsed.functions_per_hasher, parsed.bits_to_cut,
+            parsed.map_indices, parsed.map_hashes, parsed.last_rebuild,
+        )
+        assert re_flat == flat
+
+        with pytest.raises(SerializeError):
+            parse_reference_stream(main, chunks=chunks[:2])  # missing chunk
+        with pytest.raises(SerializeError):
+            parse_reference_stream(flat, chunks=chunks)  # spurious chunks
+
     def test_sentinel_padding_stripped(self):
         rng = np.random.default_rng(2)
         n = 30
