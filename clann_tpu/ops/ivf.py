@@ -189,6 +189,7 @@ def ivf_search_batch_impl(
     n_probe: int,
     probe_cap: int,
     probe_rows: "Optional[jnp.ndarray]" = None,
+    approx_topk: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, DenseSearchStats]:
     """Dense probe search. Returns (sims desc (Q, k), global ids, stats).
 
@@ -196,6 +197,10 @@ def ivf_search_batch_impl(
     the adaptive wave driver); when absent the top n_probe rows by center
     distance are probed. Traceable; see `ivf_search_batch` for the jitted
     entry.
+
+    approx_topk: use the TPU's hardware-binned `approx_max_k` for the
+    per-slot reduction (~3x faster than exact `top_k` at seg_cap=4096;
+    each true neighbor survives the slot reduction w.p. >= 0.98).
     """
     Q, d = queries_n.shape
     C = index.seg_centers.shape[0]  # number of segment ROWS
@@ -274,7 +279,10 @@ def ivf_search_batch_impl(
         sims = jnp.clip((dots + 1.0) * 0.5, 0.0, 1.0)  # cosine.hpp:19-23
         cv = col_iota[None, :] < sz[:, None]
         sims = jnp.where(sl_valid[:, :, None] & cv[:, None, :], sims, -1.0)
-        ts, tj = jax.lax.top_k(sims, kk)
+        if approx_topk and S_max >= 128 and kk * 8 <= S_max:
+            ts, tj = jax.lax.approx_max_k(sims, kk, recall_target=0.98)
+        else:
+            ts, tj = jax.lax.top_k(sims, kk)
         ti = jnp.take_along_axis(
             jnp.broadcast_to(ids[:, None, :], tj.shape[:2] + (S_max,)), tj, axis=2
         )
@@ -327,15 +335,16 @@ def ivf_search_batch_impl(
 
 
 ivf_search_batch = functools.partial(
-    jax.jit, static_argnames=("k", "n_probe", "probe_cap")
+    jax.jit, static_argnames=("k", "n_probe", "probe_cap", "approx_topk")
 )(ivf_search_batch_impl)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "probe_cap"))
-def _probe_wave(index, queries_n, probe_rows, *, k: int, probe_cap: int):
+@functools.partial(jax.jit, static_argnames=("k", "probe_cap", "approx_topk"))
+def _probe_wave(index, queries_n, probe_rows, *, k: int, probe_cap: int,
+                approx_topk: bool = True):
     return ivf_search_batch_impl(
         index, queries_n, k=k, n_probe=probe_rows.shape[1],
-        probe_cap=probe_cap, probe_rows=probe_rows,
+        probe_cap=probe_cap, probe_rows=probe_rows, approx_topk=approx_topk,
     )
 
 
@@ -441,6 +450,7 @@ def dense_search(
     n_probe: Optional[int] = None,
     probe_cap: Optional[int] = None,
     batch_size: int = 2048,
+    approx_topk: bool = True,
 ) -> Tuple[np.ndarray, np.ndarray, DenseSearchStats]:
     """Full dense search over numpy queries; returns distances ascending."""
     if index.seg_vectors is None:
@@ -472,7 +482,8 @@ def dense_search(
             block.shape[0], min(n_probe, C), C
         )
         sims, ids, stats = ivf_search_batch(
-            index, block, k=k, n_probe=n_probe, probe_cap=cap
+            index, block, k=k, n_probe=n_probe, probe_cap=cap,
+            approx_topk=approx_topk,
         )
         if pad:
             sims, ids = sims[:-pad], ids[:-pad]
