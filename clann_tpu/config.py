@@ -84,6 +84,16 @@ class Config:
     # Depth at which the adaptive query loop gives up (reference runs 24..1;
     # stopping early only increases work never decreases recall).
     min_depth: int = 1
+    # Pack [id, sketch] per (table, slot) into one record array so the LSH
+    # window scan needs one gather per candidate instead of two dependent
+    # ones (core/index.make_slot_records). Costs (1+W)/2 extra table bytes;
+    # disable under memory pressure.
+    pack_slot_records: bool = True
+    # Prefix-directory bits per (table, cluster) segment seeding query-time
+    # binary searches (the reference's PREFIX_INDEX_BITS=13 directory,
+    # prefixmap.hpp:70 — smaller here because it is per cluster segment).
+    # 0 disables.
+    prefix_dir_bits: int = 10
     # Dtype used for rescoring matmuls on the MXU ("float32" | "bfloat16").
     rescore_dtype: str = "float32"
     # --- dense (IVF) probing mode (no reference counterpart; the TPU-native

@@ -40,7 +40,7 @@ from clann_tpu.ops.collision import HashSourceProbs
 from clann_tpu.ops.distances import l2_normalize
 from clann_tpu.ops.gmm import greedy_minimum_maximum
 from clann_tpu.ops.hashing import make_hash_family
-from clann_tpu.ops.prefixmap import sort_tables_segmented
+from clann_tpu.ops.prefixmap import build_prefix_directory, sort_tables_segmented
 from clann_tpu.ops.sketches import SketchFilterer, simhash_p1
 from clann_tpu.ops.sources import make_hash_source
 
@@ -89,6 +89,18 @@ class ClusteredIndex:
     seg_radii: Optional[jnp.ndarray] = None  # (R,) owner radii
     seg_sizes: Optional[jnp.ndarray] = None  # (R,) real points per row
     seg_cluster: Optional[jnp.ndarray] = None  # (R,) owner cluster id
+    # --- packed per-(table, slot) records: [id, sketch words] ---
+    # The query window then costs ONE gather per candidate instead of an id
+    # gather plus a *dependent* random sketch gather (the TPU analog of the
+    # reference's interleaved sketch layout for locality, filterer.hpp:16-17;
+    # measured ~25% faster window scans and removes a serialized two-gather
+    # dependency chain). Derived from sorted_idx + sketches; not serialized
+    # (rebuilt on load). None disables (falls back to the two-gather path).
+    slot_records: Optional[jnp.ndarray] = None  # (L, n, 1+W) uint32
+    # --- per-(table, cluster) prefix directory (prefixmap.hpp:70,86,228-240
+    # analog) seeding the query-time binary searches; see
+    # ops/prefixmap.build_prefix_directory. Derived; not serialized. ---
+    prefix_dir: Optional[jnp.ndarray] = None  # (L, C, 2^dir_bits+1) int32
     # --- static metadata ---
     config: Config = flax.struct.field(pytree_node=False, default=None)
     metric: str = flax.struct.field(pytree_node=False, default="angular")
@@ -96,6 +108,10 @@ class ClusteredIndex:
     # largest cluster segment (static; sizes binary-search iteration counts
     # and the stream's entry depth in ops/query.py). 0 = unknown -> n.
     max_seg_len: int = flax.struct.field(pytree_node=False, default=0)
+    # prefix directory geometry (static): bits per directory key and the
+    # binary-search iteration count covering the largest directory bucket.
+    dir_bits: int = flax.struct.field(pytree_node=False, default=0)
+    dir_iters: int = flax.struct.field(pytree_node=False, default=0)
 
     # Convenience shape accessors (python-level, static under jit).
     @property
@@ -131,6 +147,8 @@ class ClusteredIndex:
                 self.sorted_hash,
                 self.sorted_idx,
                 self.sketches,
+                self.slot_records,
+                self.prefix_dir,
                 self.cluster_starts,
                 self.centers,
                 self.center_ids,
@@ -212,6 +230,25 @@ def build_dense_layout(
         "seg_sizes": jnp.asarray(seg_sizes),
         "seg_cluster": jnp.asarray(seg_cluster),
     }
+
+
+@jax.jit
+def make_slot_records(
+    sorted_idx: jnp.ndarray, sketches: jnp.ndarray
+) -> jnp.ndarray:
+    """Pack [id, sketch words] per (table, slot) — see ClusteredIndex.
+
+    Table t filters with sketch index t % S (the reference's per-table
+    sketch rotation, collection.hpp:826), so the record bakes in the right
+    sketch per table.
+    """
+    L = sorted_idx.shape[0]
+    S = sketches.shape[1]
+    sk_idx = (jnp.arange(L, dtype=jnp.int32) % S)[:, None]  # (L, 1)
+    sk = sketches[sorted_idx, sk_idx, :]  # (L, n, W)
+    return jnp.concatenate(
+        [sorted_idx.astype(jnp.uint32)[:, :, None], sk], axis=2
+    )
 
 
 def _hash_in_blocks(fn, x: jnp.ndarray, block: int):
@@ -304,6 +341,28 @@ def build_index(
         hashes.T, jnp.asarray(assignment, jnp.int32)
     )
 
+    # 5b. per-(table, cluster) prefix directory (prefixmap.hpp:228-240
+    # analog) — query binary searches then cover log2(max bucket) instead
+    # of log2(max segment) positions
+    max_seg = int(sizes.max()) if len(sizes) else 0
+    prefix_dir = None
+    dir_bits = 0
+    dir_iters = 0
+    if config.prefix_dir_bits > 0 and max_seg > 1:
+        dir_bits = min(config.prefix_dir_bits, config.max_hashbits)
+        full_iters = int(np.ceil(np.log2(max(2, max_seg)))) + 1
+        prefix_dir = build_prefix_directory(
+            sorted_hash,
+            jnp.asarray(starts),
+            dir_bits,
+            full_iters,
+            config.max_hashbits,
+        )
+        max_bucket = int(
+            jnp.max(prefix_dir[:, :, 1:] - prefix_dir[:, :, :-1])
+        )
+        dir_iters = int(np.ceil(np.log2(max(2, max_bucket)))) + 1
+
     # optional dense (IVF) layout: row-chunked per-cluster vector blocks
     dense = (
         build_dense_layout(
@@ -331,6 +390,12 @@ def build_index(
         sorted_hash=sorted_hash,
         sorted_idx=sorted_idx,
         sketches=sketches,
+        slot_records=(
+            make_slot_records(sorted_idx, sketches)
+            if config.pack_slot_records
+            else None
+        ),
+        prefix_dir=prefix_dir,
         cluster_starts=jnp.asarray(starts),
         centers=xj[jnp.asarray(centers_idx)],
         center_ids=jnp.asarray(centers_idx, jnp.int32),
@@ -345,7 +410,9 @@ def build_index(
         config=config,
         metric=metric,
         sim_eps=probs.sim_eps,
-        max_seg_len=int(sizes.max()) if len(sizes) else 0,
+        max_seg_len=max_seg,
+        dir_bits=dir_bits,
+        dir_iters=dir_iters,
     )
 
 

@@ -168,11 +168,38 @@ def load_index(data, path: str):
             config.dense_seg_cap,
         )
 
+    sorted_idx_dev = jnp.asarray(arrays["sorted_idx"])
+    sketches_dev = jnp.asarray(arrays["sketches"])
+    sorted_hash_dev = jnp.asarray(arrays["sorted_hash"])
+    starts_np = np.asarray(arrays["cluster_starts"])
+    max_seg = int(np.diff(starts_np).max()) if len(starts_np) > 1 else 0
+    if config.pack_slot_records:
+        from clann_tpu.core.index import make_slot_records
+
+        slot_records = make_slot_records(sorted_idx_dev, sketches_dev)
+    else:
+        slot_records = None
+    prefix_dir = None
+    dir_bits = 0
+    dir_iters = 0
+    if config.prefix_dir_bits > 0 and max_seg > 1:
+        from clann_tpu.ops.prefixmap import build_prefix_directory
+
+        dir_bits = min(config.prefix_dir_bits, config.max_hashbits)
+        full_iters = int(np.ceil(np.log2(max(2, max_seg)))) + 1
+        prefix_dir = build_prefix_directory(
+            sorted_hash_dev, jnp.asarray(starts_np), dir_bits, full_iters,
+            config.max_hashbits,
+        )
+        max_bucket = int(jnp.max(prefix_dir[:, :, 1:] - prefix_dir[:, :, :-1]))
+        dir_iters = int(np.ceil(np.log2(max(2, max_bucket)))) + 1
     return ClusteredIndex(
         vectors=xn,
-        sorted_hash=jnp.asarray(arrays["sorted_hash"]),
-        sorted_idx=jnp.asarray(arrays["sorted_idx"]),
-        sketches=jnp.asarray(arrays["sketches"]),
+        sorted_hash=sorted_hash_dev,
+        sorted_idx=sorted_idx_dev,
+        sketches=sketches_dev,
+        slot_records=slot_records,
+        prefix_dir=prefix_dir,
         cluster_starts=jnp.asarray(arrays["cluster_starts"]),
         centers=xn[arrays["center_ids"]],
         center_ids=jnp.asarray(arrays["center_ids"]),
@@ -187,8 +214,9 @@ def load_index(data, path: str):
         config=config,
         metric=metric,
         sim_eps=sim_eps,
-        max_seg_len=int(np.diff(arrays["cluster_starts"]).max())
-        if len(arrays["cluster_starts"]) > 1 else 0,
+        max_seg_len=max_seg,
+        dir_bits=dir_bits,
+        dir_iters=dir_iters,
     )
 
 

@@ -105,6 +105,54 @@ def masked_binary_search(
     return lo
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("dir_bits", "n_iters", "max_hashbits", "table_block"),
+)
+def build_prefix_directory(
+    sorted_hash: jnp.ndarray,
+    cluster_starts: jnp.ndarray,
+    dir_bits: int,
+    n_iters: int,
+    max_hashbits: int = 24,
+    table_block: int = 8,
+) -> jnp.ndarray:
+    """Per-(table, cluster) prefix directory seeding later binary searches.
+
+    TPU analog of the reference's 13-bit PREFIX_INDEX directory
+    (prefixmap.hpp:70,86,228-240), built per cluster segment instead of per
+    whole table: dir[t, c, p] = first position in segment c of table t whose
+    hash has top `dir_bits` bits >= p (positions are global slots). Seeding
+    depth_bounds from [dir[p], dir[p+1]] cuts each search from
+    log2(max_segment) to log2(max_bucket) iterations.
+
+    Returns (L, C, 2^dir_bits + 1) int32.
+    """
+    L, _ = sorted_hash.shape
+    C = cluster_starts.shape[0] - 1
+    P = (1 << dir_bits) + 1
+    D = max_hashbits
+    keys = (
+        jnp.arange(P, dtype=jnp.uint32)[None, :] << jnp.uint32(D - dir_bits)
+    )  # (1, P)
+    keys = jnp.broadcast_to(keys, (C, P))
+    slo = jnp.broadcast_to(cluster_starts[:-1, None], (C, P)).astype(jnp.int32)
+    shi = jnp.broadcast_to(cluster_starts[1:, None], (C, P)).astype(jnp.int32)
+
+    def one_table(t):
+        tid = jnp.broadcast_to(t, (C, P)).astype(jnp.int32)
+        return masked_binary_search(sorted_hash, tid, keys, slo, shi, n_iters)
+
+    # blocked over tables to bound the transient lane arrays
+    tids = jnp.arange(L, dtype=jnp.int32)
+    pad = (-L) % table_block
+    tids_p = jnp.pad(tids, (0, pad))
+    out = jax.lax.map(
+        jax.vmap(one_table), tids_p.reshape(-1, table_block)
+    )
+    return out.reshape(-1, C, P)[:L]
+
+
 def depth_bounds(
     sorted_hash: jnp.ndarray,
     query_hashes: jnp.ndarray,
@@ -113,6 +161,9 @@ def depth_bounds(
     max_hashbits: int,
     n_iters: int,
     up_to_depth: int = None,
+    prefix_dir: jnp.ndarray = None,
+    cluster: jnp.ndarray = None,
+    dir_bits: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Candidate range [lo_d, hi_d) for every (query, table, depth).
 
@@ -127,6 +178,13 @@ def depth_bounds(
     (h >> (D-d)) << (D-d) and ((h >> (D-d)) + 1) << (D-d). Depth 0 is the
     whole segment. Equivalent to the union of the reference's
     PrefixMapQuery state over its whole peeling walk, computed in one shot.
+
+    When `prefix_dir` (from build_prefix_directory) and the queries'
+    `cluster` ids are given, every search is seeded from its key's
+    directory bucket [dir[p], dir[p+1]] — the answer provably lies inside
+    (positions before dir[p] hold hashes with smaller top dir_bits; from
+    dir[p+1] on, larger) — so n_iters only needs to cover
+    log2(max bucket size), not log2(max segment size).
     """
     Q, L = query_hashes.shape
     D = max_hashbits
@@ -141,6 +199,29 @@ def depth_bounds(
     t_ids = jnp.broadcast_to(
         jnp.arange(L, dtype=jnp.int32)[None, :, None], (Q, L, S + 1)
     )
+
+    if prefix_dir is not None and dir_bits > 0:
+        cdir = prefix_dir[:, cluster, :]  # (L, Q, P+1)
+        P = prefix_dir.shape[2] - 1
+
+        def seeded(keys):
+            p = jnp.minimum(
+                (keys >> jnp.uint32(D - dir_bits)).astype(jnp.int32), P
+            )  # (Q, L, S+1)
+            b_lo = cdir[
+                t_ids, jnp.arange(Q, dtype=jnp.int32)[:, None, None], p
+            ]
+            b_hi = cdir[
+                t_ids,
+                jnp.arange(Q, dtype=jnp.int32)[:, None, None],
+                jnp.minimum(p + 1, P),
+            ]
+            return masked_binary_search(
+                sorted_hash, t_ids, keys, b_lo, b_hi, n_iters
+            )
+
+        return seeded(prefix), seeded(upper)
+
     slo = jnp.broadcast_to(seg_lo[:, None, None], (Q, L, S + 1))
     shi = jnp.broadcast_to(seg_hi[:, None, None], (Q, L, S + 1))
 

@@ -173,9 +173,14 @@ def search_batch_impl(
         seg_hi = index.cluster_starts[cluster + 1]
         seg_len = seg_hi - seg_lo
         is_brute = index.brute[cluster] | (seg_len < 100)  # collection.hpp:550-554
+        use_dir = index.prefix_dir is not None and index.dir_bits > 0
         lo, hi = depth_bounds(
-            index.sorted_hash, query_hashes, seg_lo, seg_hi, D, n_iters,
+            index.sorted_hash, query_hashes, seg_lo, seg_hi, D,
+            index.dir_iters if use_dir else n_iters,
             up_to_depth=d_entry,
+            prefix_dir=index.prefix_dir if use_dir else None,
+            cluster=cluster if use_dir else None,
+            dir_bits=index.dir_bits if use_dir else 0,
         )  # (Q, L, d_entry+1)
         starts_s, sizes_s = candidate_stream(
             lo, hi, query_hashes, D, min_depth, start_depth=d_entry
@@ -213,7 +218,15 @@ def search_batch_impl(
             slot = jnp.take_along_axis(starts_s, j, axis=1) + within
             slot = jnp.clip(slot, 0, n - 1)
             t_sel = j % L  # table of stream slot (depth-major layout)
-            cand_ids = index.sorted_idx[t_sel, slot]  # (Q, W) global ids
+            sk_idx = t_sel % S  # sketch per table (collection.hpp:826 ring)
+            if index.slot_records is not None:
+                # one gather fetches id + its table-local sketch together
+                rec = index.slot_records[t_sel, slot]  # (Q, W, 1+Wd)
+                cand_ids = rec[:, :, 0].astype(jnp.int32)
+                cand_sk = rec[:, :, 1:]
+            else:
+                cand_ids = index.sorted_idx[t_sel, slot]  # (Q, W) global ids
+                cand_sk = index.sketches[cand_ids, sk_idx, :]  # (Q, W, Wd)
 
             kth_sim = topk_sims[:, k - 1]
             maxdiff = index.maxdiff_table[
@@ -223,8 +236,6 @@ def search_batch_impl(
                     index.maxdiff_table.shape[0] - 1,
                 )
             ]  # (Q,)
-            sk_idx = t_sel % S  # sketch per table (collection.hpp:826 ring)
-            cand_sk = index.sketches[cand_ids, sk_idx, :]  # (Q, W, Wd)
             q_sk = jnp.take_along_axis(
                 query_sketches, sk_idx[:, :, None], axis=1
             )  # (Q, W, Wd)

@@ -12,6 +12,7 @@ import numpy as np
 import pytest
 
 from clann_tpu.ops.prefixmap import (
+    build_prefix_directory,
     candidate_stream,
     depth_bounds,
     sort_tables_segmented,
@@ -71,6 +72,53 @@ class TestDepthBounds:
                     # nesting: deeper prefix range inside shallower
                     assert lo[t, d] >= lo[t, d - 1]
                     assert hi[t, d] <= hi[t, d - 1]
+
+
+class TestPrefixDirectory:
+    def test_directory_buckets_exact(self, table):
+        sh, si, starts, clusters = table
+        dir_bits = 4
+        pdir = np.asarray(
+            build_prefix_directory(
+                jnp.asarray(sh), jnp.asarray(starts.astype(np.int32)),
+                dir_bits, n_iters=10, max_hashbits=D,
+            )
+        )
+        for t in range(2):
+            for c in range(3):
+                seg = sh[t, starts[c] : starts[c + 1]].astype(np.int64)
+                for p in range((1 << dir_bits) + 1):
+                    key = p << (D - dir_bits)
+                    expect = starts[c] + np.searchsorted(seg, key, "left")
+                    assert pdir[t, c, p] == expect, (t, c, p)
+
+    def test_seeded_bounds_match_unseeded(self, table):
+        """Directory-seeded depth_bounds == plain depth_bounds exactly."""
+        sh, si, starts, clusters = table
+        rng = np.random.default_rng(7)
+        qh = rng.integers(0, 1 << D, size=(8, 2)).astype(np.uint32)
+        cluster = rng.integers(0, 3, size=8).astype(np.int32)
+        seg_lo = starts[cluster].astype(np.int32)
+        seg_hi = starts[cluster + 1].astype(np.int32)
+        lo0, hi0 = depth_bounds(
+            jnp.asarray(sh), jnp.asarray(qh), jnp.asarray(seg_lo),
+            jnp.asarray(seg_hi), D, n_iters=10,
+        )
+        dir_bits = 4
+        pdir = build_prefix_directory(
+            jnp.asarray(sh), jnp.asarray(starts.astype(np.int32)),
+            dir_bits, n_iters=10, max_hashbits=D,
+        )
+        max_bucket = int(jnp.max(pdir[:, :, 1:] - pdir[:, :, :-1]))
+        iters = int(np.ceil(np.log2(max(2, max_bucket)))) + 1
+        lo1, hi1 = depth_bounds(
+            jnp.asarray(sh), jnp.asarray(qh), jnp.asarray(seg_lo),
+            jnp.asarray(seg_hi), D, n_iters=iters,
+            prefix_dir=pdir, cluster=jnp.asarray(cluster),
+            dir_bits=dir_bits,
+        )
+        np.testing.assert_array_equal(np.asarray(lo0), np.asarray(lo1))
+        np.testing.assert_array_equal(np.asarray(hi0), np.asarray(hi1))
 
 
 class TestCandidateStream:
