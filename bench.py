@@ -86,7 +86,6 @@ def main():
     from clann_tpu.core.index import build_index
     from clann_tpu.metrics.recall import recall_values
     from clann_tpu.ops.ivf import dense_search
-    from clann_tpu.ops.query import search as lsh_search
 
     train, test, gt_d, gt_i = get_dataset()
     log(f"dataset in memory: train={train.shape} test={test.shape}")
@@ -99,6 +98,7 @@ def main():
         dataset_name=f"glove-{DIMS}-angular-synthetic",
         candidate_chunk=512,
         seed=0,
+        lsh_engine="global",
     )
     log("building index...")
     t0 = time.time()
@@ -192,23 +192,25 @@ def main():
     mode_name, qps, full_recall, dc = best
     log(f"headline: {mode_name} QPS={qps:.0f} recall={full_recall:.4f}")
 
-    # --- secondary: reference-faithful LSH path on a subset ---
-    # small sample + small batch: the adaptive scan visits every cluster
-    # sequentially on this (deliberately hard) dataset, and a single huge
-    # batched while_loop execution can trip the TPU runtime watchdog
-    lsh_sub = min(64, len(test))
+    # --- secondary: delta-guarantee LSH path (ball-filtered global
+    # engine, ops/global_query.py) on a subset. Small sample: the path is
+    # gather-rate bound on this (deliberately hard, heavy hash-collision)
+    # dataset; batch 128 measured fastest, larger trips memory pressure.
+    lsh_sub = min(256, len(test))
     lsh_qps = 0.0
     lsh_recall = 0.0
     try:
-        lsh_search(index, test[:lsh_sub], k=K, delta=DELTA, batch_size=32)
+        from clann_tpu.ops.global_query import global_search
+
+        global_search(index, test[:128], k=K, delta=DELTA, batch_size=128)
         t0 = time.time()
-        d_l, _, st_l = lsh_search(
-            index, test[:lsh_sub], k=K, delta=DELTA, batch_size=32
+        d_l, _, st_l = global_search(
+            index, test[:lsh_sub], k=K, delta=DELTA, batch_size=128
         )
         lsh_qps = lsh_sub / (time.time() - t0)
         lsh_recall, _, _ = recall_values(gt_d[:lsh_sub], d_l, count=K)
         log(
-            f"lsh: QPS={lsh_qps:.0f} recall={lsh_recall:.4f} "
+            f"lsh(global): QPS={lsh_qps:.0f} recall={lsh_recall:.4f} "
             f"dc/q={st_l.distance_computations.mean():.0f}"
         )
     except Exception as e:  # secondary metric must not sink the bench

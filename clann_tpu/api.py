@@ -92,11 +92,14 @@ class Clann:
     ):
         """Batched k-NN (the TPU-native primary entry point).
 
-        mode: "lsh" (reference-faithful adaptive delta-recall search),
-        "dense" (IVF cluster probing, the MXU fast path), or "auto"
-        (config.search_mode; dense when the layout exists).
-        Returns (distances (Q, k) ascending, ids (Q, k), stats).
+        mode: "lsh" (adaptive delta-recall search — the ball-filtered
+        global engine when built with config.lsh_engine="global", else the
+        reference-faithful clustered walk; force either with "lsh-global" /
+        "lsh-clustered"), "dense" (IVF cluster probing, the MXU fast
+        path), or "auto" (config.search_mode; dense when the layout
+        exists). Returns (distances (Q, k) ascending, ids (Q, k), stats).
         """
+        from clann_tpu.ops.global_query import global_search
         from clann_tpu.ops.ivf import adaptive_dense_search, dense_search, scan_search
         from clann_tpu.ops.query import search as _search
 
@@ -104,6 +107,11 @@ class Clann:
         mode = mode or self.config.search_mode
         if mode == "auto":
             mode = "dense" if index.seg_vectors is not None else "lsh"
+        if mode == "lsh":
+            mode = (
+                "lsh-global" if index.g_records is not None
+                else "lsh-clustered"
+            )
         t0 = time.perf_counter()
         if mode == "dense":
             dists, ids, stats = dense_search(index, queries, k=k, n_probe=n_probe)
@@ -111,7 +119,11 @@ class Clann:
             dists, ids, stats = scan_search(index, queries, k=k)
         elif mode == "adaptive":
             dists, ids, stats = adaptive_dense_search(index, queries, k=k)
-        elif mode == "lsh":
+        elif mode == "lsh-global":
+            dists, ids, stats = global_search(
+                index, queries, k=k, delta=delta, filter_type=filter_type
+            )
+        elif mode == "lsh-clustered":
             dists, ids, stats = _search(
                 index, queries, k=k, delta=delta, filter_type=filter_type
             )

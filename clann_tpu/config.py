@@ -94,6 +94,15 @@ class Config:
     # prefixmap.hpp:70 — smaller here because it is per cluster segment).
     # 0 disables.
     prefix_dir_bits: int = 10
+    # LSH engine layout: "clustered" = the reference-faithful per-cluster
+    # walk (ops/query.py); "global" = the ball-filtered global adaptive
+    # engine (ops/global_query.py — same delta guarantee, one set of range
+    # searches per query instead of per (query, cluster)); "both" builds
+    # the structures for both so either mode can be forced at query time.
+    lsh_engine: str = "clustered"
+    # Directory bits for the global tables (full 13 like the reference:
+    # one directory per table, not per cluster, so memory is tiny).
+    global_dir_bits: int = 13
     # Dtype used for rescoring matmuls on the MXU ("float32" | "bfloat16").
     rescore_dtype: str = "float32"
     # --- dense (IVF) probing mode (no reference counterpart; the TPU-native
@@ -138,6 +147,10 @@ class Config:
             raise ConfigError("delta must be in (0, 1)")
         if self.num_clusters_factor <= 0.0:
             raise ConfigError("num_clusters_factor must be > 0")
+        if self.lsh_engine not in ("clustered", "global", "both"):
+            raise ConfigError(
+                "lsh_engine must be 'clustered', 'global', or 'both'"
+            )
         if isinstance(self.metrics_output, str):
             object.__setattr__(self, "metrics_output", MetricsOutput(self.metrics_output))
 

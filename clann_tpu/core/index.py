@@ -101,6 +101,13 @@ class ClusteredIndex:
     # analog) seeding the query-time binary searches; see
     # ops/prefixmap.build_prefix_directory. Derived; not serialized. ---
     prefix_dir: Optional[jnp.ndarray] = None  # (L, C, 2^dir_bits+1) int32
+    # --- global LSH structures (ops/global_query.py): tables sorted by
+    # hash over the whole dataset, with [id, sketch, cluster] records for
+    # the ball-filtered global engine. Built when config.lsh_engine is
+    # "global"/"both". Derived; not serialized. ---
+    g_sorted_hash: Optional[jnp.ndarray] = None  # (L, n) uint32
+    g_records: Optional[jnp.ndarray] = None  # (L, n, 4) uint32
+    g_dir: Optional[jnp.ndarray] = None  # (L, 1, 2^global_dir_bits+1) int32
     # --- static metadata ---
     config: Config = flax.struct.field(pytree_node=False, default=None)
     metric: str = flax.struct.field(pytree_node=False, default="angular")
@@ -112,6 +119,7 @@ class ClusteredIndex:
     # binary-search iteration count covering the largest directory bucket.
     dir_bits: int = flax.struct.field(pytree_node=False, default=0)
     dir_iters: int = flax.struct.field(pytree_node=False, default=0)
+    g_dir_iters: int = flax.struct.field(pytree_node=False, default=0)
 
     # Convenience shape accessors (python-level, static under jit).
     @property
@@ -149,6 +157,9 @@ class ClusteredIndex:
                 self.sketches,
                 self.slot_records,
                 self.prefix_dir,
+                self.g_sorted_hash,
+                self.g_records,
+                self.g_dir,
                 self.cluster_starts,
                 self.centers,
                 self.center_ids,
@@ -230,6 +241,51 @@ def build_dense_layout(
         "seg_sizes": jnp.asarray(seg_sizes),
         "seg_cluster": jnp.asarray(seg_cluster),
     }
+
+
+@jax.jit
+def make_global_tables(
+    hashes_T: jnp.ndarray, sketches: jnp.ndarray, assignment: jnp.ndarray
+):
+    """Hash-sorted global tables + [id, sketch, cluster] records.
+
+    The layout behind the ball-filtered global engine
+    (ops/global_query.py): per table, slots sorted by hash over the WHOLE
+    dataset — one set of prefix-range searches serves every query, and the
+    cluster id rides in the record so the feasibility filter needs no
+    extra gather.
+    """
+    L, n = hashes_T.shape
+    S = sketches.shape[1]
+    ids = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None, :], (L, n))
+
+    def sort_one(h, i):
+        return jax.lax.sort((h, i), num_keys=1)
+
+    g_hash, g_ids = jax.vmap(sort_one)(hashes_T, ids)
+    sk_idx = (jnp.arange(L, dtype=jnp.int32) % S)[:, None]
+    sk = sketches[g_ids, sk_idx, :]  # (L, n, W)
+    clus = assignment[g_ids].astype(jnp.uint32)  # (L, n)
+    g_records = jnp.concatenate(
+        [
+            g_ids.astype(jnp.uint32)[:, :, None],
+            sk,
+            clus[:, :, None],
+        ],
+        axis=2,
+    )
+    return g_hash, g_records
+
+
+def unsort_hashes(sorted_hash: jnp.ndarray, sorted_idx: jnp.ndarray):
+    """Recover per-point hashes (L, n) from a sorted table layout."""
+    L, n = sorted_hash.shape
+    t_iota = jnp.arange(L, dtype=jnp.int32)[:, None]
+    return (
+        jnp.zeros((L, n), sorted_hash.dtype)
+        .at[t_iota, sorted_idx]
+        .set(sorted_hash)
+    )
 
 
 @jax.jit
@@ -363,6 +419,26 @@ def build_index(
         )
         dir_iters = int(np.ceil(np.log2(max(2, max_bucket)))) + 1
 
+    # 5c. global LSH structures (ball-filtered global engine)
+    g_sorted_hash = None
+    g_records = None
+    g_dir = None
+    g_dir_iters = 0
+    if config.lsh_engine in ("global", "both"):
+        g_sorted_hash, g_records = make_global_tables(
+            hashes.T, sketches, jnp.asarray(assignment, jnp.int32)
+        )
+        gfull_iters = int(np.ceil(np.log2(max(2, n)))) + 1
+        g_dir = build_prefix_directory(
+            g_sorted_hash,
+            jnp.asarray(np.asarray([0, n], np.int32)),
+            config.global_dir_bits,
+            gfull_iters,
+            config.max_hashbits,
+        )
+        g_max_bucket = int(jnp.max(g_dir[:, :, 1:] - g_dir[:, :, :-1]))
+        g_dir_iters = int(np.ceil(np.log2(max(2, g_max_bucket)))) + 1
+
     # optional dense (IVF) layout: row-chunked per-cluster vector blocks
     dense = (
         build_dense_layout(
@@ -393,9 +469,13 @@ def build_index(
         slot_records=(
             make_slot_records(sorted_idx, sketches)
             if config.pack_slot_records
+            and config.lsh_engine in ("clustered", "both")
             else None
         ),
         prefix_dir=prefix_dir,
+        g_sorted_hash=g_sorted_hash,
+        g_records=g_records,
+        g_dir=g_dir,
         cluster_starts=jnp.asarray(starts),
         centers=xj[jnp.asarray(centers_idx)],
         center_ids=jnp.asarray(centers_idx, jnp.int32),
@@ -413,6 +493,7 @@ def build_index(
         max_seg_len=max_seg,
         dir_bits=dir_bits,
         dir_iters=dir_iters,
+        g_dir_iters=g_dir_iters,
     )
 
 

@@ -173,12 +173,34 @@ def load_index(data, path: str):
     sorted_hash_dev = jnp.asarray(arrays["sorted_hash"])
     starts_np = np.asarray(arrays["cluster_starts"])
     max_seg = int(np.diff(starts_np).max()) if len(starts_np) > 1 else 0
-    if config.pack_slot_records:
+    if config.pack_slot_records and config.lsh_engine in ("clustered", "both"):
         from clann_tpu.core.index import make_slot_records
 
         slot_records = make_slot_records(sorted_idx_dev, sketches_dev)
     else:
         slot_records = None
+    g_sorted_hash = None
+    g_records = None
+    g_dir = None
+    g_dir_iters = 0
+    if config.lsh_engine in ("global", "both"):
+        from clann_tpu.core.index import make_global_tables, unsort_hashes
+        from clann_tpu.ops.prefixmap import build_prefix_directory
+
+        hashes_T = unsort_hashes(sorted_hash_dev, sorted_idx_dev)
+        g_sorted_hash, g_records = make_global_tables(
+            hashes_T, sketches_dev, jnp.asarray(arrays["assignment"])
+        )
+        n_pts = int(arrays["assignment"].shape[0])
+        g_dir = build_prefix_directory(
+            g_sorted_hash,
+            jnp.asarray(np.asarray([0, n_pts], np.int32)),
+            config.global_dir_bits,
+            int(np.ceil(np.log2(max(2, n_pts)))) + 1,
+            config.max_hashbits,
+        )
+        g_max_bucket = int(jnp.max(g_dir[:, :, 1:] - g_dir[:, :, :-1]))
+        g_dir_iters = int(np.ceil(np.log2(max(2, g_max_bucket)))) + 1
     prefix_dir = None
     dir_bits = 0
     dir_iters = 0
@@ -200,6 +222,9 @@ def load_index(data, path: str):
         sketches=sketches_dev,
         slot_records=slot_records,
         prefix_dir=prefix_dir,
+        g_sorted_hash=g_sorted_hash,
+        g_records=g_records,
+        g_dir=g_dir,
         cluster_starts=jnp.asarray(arrays["cluster_starts"]),
         centers=xn[arrays["center_ids"]],
         center_ids=jnp.asarray(arrays["center_ids"]),
@@ -217,6 +242,7 @@ def load_index(data, path: str):
         max_seg_len=max_seg,
         dir_bits=dir_bits,
         dir_iters=dir_iters,
+        g_dir_iters=g_dir_iters,
     )
 
 

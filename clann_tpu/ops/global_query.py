@@ -1,0 +1,330 @@
+"""Ball-filtered GLOBAL adaptive LSH — the TPU-first redesign of CLANN.
+
+The reference partitions the dataset into clusters and runs an independent
+PUFFINN search per cluster, visiting clusters in center-distance order with
+a ball-overlap full stop (src/core/index.rs:311-439). That shape is poison
+for a batched accelerator: every (query, cluster) pair pays its own set of
+prefix-range binary searches, and a batch synchronizes at every cluster
+boundary. Measured on v5e, per-cluster `depth_bounds` alone caps the
+clustered walk at a few QPS when the ball bound cannot prune.
+
+This engine keeps BOTH of CLANN's effects but restructures where they act:
+
+- The delta-recall guarantee comes from ONE global PUFFINN adaptive search
+  over hash tables sorted by hash across the whole dataset
+  (collection.hpp:768-948 semantics, one set of range searches per query).
+- The clustering's economic effect — "points that are far apart cannot
+  collide" (src/lib.rs:3-4), i.e. long-tail collisions are not paid for —
+  becomes a PER-CANDIDATE feasibility filter: a candidate from cluster c is
+  dropped before rescoring iff dist(q, center_c) - radius_c > kth_dist,
+  which is exactly the reference's termination predicate
+  (index.rs:342-361) applied to one candidate instead of one cluster.
+  Dropping such a candidate can never change the result: no point of c can
+  beat the current k-th (up to the same cosine triangle-inequality caveat
+  the reference documents).
+- The reference's full stop becomes: done when even the closest ball,
+  min_c (dist(q, center_c) - radius_c), cannot beat kth_dist.
+
+Guarantee: per point p with sim(q, p) >= the termination similarity,
+P(p never collides) <= 1 - delta — the plain PUFFINN bound over the whole
+dataset (independent.hpp:108-119), evaluated with the global k-th best
+(which the clustered form only approximates via max_sim feedback,
+collection.hpp:931-936). The ball filter removes only candidates that
+provably cannot enter the top-k, so the bound is unaffected.
+
+Divergences from the clustered walk (all recall-neutral or better):
+- No per-cluster brute-force tier: every point sits in the global tables,
+  and the guarantee is per-point, independent of its cluster's size.
+- Candidates from infeasible clusters are still *counted* (stats.candidates)
+  but not rescored (stats.distance_computations) — same dc economics the
+  clustering buys the reference.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from clann_tpu.ops.distances import exact_dot, l2_normalize
+from clann_tpu.ops.prefixmap import (
+    candidate_stream,
+    count_leq,
+    depth_bounds,
+    window_range_index,
+)
+from clann_tpu.ops.query import SearchStats, _merge_topk
+
+
+def global_search_batch_impl(
+    index,
+    queries_n: jnp.ndarray,
+    query_hashes: jnp.ndarray,
+    query_sketches: jnp.ndarray,
+    delta: jnp.ndarray,
+    *,
+    k: int,
+    chunk: int,
+    min_depth: int = 1,
+    filter_type: str = "default",
+    filter_expand: int = 8,
+) -> Tuple[jnp.ndarray, jnp.ndarray, SearchStats]:
+    """Search a pre-hashed query batch on the global tables.
+
+    Same contract as ops/query.search_batch_impl; requires the index to be
+    built with global LSH structures (config.lsh_engine == "global").
+    """
+    Q, d = queries_n.shape
+    L = index.g_sorted_hash.shape[0]
+    n = index.vectors.shape[0]
+    D = index.config.max_hashbits
+    S = index.sketches.shape[1]
+    d_entry = int(np.clip(np.ceil(np.log2(max(2, n))) + 2, min_depth, D))
+    window = chunk * filter_expand
+
+    # cluster geometry for the feasibility filter (one matmul)
+    center_dist = jnp.clip(
+        1.0 - exact_dot(queries_n, index.centers.T), 0.0, 2.0
+    )  # (Q, C)
+    feas_bound = center_dist - index.radii[None, :]  # (Q, C)
+    ball_floor = jnp.min(feas_bound, axis=1)  # (Q,) full-stop threshold
+
+    zero = jnp.zeros((Q,), jnp.int32)
+    full_n = jnp.full((Q,), n, jnp.int32)
+    lo, hi = depth_bounds(
+        index.g_sorted_hash, query_hashes, zero, full_n, D,
+        index.g_dir_iters,
+        up_to_depth=d_entry,
+        prefix_dir=index.g_dir,
+        cluster=zero,
+        dir_bits=index.config.global_dir_bits,
+    )  # (Q, L, d_entry+1)
+    starts_s, sizes_s = candidate_stream(
+        lo, hi, query_hashes, D, min_depth, start_depth=d_entry
+    )  # (Q, M)
+    M = sizes_s.shape[1]
+    fc = jnp.cumsum(sizes_s, axis=1)
+    total = fc[:, -1]
+
+    def probs_lookup(depth, sim):
+        bucket = jnp.clip(
+            (sim / index.sim_eps).astype(jnp.int32),
+            0,
+            index.probs_table.shape[1] - 1,
+        )
+        dd = jnp.clip(depth, 0, index.probs_table.shape[0] - 1)
+        return index.probs_table[dd, bucket]
+
+    window_iota = jnp.arange(window, dtype=jnp.int32)
+    rows = jnp.arange(Q, dtype=jnp.int32)[:, None]
+
+    def cond(s):
+        return ~jnp.all(s[2])
+
+    def body(s):
+        topk_sims, topk_ids, qdone, off, dc, cand_ct = s
+
+        pos = off[:, None] + window_iota[None, :]  # (Q, W)
+        valid = (pos < total[:, None]) & (~qdone[:, None])
+        j = jnp.clip(window_range_index(fc, off, window), 0, M - 1)
+        prev = jnp.where(
+            j > 0, jnp.take_along_axis(fc, jnp.maximum(j - 1, 0), axis=1), 0
+        )
+        within = pos - prev
+        slot = jnp.take_along_axis(starts_s, j, axis=1) + within
+        slot = jnp.clip(slot, 0, n - 1)
+        t_sel = j % L
+        sk_idx = t_sel % S
+
+        rec = index.g_records[t_sel, slot]  # (Q, W, 4): id, sk0, sk1, cluster
+        cand_ids = rec[:, :, 0].astype(jnp.int32)
+        cand_sk = rec[:, :, 1:3]
+        cand_cluster = rec[:, :, 3].astype(jnp.int32)
+
+        kth_sim = topk_sims[:, k - 1]
+        full = topk_ids[:, k - 1] >= 0
+        kth_dist = jnp.where(full, 2.0 * (1.0 - kth_sim), jnp.inf)
+
+        maxdiff = index.maxdiff_table[
+            jnp.clip(
+                (kth_sim / index.sim_eps).astype(jnp.int32),
+                0,
+                index.maxdiff_table.shape[0] - 1,
+            )
+        ]
+        q_sk = jnp.take_along_axis(
+            query_sketches, sk_idx[:, :, None], axis=1
+        )
+        ham = jnp.sum(
+            jax.lax.population_count(jnp.bitwise_xor(cand_sk, q_sk)),
+            axis=-1,
+        ).astype(jnp.int32)
+
+        # ball feasibility per candidate (index.rs:342-361 per candidate)
+        feas = (
+            jnp.take_along_axis(feas_bound, cand_cluster, axis=1)
+            <= kth_dist[:, None]
+        )
+        if filter_type == "none":
+            passes = valid & feas
+        else:
+            passes = valid & feas & (ham <= maxdiff[:, None])
+
+        cumpass = jnp.cumsum(passes, axis=1)
+        consumed = jnp.sum(cumpass <= chunk, axis=1)
+        in_window = window_iota[None, :] < consumed[:, None]
+        take = passes & in_window
+        rank = jnp.where(take, cumpass - 1, chunk)
+        compact_ids = jnp.full((Q, chunk + 1), n, jnp.int32)
+        compact_ids = compact_ids.at[rows, rank].set(
+            jnp.where(take, cand_ids, n)
+        )[:, :chunk]
+
+        safe_ids = jnp.clip(compact_ids, 0, n - 1)
+        vecs = index.vectors[safe_ids]
+        dots = jnp.einsum(
+            "qcd,qd->qc",
+            vecs,
+            queries_n,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        sims = jnp.clip((dots + 1.0) * 0.5, 0.0, 1.0)
+
+        topk_sims, topk_ids = _merge_topk(
+            topk_sims, topk_ids, compact_ids, sims, n_sentinel=n
+        )
+
+        dc = dc + jnp.sum(take, axis=1, dtype=jnp.int32)
+        cand_ct = cand_ct + jnp.sum(
+            valid & in_window, axis=1, dtype=jnp.int32
+        )
+
+        off_new = off + consumed
+        exhausted = off_new >= total
+        r_star = count_leq(fc, off_new[:, None])[:, 0]
+        depth_cur = jnp.maximum(d_entry - r_star // L, min_depth)
+        tables_consumed = (r_star % L).astype(jnp.float32)
+
+        kth_sim = topk_sims[:, k - 1]
+        full = topk_ids[:, k - 1] >= 0
+        kth_dist = jnp.where(full, 2.0 * (1.0 - kth_sim), jnp.inf)
+        p_d = probs_lookup(depth_cur, kth_sim)
+        p_d1 = probs_lookup(depth_cur + 1, kth_sim)
+        rest = jnp.where(
+            depth_cur == d_entry,
+            0.0,
+            jnp.maximum(L - tables_consumed, 0.0),
+        )
+        failure = jnp.power(1.0 - p_d, tables_consumed) * jnp.power(
+            1.0 - p_d1, rest
+        )
+        ball_stop = full & (ball_floor > kth_dist)
+        qdone = qdone | (failure <= 1.0 - delta) | exhausted | ball_stop
+
+        return (topk_sims, topk_ids, qdone, off_new, dc, cand_ct)
+
+    init = (
+        jnp.zeros((Q, k), jnp.float32),
+        jnp.full((Q, k), -1, jnp.int32),
+        total <= 0,
+        jnp.zeros((Q,), jnp.int32),
+        jnp.zeros((Q,), jnp.int32),
+        jnp.zeros((Q,), jnp.int32),
+    )
+    topk_sims, topk_ids, _, _, dc, cand_ct = jax.lax.while_loop(
+        cond, body, init
+    )
+
+    # clusters still feasible at the final kth — the analog of
+    # clusters_visited for per-run metrics
+    kth_dist = jnp.where(
+        topk_ids[:, k - 1] >= 0,
+        2.0 * (1.0 - topk_sims[:, k - 1]),
+        jnp.inf,
+    )
+    visited = jnp.sum(
+        feas_bound <= kth_dist[:, None], axis=1, dtype=jnp.int32
+    )
+    return topk_sims, topk_ids, SearchStats(dc, cand_ct, visited)
+
+
+global_search_batch_jit = functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "chunk", "min_depth", "filter_type", "filter_expand",
+    ),
+)(global_search_batch_impl)
+
+
+def global_search(
+    index,
+    queries,
+    k: int = None,
+    delta: float = None,
+    batch_size: int = 1024,
+    filter_type: str = "default",
+) -> Tuple[np.ndarray, np.ndarray, SearchStats]:
+    """Full global-engine search: hash + sketch, one adaptive loop.
+
+    Same contract as ops/query.search (distances ascending, ids, stats).
+    """
+    from clann_tpu.errors import DataError
+
+    if index.g_records is None:
+        raise DataError(
+            "index lacks global LSH structures; build with "
+            "config.lsh_engine='global'"
+        )
+    cfg = index.config
+    k = cfg.k if k is None else k
+    delta = cfg.delta if delta is None else delta
+    source, filterer = index.rebuild_objects()
+
+    q = queries if isinstance(queries, jnp.ndarray) else jnp.asarray(
+        np.asarray(queries, np.float32)
+    )
+    if q.ndim == 1:
+        q = q[None, :]
+    qn = l2_normalize(q.astype(jnp.float32))
+
+    all_sims, all_ids, all_stats = [], [], []
+    for start in range(0, qn.shape[0], batch_size):
+        block = qn[start : start + batch_size]
+        pad = 0
+        if block.shape[0] < batch_size and qn.shape[0] > batch_size:
+            pad = batch_size - block.shape[0]
+            block = jnp.pad(block, ((0, pad), (0, 0)))
+        qh = source.hash(block)
+        qs = filterer.sketch(block)
+        sims, ids, stats = global_search_batch_jit(
+            index,
+            block,
+            qh,
+            qs,
+            jnp.float32(delta),
+            k=k,
+            chunk=cfg.candidate_chunk,
+            min_depth=cfg.min_depth,
+            filter_type=filter_type,
+            filter_expand=cfg.filter_expand,
+        )
+        if pad:
+            sims, ids = sims[:-pad], ids[:-pad]
+            stats = SearchStats(*(s[:-pad] for s in stats))
+        all_sims.append(np.asarray(sims))
+        all_ids.append(np.asarray(ids))
+        all_stats.append(stats)
+
+    sims = np.concatenate(all_sims, axis=0)
+    ids = np.concatenate(all_ids, axis=0)
+    stats = SearchStats(
+        *(np.concatenate([np.asarray(getattr(s, f)) for s in all_stats])
+          for f in SearchStats._fields)
+    )
+    dists = 2.0 * (1.0 - sims)
+    dists = np.where(ids < 0, np.inf, dists)
+    return dists, ids, stats

@@ -285,6 +285,30 @@ def count_leq(sorted_rows: jnp.ndarray, values: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def window_range_index(
+    fc: jnp.ndarray, off: jnp.ndarray, window: int
+) -> jnp.ndarray:
+    """Range index j for each window position pos = off + w, w < window.
+
+    j_w = #{m : fc[q, m] <= off + w} — the same quantity as
+    count_leq(fc, off[:, None] + arange(window)) but O(M + W) instead of
+    O(W*M): one count for the window start, then a scatter of the (few)
+    range boundaries that fall inside the window plus a cumulative sum.
+    """
+    Q, M = fc.shape
+    j0 = count_leq(fc, off[:, None])[:, 0]  # (Q,)
+    rel = fc - off[:, None]  # (Q, M) boundary position within window
+    # boundary m bumps j for every w >= rel (fc[m] <= off + w  <=>  w >= rel)
+    target = jnp.where((rel > 0) & (rel < window), rel, window)
+    rows = jnp.arange(Q, dtype=jnp.int32)[:, None]
+    bump = (
+        jnp.zeros((Q, window + 1), jnp.int32)
+        .at[rows, target]
+        .add(1)[:, :window]
+    )
+    return j0[:, None] + jnp.cumsum(bump, axis=1)
+
+
 def candidate_stream(
     lo: jnp.ndarray,
     hi: jnp.ndarray,

@@ -1,0 +1,124 @@
+"""Tests for the ball-filtered global adaptive LSH engine.
+
+Contract modeled on the reference's statistical recall tests
+(src/puffinn_binds/puffinn.rs:179-225: observed recall >= 0.8 x expected
+against a brute-force oracle) plus engine-specific invariants: the
+feasibility filter must never drop a candidate that could enter the top-k,
+and results must be reproducible and consistent across engines.
+"""
+
+import numpy as np
+import pytest
+
+from clann_tpu.config import Config
+from clann_tpu.core.index import build_index
+from clann_tpu.data.synthetic import make_synthetic_dataset
+from clann_tpu.metrics.recall import recall_values
+from clann_tpu.ops.global_query import global_search
+from clann_tpu.ops.query import search as clustered_search
+
+
+@pytest.fixture(scope="module")
+def ds():
+    return make_synthetic_dataset(n=6000, d=32, n_queries=80, k_gt=15, seed=11)
+
+
+@pytest.fixture(scope="module")
+def index(ds):
+    cfg = Config(
+        num_tables=12, num_clusters_factor=0.4, k=10, delta=0.9,
+        dataset_name=ds.name, lsh_engine="both", dense_layout=False,
+    )
+    return build_index(ds.train, cfg)
+
+
+class TestGlobalEngine:
+    def test_recall_contract(self, ds, index):
+        """observed >= 0.8 * delta (reference contract, puffinn.rs:217)."""
+        d, i, st = global_search(index, ds.test, k=10, delta=0.9)
+        r, _, _ = recall_values(ds.distances, d, count=10)
+        assert r >= 0.8 * 0.9, r
+
+    def test_deterministic(self, ds, index):
+        d1, i1, _ = global_search(index, ds.test[:20], k=10, delta=0.9)
+        d2, i2, _ = global_search(index, ds.test[:20], k=10, delta=0.9)
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_array_equal(d1, d2)
+
+    def test_results_sorted_and_valid(self, ds, index):
+        d, i, _ = global_search(index, ds.test[:20], k=10, delta=0.9)
+        n = ds.train.shape[0]
+        assert ((i >= -1) & (i < n)).all()
+        finite = np.where(np.isfinite(d), d, 10.0)
+        assert (np.diff(finite, axis=1) >= -1e-6).all()
+
+    def test_dc_not_more_than_clustered(self, ds, index):
+        """The ball filter should give the global engine the clustered
+        engine's dc economy (it cannot exceed an unfiltered global scan,
+        and typically spends less than the per-cluster walk because the
+        global k-th best tightens earlier)."""
+        _, _, st_g = global_search(index, ds.test, k=10, delta=0.9)
+        _, _, st_c = clustered_search(index, ds.test, k=10, delta=0.9)
+        assert st_g.distance_computations.mean() <= (
+            2.0 * st_c.distance_computations.mean()
+        )
+
+    def test_higher_delta_more_work_and_recall(self, ds, index):
+        d_lo, _, st_lo = global_search(index, ds.test, k=10, delta=0.5)
+        d_hi, _, st_hi = global_search(index, ds.test, k=10, delta=0.98)
+        r_lo, _, _ = recall_values(ds.distances, d_lo, count=10)
+        r_hi, _, _ = recall_values(ds.distances, d_hi, count=10)
+        assert st_hi.distance_computations.mean() >= (
+            st_lo.distance_computations.mean()
+        )
+        assert r_hi >= r_lo - 0.02
+
+    def test_filter_none_superset(self, ds, index):
+        """filter_type='none' scores every feasible candidate — recall
+        must not drop vs the sketch-filtered default."""
+        d_f, _, _ = global_search(
+            index, ds.test[:40], k=10, delta=0.9, filter_type="default"
+        )
+        d_n, _, _ = global_search(
+            index, ds.test[:40], k=10, delta=0.9, filter_type="none"
+        )
+        r_f, _, _ = recall_values(ds.distances[:40], d_f, count=10)
+        r_n, _, _ = recall_values(ds.distances[:40], d_n, count=10)
+        assert r_n >= r_f - 0.02
+
+
+class TestGlobalRoundTrip:
+    def test_save_load_identical(self, ds, index, tmp_path):
+        from clann_tpu.io.h5 import load_index, save_index
+
+        p = save_index(index, str(tmp_path))
+        idx2 = load_index(ds.train, p)
+        assert idx2.g_records is not None
+        d1, i1, _ = global_search(index, ds.test[:20], k=10, delta=0.9)
+        d2, i2, _ = global_search(idx2, ds.test[:20], k=10, delta=0.9)
+        np.testing.assert_array_equal(i1, i2)
+
+
+class TestApiDispatch:
+    def test_mode_dispatch(self, ds):
+        import clann_tpu
+
+        cfg = Config(
+            num_tables=8, num_clusters_factor=0.3, k=10, delta=0.9,
+            dataset_name=ds.name, lsh_engine="global",
+        )
+        h = clann_tpu.init_with_config(ds.train, cfg)
+        clann_tpu.build(h)
+        d, i, st = h.search_batch(ds.test[:10], mode="lsh")  # -> global
+        assert d.shape == (10, 10)
+        d2, i2, _ = h.search_batch(ds.test[:10], mode="lsh-clustered")
+        assert d2.shape == (10, 10)
+        with pytest.raises(Exception):
+            # global structures absent when engine is clustered-only
+            cfg2 = Config(
+                num_tables=8, num_clusters_factor=0.3, k=10, delta=0.9,
+                dataset_name=ds.name, lsh_engine="clustered",
+            )
+            h2 = clann_tpu.init_with_config(ds.train, cfg2)
+            clann_tpu.build(h2)
+            h2.search_batch(ds.test[:4], mode="lsh-global")
