@@ -108,6 +108,13 @@ class ClusteredIndex:
     g_sorted_hash: Optional[jnp.ndarray] = None  # (L, n) uint32
     g_records: Optional[jnp.ndarray] = None  # (L, n, 4) uint32
     g_dir: Optional[jnp.ndarray] = None  # (L, 1, 2^global_dir_bits+1) int32
+    # --- per-cluster function parameters (bit-faithful reference import,
+    # io/interop.py): the reference samples independent hash/sketch
+    # functions per cluster (typedefs.hpp:17-22 global RNG per PUFFINN
+    # build); these stacked params let queries be hashed with each
+    # cluster's own functions so imported tables are used as-is. ---
+    pc_hash_params: Any = None  # pytree with leading C dim
+    pc_sketch_params: Any = None  # pytree with leading C dim
     # --- static metadata ---
     config: Config = flax.struct.field(pytree_node=False, default=None)
     metric: str = flax.struct.field(pytree_node=False, default="angular")

@@ -8,12 +8,16 @@ cluster ("index_{id}", libpuffinn-ffi/c_binder.cpp:106-146), using the
 native codec (native/codec.cpp) for the binary streams.
 
 Import semantics: the reference samples independent hash functions per
-cluster from a global RNG; our engine shares one function set across
-clusters (core/index.py design note). Importing therefore REBUILDS the
-tables from the vectors embedded in the blobs with shared functions —
-cluster geometry, assignments, radii and the delta-recall guarantee are
-preserved; per-table hash values are not (they are an implementation
-detail, not part of the search contract).
+cluster from a global RNG. The default import is BIT-FAITHFUL: the
+per-cluster tables, sketches, hash planes / FHT sign diagonals are taken
+from the blobs as-is, and queries are hashed with each cluster's own
+functions (ClusteredIndex.pc_hash_params / pc_sketch_params — the query
+engine selects the current cluster's hashes per rank). The only
+arithmetic divergence is f32 evaluation of the Q15 planes instead of the
+reference's i16 mulhrs dot (math.hpp:11-34), which can flip a hash bit
+only on rounding-edge ties. `rebuild=True` restores the previous
+behaviour: re-hash everything with shared functions (cluster geometry
+and the delta guarantee preserved; table bits not).
 
 Export (`save_reference_h5`) emits fully reference-loadable files for
 SimHash-family indexes: per-cluster streams with localized ids, Q15
@@ -55,8 +59,29 @@ def parse_reference_config(config_json: str) -> Config:
     )
 
 
+def _parse_blob(blob: bytes):
+    """Parse a blob, auto-detecting the hash family.
+
+    Returns (parsed, family_name)."""
+    from clann_tpu.io.refcodec import (
+        FAMILY_FHT_CROSS_POLYTOPE,
+        parse_reference_stream,
+    )
+
+    try:
+        return parse_reference_stream(blob), "simhash"
+    except SerializeError:
+        return (
+            parse_reference_stream(blob, family=FAMILY_FHT_CROSS_POLYTOPE),
+            "fht_cross_polytope",
+        )
+
+
 def load_reference_h5(
-    path: str, data=None, config: Optional[Config] = None
+    path: str,
+    data=None,
+    config: Optional[Config] = None,
+    rebuild: bool = False,
 ):
     """Load a reference-written index file into a ClusteredIndex.
 
@@ -64,12 +89,13 @@ def load_reference_h5(
     requires (src/lib.rs:22). It may be omitted when every cluster has a
     PUFFINN blob: the Q15 vectors embedded in the blobs are then
     reassembled instead (brute-force clusters carry no blob, so their
-    vectors only exist in the caller's dataset). Tables are rebuilt with
-    shared hash functions (see module docstring).
+    vectors only exist in the caller's dataset).
+
+    Default: bit-faithful import (module docstring). `rebuild=True`
+    re-hashes with shared functions instead.
     """
     h5py = _require_h5py()
     from clann_tpu.core.index import build_index
-    from clann_tpu.io.refcodec import parse_reference_stream
 
     if not os.path.exists(path):
         raise SerializeError(f"index file {path} not found")
@@ -88,41 +114,60 @@ def load_reference_h5(
             if name in f:
                 blobs[c["idx"]] = np.asarray(f[name], dtype=np.uint8).tobytes()
     cfg = config or parse_reference_config(cfg_json)
+    clusters = sorted(clusters, key=lambda c: c["idx"])
 
-    if data is not None:
-        return build_index(np.asarray(data, np.float32), cfg)
-
-    # No dataset supplied: reassemble it in original order from the Q15
-    # vectors embedded in the per-cluster blobs.
     total = sum(len(c.get("assignment", [])) for c in clusters)
     if total == 0:
         raise SerializeError(
-            "reference file has no assignment lists; cannot reassemble "
-            "the dataset"
+            "reference file has no assignment lists; cannot reconstruct "
+            "cluster geometry"
         )
+
+    parsed_blobs = {}
+    family_name = None
+    for c in clusters:
+        if c["idx"] in blobs:
+            parsed, fam = _parse_blob(blobs[c["idx"]])
+            parsed_blobs[c["idx"]] = parsed
+            if family_name is None:
+                family_name = fam
+            elif family_name != fam:
+                raise SerializeError("mixed hash families across clusters")
+
+    vectors = _resolve_vectors(clusters, parsed_blobs, data, total)
+
+    if rebuild:
+        return build_index(vectors, cfg)
+    return _load_faithful(clusters, parsed_blobs, cfg, vectors, family_name)
+
+
+def _resolve_vectors(clusters, parsed_blobs, data, total) -> np.ndarray:
+    """Caller-supplied dataset, or Q15 vectors reassembled from blobs."""
+    if data is not None:
+        x = np.asarray(data, np.float32)
+        if x.shape[0] != total:
+            raise SerializeError(
+                f"dataset has {x.shape[0]} points but the index file lists "
+                f"{total} (reference contract, src/lib.rs:22)"
+            )
+        return x
     dims = None
     vectors = None
     for c in clusters:
         assignment = c.get("assignment", [])
-        if c["idx"] in blobs:
-            try:
-                parsed = parse_reference_stream(blobs[c["idx"]])
-            except SerializeError:
-                from clann_tpu.io.refcodec import FAMILY_FHT_CROSS_POLYTOPE
-
-                parsed = parse_reference_stream(
-                    blobs[c["idx"]], family=FAMILY_FHT_CROSS_POLYTOPE
-                )
-            if dims is None:
-                dims = parsed.dims
-                vectors = np.zeros((total, dims), np.float32)
-            v = parsed.vectors[:, :dims]
-            if len(assignment) != v.shape[0]:
-                raise SerializeError(
-                    f"cluster {c['idx']}: blob has {v.shape[0]} vectors but "
-                    f"assignment lists {len(assignment)}"
-                )
-            vectors[np.asarray(assignment, dtype=np.int64)] = v
+        parsed = parsed_blobs.get(c["idx"])
+        if parsed is None:
+            continue
+        if dims is None:
+            dims = parsed.dims
+            vectors = np.zeros((total, dims), np.float32)
+        v = parsed.vectors[:, :dims]
+        if len(assignment) != v.shape[0]:
+            raise SerializeError(
+                f"cluster {c['idx']}: blob has {v.shape[0]} vectors but "
+                f"assignment lists {len(assignment)}"
+            )
+        vectors[np.asarray(assignment, dtype=np.int64)] = v
     if vectors is None:
         raise SerializeError(
             "no PUFFINN blobs found (all clusters brute-force?); "
@@ -130,13 +175,245 @@ def load_reference_h5(
         )
     missing = np.where(~vectors.any(axis=1))[0]
     if len(missing):
-        # brute-force clusters have no blob; their vectors are unavailable
         raise SerializeError(
             f"{len(missing)} points belong to brute-force clusters whose "
             "vectors are not stored in the reference file; supply the "
-            "original dataset and use clann_tpu.init_with_config instead"
+            "original dataset instead"
         )
-    return build_index(vectors, cfg)
+    return vectors
+
+
+def _load_faithful(clusters, parsed_blobs, cfg: Config, vectors, family_name):
+    """Assemble a ClusteredIndex directly from reference blobs.
+
+    Tables, sketches and hash functions are taken bit-for-bit from the
+    file; queries will be hashed with each cluster's own functions
+    (pc_hash_params / pc_sketch_params, consumed by ops/query.py).
+    """
+    import dataclasses as _dc
+
+    import jax
+    import jax.numpy as jnp
+
+    from clann_tpu.core.index import (
+        ClusteredIndex,
+        build_dense_layout,
+        make_slot_records,
+    )
+    from clann_tpu.io.refcodec import q15_to_f32
+    from clann_tpu.ops.collision import HashSourceProbs
+    from clann_tpu.ops.distances import l2_normalize
+    from clann_tpu.ops.hashing import make_hash_family
+    from clann_tpu.ops.prefixmap import build_prefix_directory
+    from clann_tpu.ops.sketches import SketchFilterer, simhash_p1
+    from clann_tpu.ops.sources import make_hash_source
+
+    if family_name is None:
+        raise SerializeError(
+            "faithful import needs at least one PUFFINN blob"
+        )
+    if cfg.hash_source != "independent":
+        raise SerializeError(
+            "faithful import supports the independent hash source (the "
+            "reference default, collection.hpp:130-131)"
+        )
+    # faithful mode is inherently clustered (each cluster has its own
+    # functions; global hash-sorted tables need one shared set)
+    cfg = _dc.replace(
+        cfg, hash_family=family_name, lsh_engine="clustered"
+    )
+
+    C = len(clusters)
+    n, d = vectors.shape
+    L = cfg.num_tables
+
+    members_per = [
+        np.asarray(c.get("assignment", []), np.int64) for c in clusters
+    ]
+    sizes = np.asarray([len(m) for m in members_per], np.int64)
+    starts = np.zeros(C + 1, np.int32)
+    starts[1:] = np.cumsum(sizes).astype(np.int32)
+    assignment = np.zeros(n, np.int32)
+    for c, m in enumerate(members_per):
+        assignment[m] = c
+
+    sorted_hash = np.zeros((L, n), np.uint32)
+    sorted_idx = np.zeros((L, n), np.int32)
+    sketches64 = np.zeros((n, cfg.num_sketches), np.uint64)
+    for c, cj in enumerate(clusters):
+        lo, hi = int(starts[c]), int(starts[c + 1])
+        members = members_per[c]
+        parsed = parsed_blobs.get(cj["idx"])
+        if parsed is None:
+            # brute cluster: no tables; fill slots in member order with
+            # zero hashes (never consulted — is_brute short-circuits)
+            for t in range(L):
+                sorted_idx[t, lo:hi] = members
+            continue
+        if len(parsed.map_hashes) != L:
+            raise SerializeError(
+                f"cluster {cj['idx']}: blob has {len(parsed.map_hashes)} "
+                f"tables, config says {L}"
+            )
+        for t in range(L):
+            mh = parsed.map_hashes[t]
+            mi = parsed.map_indices[t]
+            if len(mh) != hi - lo:
+                raise SerializeError(
+                    f"cluster {cj['idx']} table {t}: {len(mh)} entries for "
+                    f"{hi - lo} points"
+                )
+            sorted_hash[t, lo:hi] = mh
+            sorted_idx[t, lo:hi] = members[mi]
+        if parsed.sketches is not None:
+            sketches64[members] = parsed.sketches
+
+    # u64 -> (S, 2) u32 words, MSB word first (ops/sketches.py pack order)
+    sketches = np.stack(
+        [
+            (sketches64 >> np.uint64(32)).astype(np.uint32),
+            (sketches64 & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+        ],
+        axis=2,
+    )
+
+    # per-cluster function parameters (zeros for brute clusters)
+    def stack_params(get_rows, shape):
+        out = np.zeros((C,) + shape, np.float32)
+        for c, cj in enumerate(clusters):
+            parsed = parsed_blobs.get(cj["idx"])
+            if parsed is not None:
+                out[c] = get_rows(parsed)
+        return out
+
+    first = next(iter(parsed_blobs.values()))
+    sk_f = first.sketch_planes.shape[0]
+    pc_sketch_params = {
+        "dirs": stack_params(
+            lambda p: q15_to_f32(p.sketch_planes[:, :d]), (sk_f, d)
+        )
+    }
+    if family_name == "simhash":
+        hash_f = first.hash_planes.shape[0]
+        pc_hash_params = {
+            "dirs": stack_params(
+                lambda p: q15_to_f32(p.hash_planes[:, :d]), (hash_f, d)
+            )
+        }
+    else:
+        # FHT cross-polytope: +-1 sign diagonals per function
+        sg0 = first.fht_signs
+        pc_hash_params = {
+            "signs": stack_params(
+                lambda p: p.fht_signs.astype(np.float32), sg0.shape
+            )
+        }
+
+    xn = l2_normalize(jnp.asarray(vectors, jnp.float32))
+    sorted_hash_dev = jnp.asarray(sorted_hash)
+    sorted_idx_dev = jnp.asarray(sorted_idx)
+    sketches_dev = jnp.asarray(sketches)
+
+    family = make_hash_family(
+        family_name,
+        d,
+        num_rotations=cfg.num_rotations,
+        estimation_repetitions=cfg.estimation_repetitions,
+        estimation_eps=cfg.estimation_eps,
+    )
+    # shared params: fresh sample, only used as rebuild_objects defaults
+    # (queries are hashed with pc params; see ops/query.search)
+    key = jax.random.PRNGKey(cfg.seed)
+    k_hash, k_sketch = jax.random.split(key)
+    source = make_hash_source(
+        cfg.hash_source, family, L, cfg.max_hashbits
+    ).init(k_hash)
+    filterer = SketchFilterer(
+        d, cfg.num_sketches, cfg.sketch_bits
+    ).init(k_sketch)
+
+    probs = HashSourceProbs(family, cfg.max_hashbits, sim_eps=5e-3)
+    n_buckets = probs.table.shape[1]
+    sims = np.arange(n_buckets, dtype=np.float32) * probs.sim_eps
+    maxdiff = np.round(
+        cfg.sketch_bits * (1.0 - np.asarray(simhash_p1(sims)))
+    ).astype(np.int32)
+
+    max_seg = int(sizes.max()) if len(sizes) else 0
+    prefix_dir = None
+    dir_bits = 0
+    dir_iters = 0
+    if cfg.prefix_dir_bits > 0 and max_seg > 1:
+        dir_bits = min(cfg.prefix_dir_bits, cfg.max_hashbits)
+        prefix_dir = build_prefix_directory(
+            sorted_hash_dev,
+            jnp.asarray(starts),
+            dir_bits,
+            int(np.ceil(np.log2(max(2, max_seg)))) + 1,
+            cfg.max_hashbits,
+        )
+        max_bucket = int(jnp.max(prefix_dir[:, :, 1:] - prefix_dir[:, :, :-1]))
+        dir_iters = int(np.ceil(np.log2(max(2, max_bucket)))) + 1
+
+    radii = np.asarray([float(c.get("radius", 0.0)) for c in clusters])
+    center_ids = np.asarray(
+        [int(c.get("center_idx", 0)) for c in clusters], np.int32
+    )
+    brute = np.asarray(
+        [
+            bool(c.get("brute_force", False)) or c["idx"] not in parsed_blobs
+            for c in clusters
+        ]
+    )
+
+    dense = (
+        build_dense_layout(
+            xn,
+            np.asarray(sorted_idx[0]),
+            starts,
+            xn[jnp.asarray(center_ids)],
+            radii,
+            cfg.dense_seg_cap,
+        )
+        if cfg.dense_layout
+        else None
+    )
+
+    return ClusteredIndex(
+        vectors=xn,
+        sorted_hash=sorted_hash_dev,
+        sorted_idx=sorted_idx_dev,
+        sketches=sketches_dev,
+        slot_records=(
+            make_slot_records(sorted_idx_dev, sketches_dev)
+            if cfg.pack_slot_records
+            else None
+        ),
+        prefix_dir=prefix_dir,
+        pc_hash_params=jax.tree_util.tree_map(
+            jnp.asarray, pc_hash_params
+        ),
+        pc_sketch_params=jax.tree_util.tree_map(
+            jnp.asarray, pc_sketch_params
+        ),
+        cluster_starts=jnp.asarray(starts),
+        centers=xn[jnp.asarray(center_ids)],
+        center_ids=jnp.asarray(center_ids),
+        radii=jnp.asarray(radii, jnp.float32),
+        brute=jnp.asarray(brute),
+        assignment=jnp.asarray(assignment),
+        hash_params=source.params,
+        sketch_params=filterer.params,
+        probs_table=jnp.asarray(probs.table),
+        maxdiff_table=jnp.asarray(maxdiff),
+        **(dense or {}),
+        config=cfg,
+        metric="angular",
+        sim_eps=probs.sim_eps,
+        max_seg_len=max_seg,
+        dir_bits=dir_bits,
+        dir_iters=dir_iters,
+    )
 
 
 def save_reference_h5(index, path: str) -> str:

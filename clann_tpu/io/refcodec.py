@@ -112,6 +112,11 @@ def load_library() -> ctypes.CDLL:
     lib.clann_ref_hash_fn_plane.argtypes = [
         ctypes.c_void_p, ctypes.c_uint32, ctypes.POINTER(ctypes.c_uint32),
     ]
+    lib.clann_ref_hash_fn_signs.restype = ctypes.POINTER(ctypes.c_int8)
+    lib.clann_ref_hash_fn_signs.argtypes = [
+        ctypes.c_void_p, ctypes.c_uint32, ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_uint32),
+    ]
     lib.clann_ref_source_info.argtypes = [
         ctypes.c_void_p] + [ctypes.POINTER(ctypes.c_uint32)] * 4
 
@@ -172,6 +177,7 @@ class ReferenceIndexData:
         self.hash_lengths: list = []
         self.sketch_planes: Optional[np.ndarray] = None  # (F, storage_len) i16
         self.hash_planes: Optional[np.ndarray] = None  # (F, storage_len) i16
+        self.fht_signs: Optional[np.ndarray] = None  # (F, R, 2^log_dims) i8
         self.num_hashers = 0
         self.functions_per_hasher = 0
         self.bits_to_cut = 0
@@ -259,6 +265,21 @@ def parse_reference_stream(
             out.hash_planes = planes(
                 lib.clann_ref_num_hash_fns, lib.clann_ref_hash_fn_plane
             )
+        else:
+            rows = []
+            for fi in range(lib.clann_ref_num_hash_fns(h)):
+                log_dims = ctypes.c_int32()
+                rotations = ctypes.c_uint32()
+                ptr = lib.clann_ref_hash_fn_signs(
+                    h, fi, ctypes.byref(log_dims), ctypes.byref(rotations)
+                )
+                rows.append(
+                    np.ctypeslib.as_array(
+                        ptr,
+                        shape=(rotations.value, 1 << log_dims.value),
+                    ).copy()
+                )
+            out.fht_signs = np.stack(rows) if rows else None
         nh = ctypes.c_uint32()
         fph = ctypes.c_uint32()
         bpf = ctypes.c_uint32()

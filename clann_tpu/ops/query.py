@@ -125,6 +125,11 @@ def search_batch_impl(
     queries_n: (Q, d) L2-normalized; query_hashes: (Q, L) uint32;
     query_sketches: (Q, S, W) uint32.
 
+    Per-cluster function mode (bit-faithful reference import): pass
+    query_hashes as (Q, C, L) and query_sketches as (Q, C, S, W) — the
+    hashes/sketches computed with each cluster's own functions; the walk
+    then selects the current cluster's row per rank.
+
     Traceable (un-jitted) so it can be inlined under shard_map
     (clann_tpu/parallel/sharded.py); use `search_batch_jit` directly.
     """
@@ -134,6 +139,7 @@ def search_batch_impl(
     C = index.centers.shape[0]
     D = index.config.max_hashbits
     S = index.sketches.shape[1]
+    per_cluster = query_hashes.ndim == 3  # (Q, C, L) faithful-import mode
     max_seg = index.max_seg_len or n
     n_iters = max(1, int(np.ceil(np.log2(max(2, max_seg)))) + 1)
     # entry depth: deeper prefixes than log2(max segment)+2 have ~no
@@ -159,7 +165,9 @@ def search_batch_impl(
         dd = jnp.clip(depth, 0, index.probs_table.shape[0] - 1)
         return index.probs_table[dd, bucket]
 
-    def inner_cluster_search(topk_sims, topk_ids, active, cluster, dc, cand_ct):
+    def inner_cluster_search(
+        topk_sims, topk_ids, active, cluster, dc, cand_ct, qh, qs
+    ):
         """Adaptive LSH scan of each query's current cluster.
 
         Stream formulation: the full (depth-major) sequence of revealed
@@ -175,7 +183,7 @@ def search_batch_impl(
         is_brute = index.brute[cluster] | (seg_len < 100)  # collection.hpp:550-554
         use_dir = index.prefix_dir is not None and index.dir_bits > 0
         lo, hi = depth_bounds(
-            index.sorted_hash, query_hashes, seg_lo, seg_hi, D,
+            index.sorted_hash, qh, seg_lo, seg_hi, D,
             index.dir_iters if use_dir else n_iters,
             up_to_depth=d_entry,
             prefix_dir=index.prefix_dir if use_dir else None,
@@ -183,7 +191,7 @@ def search_batch_impl(
             dir_bits=index.dir_bits if use_dir else 0,
         )  # (Q, L, d_entry+1)
         starts_s, sizes_s = candidate_stream(
-            lo, hi, query_hashes, D, min_depth, start_depth=d_entry
+            lo, hi, qh, D, min_depth, start_depth=d_entry
         )  # (Q, M), depth-major descending from d_entry
         # Brute clusters: a single range covering the whole segment on
         # table 0 (reference: index.rs:666-685 brute_force per cluster).
@@ -237,7 +245,7 @@ def search_batch_impl(
                 )
             ]  # (Q,)
             q_sk = jnp.take_along_axis(
-                query_sketches, sk_idx[:, :, None], axis=1
+                qs, sk_idx[:, :, None], axis=1
             )  # (Q, W, Wd)
             ham = jnp.sum(
                 jax.lax.population_count(jnp.bitwise_xor(cand_sk, q_sk)),
@@ -335,8 +343,17 @@ def search_batch_impl(
         done = s.done | newly_done
 
         active = ~done
+        if per_cluster:
+            qh = jnp.take_along_axis(
+                query_hashes, cluster[:, None, None], axis=1
+            )[:, 0]
+            qs = jnp.take_along_axis(
+                query_sketches, cluster[:, None, None, None], axis=1
+            )[:, 0]
+        else:
+            qh, qs = query_hashes, query_sketches
         topk_sims, topk_ids, dc, cand = inner_cluster_search(
-            s.topk_sims, s.topk_ids, active, cluster, dc, s.cand
+            s.topk_sims, s.topk_ids, active, cluster, dc, s.cand, qh, qs
         )
         visited = s.visited + active.astype(jnp.int32)
         return _OuterState(
@@ -398,8 +415,25 @@ def search(
         if block.shape[0] < batch_size and qn.shape[0] > batch_size:
             pad = batch_size - block.shape[0]
             block = jnp.pad(block, ((0, pad), (0, 0)))
-        qh = source.hash(block)
-        qs = filterer.sketch(block)
+        if index.pc_hash_params is not None:
+            # bit-faithful import: hash/sketch with every cluster's own
+            # functions upfront (batched MXU matmuls over all clusters);
+            # the walk then selects the current cluster's row per rank
+            qh = jnp.transpose(
+                jax.vmap(lambda p: source.hash_with(p, block))(
+                    index.pc_hash_params
+                ),
+                (1, 0, 2),
+            )  # (Q, C, L)
+            qs = jnp.transpose(
+                jax.vmap(lambda p: filterer.sketch_with(p, block))(
+                    index.pc_sketch_params
+                ),
+                (1, 0, 2, 3),
+            )  # (Q, C, S, W)
+        else:
+            qh = source.hash(block)
+            qs = filterer.sketch(block)
         sims, ids, stats = search_batch_jit(
             index,
             block,

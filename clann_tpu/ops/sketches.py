@@ -65,7 +65,12 @@ class SketchFilterer:
         One (n, d) @ (d, num_sketches*bits) matmul + sign + bit-pack; the
         reference loops point-by-point under OpenMP (filterer.hpp:87-96).
         """
-        bits = self.family.hash(self.params, x)  # (n, S*B) of {0,1}
+        return self.sketch_with(self.params, x)
+
+    def sketch_with(self, params, x: jnp.ndarray) -> jnp.ndarray:
+        """sketch() with explicit plane parameters (per-cluster faithful
+        import, io/interop.py)."""
+        bits = self.family.hash(params, x)  # (n, S*B) of {0,1}
         n = bits.shape[0]
         bits = bits.reshape(n, self.num_sketches, self.sketch_bits)
         return pack_bits_u32(bits)  # (n, S, words)

@@ -61,7 +61,12 @@ class IndependentHashSource:
 
     def hash(self, x: jnp.ndarray) -> jnp.ndarray:
         """(n, L) uint32 concatenated hashes (independent.hpp:70-87)."""
-        h = self.family.hash(self.params, x)  # (n, L*fph)
+        return self.hash_with(self.params, x)
+
+    def hash_with(self, params, x: jnp.ndarray) -> jnp.ndarray:
+        """hash() with explicit function parameters (used by the
+        per-cluster faithful-import path, io/interop.py)."""
+        h = self.family.hash(params, x)  # (n, L*fph)
         n = h.shape[0]
         h = h.reshape(n, self.num_hashers, self.functions_per_hasher)
         return _combine_bits(

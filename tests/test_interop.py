@@ -120,6 +120,77 @@ class TestStreamRoundTrip:
         assert parsed.map_hashes[0].max() < (1 << 24)
 
 
+class TestFaithfulImport:
+    @pytest.mark.parametrize("fam", ["simhash", "fht_cross_polytope"])
+    def test_bit_faithful_round_trip(self, fam, tmp_path):
+        """Default import takes tables/sketches/functions from the blobs
+        bit-for-bit; queries hash with each cluster's own functions and
+        reproduce the stored table hashes exactly."""
+        import jax
+
+        from clann_tpu.data.synthetic import make_synthetic_dataset
+
+        ds = make_synthetic_dataset(n=3000, d=25, n_queries=40, k_gt=15, seed=5)
+        cfg = Config(
+            num_tables=8, num_clusters_factor=0.35, k=10, delta=0.9,
+            dataset_name=ds.name, hash_family=fam, dense_layout=False,
+        )
+        idx = build_index(ds.train, cfg)
+        p = str(tmp_path / "ref.h5")
+        save_reference_h5(idx, p)
+        imp = load_reference_h5(p, data=ds.train)
+
+        assert imp.pc_hash_params is not None
+        brute = np.asarray(idx.brute)
+        starts = np.asarray(idx.cluster_starts)
+        src, _ = imp.rebuild_objects()
+        for c in range(len(brute)):
+            if brute[c]:
+                continue
+            lo, hi = int(starts[c]), int(starts[c + 1])
+            # tables + sketches bit-identical per non-brute cluster
+            np.testing.assert_array_equal(
+                np.asarray(idx.sorted_hash)[:, lo:hi],
+                np.asarray(imp.sorted_hash)[:, lo:hi],
+            )
+            np.testing.assert_array_equal(
+                np.asarray(idx.sorted_idx)[:, lo:hi],
+                np.asarray(imp.sorted_idx)[:, lo:hi],
+            )
+            # query hashing with cluster c's imported functions reproduces
+            # the stored hashes for that cluster's own points
+            pts = np.asarray(imp.sorted_idx)[0, lo:hi]
+            params_c = jax.tree_util.tree_map(
+                lambda a: a[c], imp.pc_hash_params
+            )
+            qh = np.asarray(src.hash_with(params_c, imp.vectors[pts]))
+            match = (
+                qh[:, 0] == np.asarray(imp.sorted_hash)[0, lo:hi]
+            ).mean()
+            assert match > 0.99, (c, match)
+
+        # faithful search produces sane results at the delta contract
+        d1, i1, _ = search(imp, ds.test, k=10, delta=0.9)
+        r1 = recall_by_ids(ds.neighbors, i1, count=10)
+        assert r1 >= 0.7 * 0.9
+
+    def test_rebuild_mode(self, tmp_path):
+        from clann_tpu.data.synthetic import make_synthetic_dataset
+
+        ds = make_synthetic_dataset(n=2000, d=16, n_queries=20, k_gt=15, seed=6)
+        cfg = Config(
+            num_tables=6, num_clusters_factor=0.3, k=10, delta=0.9,
+            dataset_name=ds.name, dense_layout=False,
+        )
+        idx = build_index(ds.train, cfg)
+        p = str(tmp_path / "ref.h5")
+        save_reference_h5(idx, p)
+        imp = load_reference_h5(p, data=ds.train, rebuild=True)
+        assert imp.pc_hash_params is None  # shared functions, rebuilt
+        d1, i1, _ = search(imp, ds.test, k=10, delta=0.9)
+        assert d1.shape == (20, 10)
+
+
 class TestReferenceConfig:
     def test_parse_rust_serde_json(self):
         cfg = parse_reference_config(
