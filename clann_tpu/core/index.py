@@ -336,6 +336,7 @@ def build_index(
     metric: str = "angular",
     n_clusters: Optional[int] = None,
     hash_block: int = 8192,
+    gmm_mesh=None,
 ) -> ClusteredIndex:
     """Build the clustered index (reference: src/core/index.rs:177-289).
 
@@ -372,8 +373,18 @@ def build_index(
             "(SURVEY.md §2.1: EuclideanData not wired to PUFFINN)"
         )
 
-    # 1-2. clustering + geometry
-    centers_idx, assignment, radii = greedy_minimum_maximum(xn, n_clusters, metric)
+    # 1-2. clustering + geometry (the O(n*k) hot stage; shard it over a
+    # mesh for builds beyond one chip — bit-identical to single-device)
+    if gmm_mesh is not None:
+        from clann_tpu.parallel.gmm import sharded_gmm
+
+        centers_idx, assignment, radii = sharded_gmm(
+            xn, n_clusters, mesh=gmm_mesh, metric=metric
+        )
+    else:
+        centers_idx, assignment, radii = greedy_minimum_maximum(
+            xn, n_clusters, metric
+        )
     n_clusters = len(centers_idx)  # may shrink in the degenerate n <= k case
     sizes = np.bincount(assignment, minlength=n_clusters)
     starts = np.zeros(n_clusters + 1, dtype=np.int32)

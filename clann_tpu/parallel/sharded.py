@@ -319,9 +319,11 @@ def dryrun(n_devices: int) -> None:
         seed=0,
     )
     train = clustered_unit_vectors(512, 16, n_modes=max(8, 2 * n_devices), seed=0)
-    index = build_index(train, cfg)
-    sharded = shard_index(index, n_devices)
     mesh = make_mesh(n_devices)
+    # mesh-sharded GMM build stage (parallel/gmm.py) — bit-identical to
+    # the single-device path, exercised here as part of the dry run
+    index = build_index(train, cfg, gmm_mesh=mesh)
+    sharded = shard_index(index, n_devices)
     queries = random_unit_vectors(32, 16, seed=1)
     # adaptive LSH path over the mesh
     dists, ids, stats = sharded_search(sharded, queries, mesh=mesh)

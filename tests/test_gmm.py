@@ -63,3 +63,43 @@ class TestGMM:
         best = dmat.min(axis=1)
         got = dmat[np.arange(len(x)), assignment]
         np.testing.assert_allclose(got, best, atol=1e-5)
+
+
+class TestShardedGMM:
+    """Mesh-sharded GMM (parallel/gmm.py) must be bit-identical to the
+    single-device path on the virtual 8-device CPU mesh."""
+
+    @pytest.mark.parametrize("n,k", [(1000, 13), (999, 20), (513, 7)])
+    def test_matches_single_device(self, n, k):
+        from clann_tpu.ops.gmm import greedy_minimum_maximum
+        from clann_tpu.parallel.gmm import sharded_gmm
+        from clann_tpu.parallel.mesh import make_mesh
+
+        x = random_unit_vectors(n, 24, seed=n)
+        c1, a1, r1 = greedy_minimum_maximum(x, k)
+        c2, a2, r2 = sharded_gmm(x, k, mesh=make_mesh(8))
+        np.testing.assert_array_equal(c1, c2)
+        np.testing.assert_array_equal(a1, a2)
+        np.testing.assert_allclose(r1, r2, atol=1e-6)
+
+    def test_degenerate(self):
+        from clann_tpu.parallel.gmm import sharded_gmm
+        from clann_tpu.parallel.mesh import make_mesh
+
+        x = random_unit_vectors(5, 8, seed=1)
+        c, a, r = sharded_gmm(x, 9, mesh=make_mesh(8))
+        np.testing.assert_array_equal(c, np.arange(5))
+        assert (r == 0).all()
+
+    def test_build_index_with_mesh(self):
+        from clann_tpu.config import Config
+        from clann_tpu.core.index import build_index
+        from clann_tpu.ops.query import search
+        from clann_tpu.parallel.mesh import make_mesh
+
+        x = clustered_unit_vectors(600, 16, n_modes=8, seed=3)
+        cfg = Config(num_tables=4, num_clusters_factor=0.5, k=5, delta=0.8,
+                     dataset_name="t", hash_family="simhash")
+        idx = build_index(x, cfg, gmm_mesh=make_mesh(8))
+        d, i, _ = search(idx, x[:8], k=5, delta=0.8)
+        assert d.shape == (8, 5)
