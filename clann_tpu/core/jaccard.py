@@ -153,14 +153,24 @@ def jaccard_search_batch(
     D = cfg.max_hashbits
     S = index.sketches.shape[1]
     n_iters = max(1, int(np.ceil(np.log2(max(2, n)))) + 1)
+    # entry depth: prefixes deeper than log2(n)+2 have ~no candidates —
+    # enter the peel walk where candidates start existing (the state the
+    # reference reaches after burning through the empty depths; same cap
+    # as the angular engines, ops/query.py)
+    d_entry = int(np.clip(np.ceil(np.log2(max(2, n))) + 2, min_depth, D))
 
     qbm = _query_bitmaps(query_tokens, index.universe)  # (Q, Wu)
     q_sizes = jnp.sum(query_tokens >= 0, axis=1).astype(jnp.float32)
 
     seg_lo = jnp.zeros((Q,), jnp.int32)
     seg_hi = jnp.full((Q,), n, jnp.int32)
-    lo, hi = depth_bounds(index.sorted_hash, qh, seg_lo, seg_hi, D, n_iters)
-    starts_s, sizes_s = candidate_stream(lo, hi, qh, D, min_depth)
+    lo, hi = depth_bounds(
+        index.sorted_hash, qh, seg_lo, seg_hi, D, n_iters,
+        up_to_depth=d_entry,
+    )
+    starts_s, sizes_s = candidate_stream(
+        lo, hi, qh, D, min_depth, start_depth=d_entry
+    )
     fc = jnp.cumsum(sizes_s, axis=1)
     M = fc.shape[1]
     total = fc[:, -1]
@@ -231,7 +241,7 @@ def jaccard_search_batch(
 
         off_new = off + chunk
         r_star = count_leq(fc, off_new[:, None])[:, 0]
-        depth_cur = jnp.maximum(D - r_star // L, min_depth)
+        depth_cur = jnp.maximum(d_entry - r_star // L, min_depth)
         tables = (r_star % L).astype(jnp.float32)
         kth_sim = topk_sims[:, k - 1]
         bucket = jnp.clip(
@@ -241,7 +251,9 @@ def jaccard_search_batch(
         )
         p_d = index.probs_table[jnp.clip(depth_cur, 0, D + 1), bucket]
         p_d1 = index.probs_table[jnp.clip(depth_cur + 1, 0, D + 1), bucket]
-        rest = jnp.where(depth_cur == D, 0.0, jnp.maximum(L - tables, 0.0))
+        rest = jnp.where(
+            depth_cur == d_entry, 0.0, jnp.maximum(L - tables, 0.0)
+        )
         failure = jnp.power(1.0 - p_d, tables) * jnp.power(1.0 - p_d1, rest)
         qdone = qdone | (failure <= 1.0 - delta) | (off_new >= total)
         return (topk_sims, topk_ids, qdone, off_new, dc, cand_ct)
