@@ -70,6 +70,14 @@ class ShardedIndex:
     metric: str = flax.struct.field(pytree_node=False, default="angular")
     sim_eps: float = flax.struct.field(pytree_node=False, default=5e-3)
     max_seg_len: int = flax.struct.field(pytree_node=False, default=0)
+    # optional per-shard global-engine structures (ops/global_query.py):
+    # each device's points hash-sorted locally; pad slots carry hash
+    # 0xFFFFFFFF (> any 24-bit prefix key) so range searches never reach
+    # them. None when the index was built without the global engine.
+    g_sorted_hash: Optional[jnp.ndarray] = None  # (D, L, n_max)
+    g_records: Optional[jnp.ndarray] = None  # (D, L, n_max, 4)
+    g_dir: Optional[jnp.ndarray] = None  # (D, L, 1, P+1)
+    g_dir_iters: int = flax.struct.field(pytree_node=False, default=0)
 
     @property
     def n_devices(self) -> int:
@@ -166,8 +174,60 @@ def shard_index(index, n_devices: int) -> ShardedIndex:
         out["cluster_starts"][dev, : len(cs)] = cs
         out["cluster_starts"][dev, len(cs):] = n_local
 
+    # per-shard global-engine structures (hash-sorted over local points)
+    g_fields = {}
+    g_dir_iters = 0
+    if getattr(index, "g_records", None) is not None:
+        from clann_tpu.core.index import make_global_tables, unsort_hashes
+        from clann_tpu.ops.prefixmap import build_prefix_directory
+
+        cfgx = index.config
+        hashes_pt = np.asarray(
+            unsort_hashes(index.sorted_hash, index.sorted_idx)
+        )  # (L, n) per-point hashes
+        gh_list, gr_list, gd_list = [], [], []
+        full_iters = int(np.ceil(np.log2(max(2, n_max)))) + 1
+        for dev, g in enumerate(groups):
+            gids = out["global_ids"][dev]
+            n_local = int((gids >= 0).sum())
+            h_loc = np.full((L, n_max), 0xFFFFFFFF, np.uint32)
+            if n_local:
+                h_loc[:, :n_local] = hashes_pt[:, gids[:n_local]]
+            gh, gr = make_global_tables(
+                jnp.asarray(h_loc),
+                jnp.asarray(out["sketches"][dev]),
+                jnp.asarray(out["assignment"][dev]),
+            )
+            gd = build_prefix_directory(
+                gh,
+                jnp.asarray(np.asarray([0, n_max], np.int32)),
+                cfgx.global_dir_bits,
+                full_iters,
+                cfgx.max_hashbits,
+            )
+            g_dir_iters = max(
+                g_dir_iters,
+                int(
+                    np.ceil(
+                        np.log2(
+                            max(2, int(jnp.max(gd[:, :, 1:] - gd[:, :, :-1])))
+                        )
+                    )
+                )
+                + 1,
+            )
+            gh_list.append(gh)
+            gr_list.append(gr)
+            gd_list.append(gd)
+        g_fields = {
+            "g_sorted_hash": jnp.stack(gh_list),
+            "g_records": jnp.stack(gr_list),
+            "g_dir": jnp.stack(gd_list),
+        }
+
     return ShardedIndex(
         **{k: jnp.asarray(v) for k, v in out.items()},
+        **g_fields,
         hash_params=index.hash_params,
         sketch_params=index.sketch_params,
         probs_table=index.probs_table,
@@ -176,6 +236,7 @@ def shard_index(index, n_devices: int) -> ShardedIndex:
         metric=index.metric,
         sim_eps=index.sim_eps,
         max_seg_len=index.max_seg_len,
+        g_dir_iters=g_dir_iters,
     )
 
 
@@ -183,7 +244,16 @@ def _local_index(sharded: ShardedIndex, arrays: dict, repl: dict):
     """Assemble the device-local ClusteredIndex from shard_map blocks."""
     from clann_tpu.core.index import ClusteredIndex
 
+    g_kwargs = {}
+    if "g_records" in arrays:
+        g_kwargs = {
+            "g_sorted_hash": arrays["g_sorted_hash"][0],
+            "g_records": arrays["g_records"][0],
+            "g_dir": arrays["g_dir"][0],
+            "g_dir_iters": sharded.g_dir_iters,
+        }
     return ClusteredIndex(
+        **g_kwargs,
         vectors=arrays["vectors"][0],
         sorted_hash=arrays["sorted_hash"][0],
         sorted_idx=arrays["sorted_idx"][0],
@@ -274,6 +344,110 @@ def sharded_search_batch(
     )
 
 
+def sharded_global_search_batch(
+    sharded: ShardedIndex,
+    queries_n: jnp.ndarray,
+    query_hashes: jnp.ndarray,
+    query_sketches: jnp.ndarray,
+    delta,
+    *,
+    k: int,
+    mesh=None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, SearchStats]:
+    """Point-sharded ball-filtered global LSH over the mesh.
+
+    Every device runs the global adaptive engine (ops/global_query.py)
+    over its local hash-sorted tables; per-device top-k merge via
+    all_gather, exactly like the clustered path. Per-device k-th bests
+    are never tighter than the global one, so per-shard termination is
+    conservative: recall can only improve vs the single-chip engine.
+    """
+    from clann_tpu.ops.global_query import global_search_batch_impl
+
+    if sharded.g_records is None:
+        raise ValueError(
+            "sharded index lacks global-engine structures; build the "
+            "source index with config.lsh_engine='global' or 'both'"
+        )
+    if mesh is None:
+        mesh = make_mesh(sharded.n_devices)
+    cfg = sharded.config
+
+    sharded_arrays = {
+        f: getattr(sharded, f)
+        for f in (
+            "vectors", "sorted_hash", "sorted_idx", "sketches",
+            "cluster_starts", "centers", "center_ids", "radii", "brute",
+            "assignment", "global_ids", "g_sorted_hash", "g_records",
+            "g_dir",
+        )
+    }
+    replicated = {
+        f: getattr(sharded, f)
+        for f in ("hash_params", "sketch_params", "probs_table", "maxdiff_table")
+    }
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(CLUSTER_AXIS), P(), P(), P(), P(), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    def run(arrays, repl, qn, qh, qs, delta):
+        index = _local_index(sharded, arrays, repl)
+        sims, ids, stats = global_search_batch_impl(
+            index, qn, qh, qs, delta,
+            k=k, chunk=cfg.candidate_chunk, min_depth=cfg.min_depth,
+            filter_expand=cfg.filter_expand,
+        )
+        gids = arrays["global_ids"][0]
+        out_ids = jnp.where(ids >= 0, gids[jnp.clip(ids, 0, None)], -1)
+        all_sims = jax.lax.all_gather(sims, CLUSTER_AXIS)  # (D, Q, k)
+        all_ids = jax.lax.all_gather(out_ids, CLUSTER_AXIS)
+        D = all_sims.shape[0]
+        Q = sims.shape[0]
+        flat_sims = jnp.transpose(all_sims, (1, 0, 2)).reshape(Q, D * k)
+        flat_ids = jnp.transpose(all_ids, (1, 0, 2)).reshape(Q, D * k)
+        top_sims, sel = jax.lax.top_k(flat_sims, k)
+        top_ids = jnp.take_along_axis(flat_ids, sel, axis=1)
+        stats = SearchStats(
+            *(jax.lax.psum(s, CLUSTER_AXIS) for s in stats)
+        )
+        return top_sims, top_ids, stats
+
+    return run(
+        sharded_arrays, replicated, queries_n, query_hashes, query_sketches,
+        jnp.asarray(delta, jnp.float32),
+    )
+
+
+def sharded_global_search(
+    sharded: ShardedIndex,
+    queries,
+    k: Optional[int] = None,
+    delta: Optional[float] = None,
+    mesh=None,
+) -> Tuple[np.ndarray, np.ndarray, SearchStats]:
+    """Full point-sharded global-engine search (distances ascending)."""
+    from clann_tpu.ops.distances import l2_normalize
+
+    cfg = sharded.config
+    k = cfg.k if k is None else k
+    delta = cfg.delta if delta is None else delta
+    source, filterer = ShardedIndex.rebuild_objects(sharded)
+
+    qn = l2_normalize(jnp.asarray(np.asarray(queries, np.float32)))
+    qh = source.hash(qn)
+    qs = filterer.sketch(qn)
+    sims, ids, stats = sharded_global_search_batch(
+        sharded, qn, qh, qs, delta, k=k, mesh=mesh
+    )
+    dists = 2.0 * (1.0 - np.asarray(sims))
+    dists = np.where(np.asarray(ids) < 0, np.inf, dists)
+    return dists, np.asarray(ids), stats
+
+
 def sharded_search(
     sharded: ShardedIndex,
     queries,
@@ -317,6 +491,7 @@ def dryrun(n_devices: int) -> None:
         candidate_chunk=64,
         brute_force_threshold=8,
         seed=0,
+        lsh_engine="both",
     )
     train = clustered_unit_vectors(512, 16, n_modes=max(8, 2 * n_devices), seed=0)
     mesh = make_mesh(n_devices)
@@ -334,6 +509,11 @@ def dryrun(n_devices: int) -> None:
     d2, i2, _ = sharded_scan_search(sharded, queries, k=5, exact=True, mesh=mesh)
     assert d2.shape == (32, 5) and i2.max() < 512
     assert np.all(np.diff(d2, axis=1) >= -1e-5)
+    # ball-filtered global LSH path over the mesh
+    d3, i3, st3 = sharded_global_search(sharded, queries, mesh=mesh)
+    assert d3.shape == (32, 5) and i3.max() < 512
+    assert int(np.asarray(st3.distance_computations).sum()) > 0
+    assert np.all(np.diff(d3, axis=1) >= -1e-5)
 
 
 def sharded_scan_search(

@@ -134,3 +134,49 @@ class TestShardedScan:
         gt_d, gt_i = brute_force_topk(train, queries, k=5, metric="angular")
         r = recall_by_ids(np.asarray(gt_i), ids, count=5)
         assert r >= 0.85, r
+
+
+class TestShardedGlobal:
+    """Point-sharded ball-filtered global LSH over the mesh."""
+
+    @pytest.fixture(scope="class")
+    def gsetup(self):
+        cfg = Config(
+            num_tables=8, num_clusters_factor=0.5, k=5, delta=0.9,
+            hash_family="simhash", candidate_chunk=128,
+            brute_force_threshold=20, seed=4, lsh_engine="both",
+        )
+        train = clustered_unit_vectors(2000, 16, n_modes=24, seed=2)
+        index = build_index(train, cfg)
+        queries = random_unit_vectors(24, 16, seed=3)
+        return cfg, train, index, queries
+
+    def test_matches_single_chip_recall(self, gsetup):
+        from clann_tpu.ops.distances import brute_force_topk
+        from clann_tpu.ops.global_query import global_search
+        from clann_tpu.parallel.sharded import sharded_global_search
+
+        cfg, train, index, queries = gsetup
+        gt_d, gt_i = brute_force_topk(train, queries, k=5, metric="angular")
+        d1, i1, _ = global_search(index, queries, k=5, delta=0.9)
+        sharded = shard_index(index, 8)
+        assert sharded.g_records is not None
+        d2, i2, st = sharded_global_search(
+            sharded, queries, k=5, mesh=make_mesh(8)
+        )
+        r1 = recall_by_ids(np.asarray(gt_i), i1, count=5)
+        r2 = recall_by_ids(np.asarray(gt_i), i2, count=5)
+        # per-shard termination is conservative: sharded recall must not
+        # fall below single-chip (minus tie noise)
+        assert r2 >= r1 - 0.05, (r1, r2)
+        assert i2.max() < 2000
+        assert np.all(np.diff(d2, axis=1) >= -1e-5)
+        assert int(np.asarray(st.distance_computations).sum()) > 0
+
+    def test_missing_structures_raise(self, setup):
+        from clann_tpu.parallel.sharded import sharded_global_search
+
+        cfg, train, index, queries = setup  # built without global engine
+        sharded = shard_index(index, 4)
+        with pytest.raises(ValueError):
+            sharded_global_search(sharded, queries, mesh=make_mesh(4))
