@@ -442,7 +442,6 @@ def save_reference_h5(index, path: str) -> str:
         sketches[:, :, 0].astype(np.uint64) << np.uint64(32)
     ) | sketches[:, :, 1].astype(np.uint64)
 
-    sk_dirs = np.asarray(index.sketch_params["dirs"])
     d = vectors.shape[1]
     storage_len = ((d + 15) // 16) * 16  # 16-value padding (generic.hpp:33-40)
 
@@ -451,15 +450,33 @@ def save_reference_h5(index, path: str) -> str:
         out[:, :d] = f32_to_q15(mat)
         return out
 
-    sk_planes = to_q15_padded(sk_dirs)
+    # per-cluster function params when present (bit-faithful imports keep
+    # each cluster's own functions — re-export them, not the shared set)
+    per_cluster = index.pc_hash_params is not None
+
+    def sketch_planes_for(c: int):
+        dirs = (
+            np.asarray(index.pc_sketch_params["dirs"][c])
+            if per_cluster
+            else np.asarray(index.sketch_params["dirs"])
+        )
+        return to_q15_padded(dirs)
+
     is_cp = cfg.hash_family == "fht_cross_polytope"
     if is_cp:
         from clann_tpu.io.refcodec import write_reference_stream_fhtcp
         from clann_tpu.ops.collision import cross_polytope_estimates
         from clann_tpu.ops.hashing import ceil_log2
 
-        signs = np.asarray(index.hash_params["signs"]).astype(np.int8)
-        dp = signs.shape[2]
+        def signs_for(c: int):
+            s = (
+                np.asarray(index.pc_hash_params["signs"][c])
+                if per_cluster
+                else np.asarray(index.hash_params["signs"])
+            )
+            return s.astype(np.int8)
+
+        dp = signs_for(0).shape[2]
         estimates = cross_polytope_estimates(
             dp, cfg.estimation_repetitions, cfg.estimation_eps
         ).astype(np.float32)
@@ -467,7 +484,14 @@ def save_reference_h5(index, path: str) -> str:
         fph = (cfg.max_hashbits + bpf - 1) // bpf
         cut = bpf * fph - cfg.max_hashbits
     else:
-        planes = to_q15_padded(np.asarray(index.hash_params["dirs"]))
+
+        def planes_for(c: int):
+            dirs = (
+                np.asarray(index.pc_hash_params["dirs"][c])
+                if per_cluster
+                else np.asarray(index.hash_params["dirs"])
+            )
+            return to_q15_padded(dirs)
 
     clusters_json = []
     with h5py.File(path, "w") as f:
@@ -502,9 +526,9 @@ def save_reference_h5(index, path: str) -> str:
                 buf = write_reference_stream_fhtcp(
                     to_q15_padded(vectors[members]),
                     d,
-                    sk_planes,
+                    sketch_planes_for(c),
                     sk64[members],
-                    signs,
+                    signs_for(c),
                     estimates,
                     cfg.estimation_repetitions,
                     cfg.estimation_eps,
@@ -519,9 +543,9 @@ def save_reference_h5(index, path: str) -> str:
                 buf = write_reference_stream(
                     to_q15_padded(vectors[members]),
                     d,
-                    sk_planes,
+                    sketch_planes_for(c),
                     sk64[members],
-                    planes,
+                    planes_for(c),
                     num_hashers=cfg.num_tables,
                     functions_per_hasher=cfg.max_hashbits,
                     bits_to_cut=0,

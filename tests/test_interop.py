@@ -174,6 +174,35 @@ class TestFaithfulImport:
         r1 = recall_by_ids(ds.neighbors, i1, count=10)
         assert r1 >= 0.7 * 0.9
 
+    @pytest.mark.parametrize("fam", ["simhash", "fht_cross_polytope"])
+    def test_reexport_byte_stable(self, fam, tmp_path):
+        """export -> faithful import -> export reproduces every blob
+        byte-for-byte (the file-level analog of the reference's
+        ser(de(ser(x))) == ser(x), collection_test.hpp:291-336)."""
+        import h5py
+
+        from clann_tpu.data.synthetic import make_synthetic_dataset
+
+        ds = make_synthetic_dataset(n=2500, d=25, n_queries=10, k_gt=10, seed=8)
+        cfg = Config(
+            num_tables=6, num_clusters_factor=0.3, k=10, delta=0.9,
+            dataset_name=ds.name, hash_family=fam, dense_layout=False,
+        )
+        idx = build_index(ds.train, cfg)
+        p1 = str(tmp_path / "a.h5")
+        p2 = str(tmp_path / "b.h5")
+        save_reference_h5(idx, p1)
+        imp = load_reference_h5(p1, data=ds.train)
+        save_reference_h5(imp, p2)
+        with h5py.File(p1) as f1, h5py.File(p2) as f2:
+            assert sorted(f1.keys()) == sorted(f2.keys())
+            for name in f1.keys():
+                if not name.startswith("index_"):
+                    continue
+                b1 = np.asarray(f1[name], np.uint8).tobytes()
+                b2 = np.asarray(f2[name], np.uint8).tobytes()
+                assert b1 == b2, f"{name} differs after round trip"
+
     def test_rebuild_mode(self, tmp_path):
         from clann_tpu.data.synthetic import make_synthetic_dataset
 
