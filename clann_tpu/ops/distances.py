@@ -133,6 +133,12 @@ def _dense_scan_impl(
     nb = -(-n // block_points)
     pad = nb * block_points - n
     bp = jnp.pad(base_n, ((0, pad), (0, 0)))
+    # NOTE on dtype: bf16 operands and bf16 score tensors were both
+    # measured at par with f32 here (the block cost splits ~evenly between
+    # the K=100 matmul and approx_max_k's binned reduction, neither of
+    # which bf16 accelerates at these shapes) while costing ~0.6% recall —
+    # so the scan stays f32 end to end.
+    qmat = queries_n
     blocks = bp.reshape(nb, block_points, -1)
     base_ids = jnp.arange(nb * block_points, dtype=jnp.int32).reshape(
         nb, block_points
@@ -141,15 +147,14 @@ def _dense_scan_impl(
     def scan_block(carry, blk):
         top_s, top_i = carry
         vecs, ids = blk
-        # bf16-input MXU matmul with f32 accumulation: the fast path.
-        dots = jnp.dot(queries_n, vecs.T, preferred_element_type=jnp.float32)
+        dots = jnp.dot(qmat, vecs.T, preferred_element_type=jnp.float32)
         sims = jnp.where(ids[None, :] < n, dots, -jnp.inf)
         if exact:
             s, j = jax.lax.top_k(sims, k)
         else:
             # hardware-accelerated approximate top-k (the idiomatic TPU
-            # ANN primitive); values returned are exact, only membership
-            # is approximate with the given recall target
+            # ANN primitive); membership is approximate with the given
+            # recall target
             s, j = jax.lax.approx_max_k(sims, k, recall_target=recall_target)
         i = ids[j]
         merged_s = jnp.concatenate([top_s, s], axis=1)
@@ -163,6 +168,19 @@ def _dense_scan_impl(
         jnp.full((q, k), -1, jnp.int32),
     )
     (top_s, top_i), _ = jax.lax.scan(scan_block, init, (blocks, base_ids))
+    if not exact:
+        # exact f32 rescore of the selected candidates (k gathers/query —
+        # negligible next to the scan) so returned scores match the exact
+        # path bit-for-bit at equal membership
+        safe = jnp.clip(top_i, 0, n - 1)
+        ex = jnp.einsum(
+            "qkd,qd->qk", base_n[safe], queries_n,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        ex = jnp.where(top_i >= 0, ex, -jnp.inf)
+        top_s, sel = jax.lax.top_k(ex, k)
+        top_i = jnp.take_along_axis(top_i, sel, axis=1)
     return top_s, top_i
 
 
