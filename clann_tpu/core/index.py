@@ -373,18 +373,21 @@ def build_index(
             "(SURVEY.md §2.1: EuclideanData not wired to PUFFINN)"
         )
 
+    from clann_tpu.metrics.trace import TRACER
+
     # 1-2. clustering + geometry (the O(n*k) hot stage; shard it over a
     # mesh for builds beyond one chip — bit-identical to single-device)
-    if gmm_mesh is not None:
-        from clann_tpu.parallel.gmm import sharded_gmm
+    with TRACER.span("build/gmm"):
+        if gmm_mesh is not None:
+            from clann_tpu.parallel.gmm import sharded_gmm
 
-        centers_idx, assignment, radii = sharded_gmm(
-            xn, n_clusters, mesh=gmm_mesh, metric=metric
-        )
-    else:
-        centers_idx, assignment, radii = greedy_minimum_maximum(
-            xn, n_clusters, metric
-        )
+            centers_idx, assignment, radii = sharded_gmm(
+                xn, n_clusters, mesh=gmm_mesh, metric=metric
+            )
+        else:
+            centers_idx, assignment, radii = greedy_minimum_maximum(
+                xn, n_clusters, metric
+            )
     n_clusters = len(centers_idx)  # may shrink in the degenerate n <= k case
     sizes = np.bincount(assignment, minlength=n_clusters)
     starts = np.zeros(n_clusters + 1, dtype=np.int32)
@@ -407,13 +410,20 @@ def build_index(
     filterer = SketchFilterer(d, config.num_sketches, config.sketch_bits).init(k_sketch)
 
     xj = xn if isinstance(xn, jnp.ndarray) else jnp.asarray(xn)
-    hashes = _hash_in_blocks(source.hash, xj, hash_block)  # (n, L) uint32
-    sketches = _hash_in_blocks(filterer.sketch, xj, hash_block)  # (n, S, W)
+    # (reference timer nodes Hashing/Sketching, performance.hpp:15-27)
+    with TRACER.span("build/hashing"):
+        hashes = _hash_in_blocks(source.hash, xj, hash_block)  # (n, L) u32
+        TRACER.enabled and jax.block_until_ready(hashes)
+    with TRACER.span("build/sketching"):
+        sketches = _hash_in_blocks(filterer.sketch, xj, hash_block)
+        TRACER.enabled and jax.block_until_ready(sketches)
 
     # 5. per-table segmented sort
-    sorted_hash, sorted_idx = sort_tables_segmented(
-        hashes.T, jnp.asarray(assignment, jnp.int32)
-    )
+    with TRACER.span("build/table_sort"):
+        sorted_hash, sorted_idx = sort_tables_segmented(
+            hashes.T, jnp.asarray(assignment, jnp.int32)
+        )
+        TRACER.enabled and jax.block_until_ready(sorted_hash)
 
     # 5b. per-(table, cluster) prefix directory (prefixmap.hpp:228-240
     # analog) — query binary searches then cover log2(max bucket) instead

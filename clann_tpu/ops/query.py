@@ -415,6 +415,8 @@ def search(
         if block.shape[0] < batch_size and qn.shape[0] > batch_size:
             pad = batch_size - block.shape[0]
             block = jnp.pad(block, ((0, pad), (0, 0)))
+        from clann_tpu.metrics.trace import TRACER
+
         if index.pc_hash_params is not None:
             # bit-faithful import: hash/sketch with every cluster's own
             # functions upfront (batched MXU matmuls over all clusters);
@@ -432,20 +434,24 @@ def search(
                 (1, 0, 2, 3),
             )  # (Q, C, S, W)
         else:
-            qh = source.hash(block)
-            qs = filterer.sketch(block)
-        sims, ids, stats = search_batch_jit(
-            index,
-            block,
-            qh,
-            qs,
-            jnp.float32(delta),
-            k=k,
-            chunk=cfg.candidate_chunk,
-            min_depth=cfg.min_depth,
-            filter_type=filter_type,
-            filter_expand=cfg.filter_expand,
-        )
+            with TRACER.span("search/hashing"):
+                qh = source.hash(block)
+            with TRACER.span("search/sketching"):
+                qs = filterer.sketch(block)
+        with TRACER.span("search/scan"):
+            sims, ids, stats = search_batch_jit(
+                index,
+                block,
+                qh,
+                qs,
+                jnp.float32(delta),
+                k=k,
+                chunk=cfg.candidate_chunk,
+                min_depth=cfg.min_depth,
+                filter_type=filter_type,
+                filter_expand=cfg.filter_expand,
+            )
+            TRACER.enabled and jax.block_until_ready(sims)
         if pad:
             sims, ids = sims[:-pad], ids[:-pad]
             stats = SearchStats(*(s[:-pad] for s in stats))
