@@ -250,6 +250,41 @@ def build_dense_layout(
     }
 
 
+def derive_probs_tables(family, config: Config):
+    """(HashSourceProbs, maxdiff int32 array) for the termination checks.
+
+    Shared by build_index, io/h5.load_index and io/interop faithful import
+    so the tuning constants stay in one place.
+    """
+    probs = HashSourceProbs(family, config.max_hashbits, sim_eps=5e-3)
+    n_buckets = probs.table.shape[1]
+    sims = np.arange(n_buckets, dtype=np.float32) * probs.sim_eps
+    maxdiff = np.round(
+        config.sketch_bits * (1.0 - np.asarray(simhash_p1(sims)))
+    ).astype(np.int32)
+    return probs, maxdiff
+
+
+def derive_prefix_directory(sorted_hash, starts, config: Config, max_seg: int):
+    """(prefix_dir, dir_bits, dir_iters) for a segmented table layout.
+
+    None/0/0 when disabled or trivial. Shared by every index assembler."""
+    if config.prefix_dir_bits <= 0 or max_seg <= 1:
+        return None, 0, 0
+    dir_bits = min(config.prefix_dir_bits, config.max_hashbits)
+    full_iters = int(np.ceil(np.log2(max(2, max_seg)))) + 1
+    prefix_dir = build_prefix_directory(
+        sorted_hash,
+        jnp.asarray(starts),
+        dir_bits,
+        full_iters,
+        config.max_hashbits,
+    )
+    max_bucket = int(jnp.max(prefix_dir[:, :, 1:] - prefix_dir[:, :, :-1]))
+    dir_iters = int(np.ceil(np.log2(max(2, max_bucket)))) + 1
+    return prefix_dir, dir_bits, dir_iters
+
+
 @jax.jit
 def make_global_tables(
     hashes_T: jnp.ndarray, sketches: jnp.ndarray, assignment: jnp.ndarray
@@ -429,23 +464,9 @@ def build_index(
     # analog) — query binary searches then cover log2(max bucket) instead
     # of log2(max segment) positions
     max_seg = int(sizes.max()) if len(sizes) else 0
-    prefix_dir = None
-    dir_bits = 0
-    dir_iters = 0
-    if config.prefix_dir_bits > 0 and max_seg > 1:
-        dir_bits = min(config.prefix_dir_bits, config.max_hashbits)
-        full_iters = int(np.ceil(np.log2(max(2, max_seg)))) + 1
-        prefix_dir = build_prefix_directory(
-            sorted_hash,
-            jnp.asarray(starts),
-            dir_bits,
-            full_iters,
-            config.max_hashbits,
-        )
-        max_bucket = int(
-            jnp.max(prefix_dir[:, :, 1:] - prefix_dir[:, :, :-1])
-        )
-        dir_iters = int(np.ceil(np.log2(max(2, max_bucket)))) + 1
+    prefix_dir, dir_bits, dir_iters = derive_prefix_directory(
+        sorted_hash, starts, config, max_seg
+    )
 
     # 5c. global LSH structures (ball-filtered global engine)
     g_sorted_hash = None
@@ -482,12 +503,7 @@ def build_index(
     )
 
     # collision probability tables for the termination check
-    probs = HashSourceProbs(family, config.max_hashbits, sim_eps=5e-3)
-    n_buckets = probs.table.shape[1]
-    sims = np.arange(n_buckets, dtype=np.float32) * probs.sim_eps
-    maxdiff = np.round(
-        config.sketch_bits * (1.0 - np.asarray(simhash_p1(sims)))
-    ).astype(np.int32)
+    probs, maxdiff = derive_probs_tables(family, config)
 
     return ClusteredIndex(
         vectors=xj,

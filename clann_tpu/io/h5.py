@@ -201,20 +201,11 @@ def load_index(data, path: str):
         )
         g_max_bucket = int(jnp.max(g_dir[:, :, 1:] - g_dir[:, :, :-1]))
         g_dir_iters = int(np.ceil(np.log2(max(2, g_max_bucket)))) + 1
-    prefix_dir = None
-    dir_bits = 0
-    dir_iters = 0
-    if config.prefix_dir_bits > 0 and max_seg > 1:
-        from clann_tpu.ops.prefixmap import build_prefix_directory
+    from clann_tpu.core.index import derive_prefix_directory
 
-        dir_bits = min(config.prefix_dir_bits, config.max_hashbits)
-        full_iters = int(np.ceil(np.log2(max(2, max_seg)))) + 1
-        prefix_dir = build_prefix_directory(
-            sorted_hash_dev, jnp.asarray(starts_np), dir_bits, full_iters,
-            config.max_hashbits,
-        )
-        max_bucket = int(jnp.max(prefix_dir[:, :, 1:] - prefix_dir[:, :, :-1]))
-        dir_iters = int(np.ceil(np.log2(max(2, max_bucket)))) + 1
+    prefix_dir, dir_bits, dir_iters = derive_prefix_directory(
+        sorted_hash_dev, starts_np, config, max_seg
+    )
     return ClusteredIndex(
         vectors=xn,
         sorted_hash=sorted_hash_dev,

@@ -137,6 +137,12 @@ def load_reference_h5(
     vectors = _resolve_vectors(clusters, parsed_blobs, data, total)
 
     if rebuild:
+        if family_name is not None:
+            # rebuild with the file's detected family (the config JSON
+            # carries no family field; FHT-CP is the reference default)
+            import dataclasses as _dc
+
+            cfg = _dc.replace(cfg, hash_family=family_name)
         return build_index(vectors, cfg)
     return _load_faithful(clusters, parsed_blobs, cfg, vectors, family_name)
 
@@ -149,6 +155,14 @@ def _resolve_vectors(clusters, parsed_blobs, data, total) -> np.ndarray:
             raise SerializeError(
                 f"dataset has {x.shape[0]} points but the index file lists "
                 f"{total} (reference contract, src/lib.rs:22)"
+            )
+        blob_dims = next(
+            (p.dims for p in parsed_blobs.values()), None
+        )
+        if blob_dims is not None and x.shape[1] != blob_dims:
+            raise SerializeError(
+                f"dataset has {x.shape[1]} dimensions but the index was "
+                f"built on {blob_dims}"
             )
         return x
     dims = None
@@ -198,14 +212,14 @@ def _load_faithful(clusters, parsed_blobs, cfg: Config, vectors, family_name):
     from clann_tpu.core.index import (
         ClusteredIndex,
         build_dense_layout,
+        derive_prefix_directory,
+        derive_probs_tables,
         make_slot_records,
     )
     from clann_tpu.io.refcodec import q15_to_f32
-    from clann_tpu.ops.collision import HashSourceProbs
     from clann_tpu.ops.distances import l2_normalize
     from clann_tpu.ops.hashing import make_hash_family
-    from clann_tpu.ops.prefixmap import build_prefix_directory
-    from clann_tpu.ops.sketches import SketchFilterer, simhash_p1
+    from clann_tpu.ops.sketches import SketchFilterer
     from clann_tpu.ops.sources import make_hash_source
 
     if family_name is None:
@@ -332,28 +346,12 @@ def _load_faithful(clusters, parsed_blobs, cfg: Config, vectors, family_name):
         d, cfg.num_sketches, cfg.sketch_bits
     ).init(k_sketch)
 
-    probs = HashSourceProbs(family, cfg.max_hashbits, sim_eps=5e-3)
-    n_buckets = probs.table.shape[1]
-    sims = np.arange(n_buckets, dtype=np.float32) * probs.sim_eps
-    maxdiff = np.round(
-        cfg.sketch_bits * (1.0 - np.asarray(simhash_p1(sims)))
-    ).astype(np.int32)
+    probs, maxdiff = derive_probs_tables(family, cfg)
 
     max_seg = int(sizes.max()) if len(sizes) else 0
-    prefix_dir = None
-    dir_bits = 0
-    dir_iters = 0
-    if cfg.prefix_dir_bits > 0 and max_seg > 1:
-        dir_bits = min(cfg.prefix_dir_bits, cfg.max_hashbits)
-        prefix_dir = build_prefix_directory(
-            sorted_hash_dev,
-            jnp.asarray(starts),
-            dir_bits,
-            int(np.ceil(np.log2(max(2, max_seg)))) + 1,
-            cfg.max_hashbits,
-        )
-        max_bucket = int(jnp.max(prefix_dir[:, :, 1:] - prefix_dir[:, :, :-1]))
-        dir_iters = int(np.ceil(np.log2(max(2, max_bucket)))) + 1
+    prefix_dir, dir_bits, dir_iters = derive_prefix_directory(
+        sorted_hash_dev, starts, cfg, max_seg
+    )
 
     radii = np.asarray([float(c.get("radius", 0.0)) for c in clusters])
     center_ids = np.asarray(
@@ -427,6 +425,11 @@ def save_reference_h5(index, path: str) -> str:
             "reference export supports hash_family 'simhash' and "
             f"'fht_cross_polytope' (got {cfg.hash_family!r})"
         )
+    if cfg.sketch_bits != 64:
+        raise SerializeError(
+            "the reference format stores 64-bit sketches "
+            f"(typedefs.hpp:12-15); got sketch_bits={cfg.sketch_bits}"
+        )
     starts = np.asarray(index.cluster_starts)
     assignment = np.asarray(index.assignment)
     brute = np.asarray(index.brute)
@@ -493,11 +496,21 @@ def save_reference_h5(index, path: str) -> str:
             )
             return to_q15_padded(dirs)
 
+    # one O(n log n) pass gives every cluster's member list and each
+    # point's position within its cluster (the per-cluster np.where +
+    # inv-array rebuild was O(n*C) — minutes at 1M points)
+    order = np.argsort(assignment, kind="stable")
+    bounds = np.searchsorted(assignment[order], np.arange(index.n_clusters + 1))
+    pos_in_cluster = np.empty(vectors.shape[0], np.int64)
+    pos_in_cluster[order] = np.arange(vectors.shape[0]) - bounds[
+        assignment[order]
+    ]
+
     clusters_json = []
     with h5py.File(path, "w") as f:
         f.create_dataset("config", data=cfg.to_json(reference_only=True))
         for c in range(index.n_clusters):
-            members = np.where(assignment == c)[0]
+            members = order[bounds[c] : bounds[c + 1]]
             clusters_json.append(
                 {
                     "idx": int(c),
@@ -511,11 +524,8 @@ def save_reference_h5(index, path: str) -> str:
             if brute[c]:
                 continue
             lo, hi = int(starts[c]), int(starts[c + 1])
-            # localize global ids -> position within `members`
-            inv = np.full(vectors.shape[0], -1, np.int64)
-            inv[members] = np.arange(len(members))
             map_indices = [
-                inv[sorted_idx[t, lo:hi]].astype(np.uint32)
+                pos_in_cluster[sorted_idx[t, lo:hi]].astype(np.uint32)
                 for t in range(sorted_hash.shape[0])
             ]
             map_hashes = [

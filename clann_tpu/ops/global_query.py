@@ -56,7 +56,12 @@ from clann_tpu.ops.prefixmap import (
     depth_bounds,
     window_range_index,
 )
-from clann_tpu.ops.query import SearchStats, _merge_topk
+from clann_tpu.ops.query import (
+    SearchStats,
+    _merge_topk,
+    batched_query_driver,
+    probs_lookup,
+)
 
 
 def global_search_batch_impl(
@@ -109,15 +114,6 @@ def global_search_batch_impl(
     fc = jnp.cumsum(sizes_s, axis=1)
     total = fc[:, -1]
 
-    def probs_lookup(depth, sim):
-        bucket = jnp.clip(
-            (sim / index.sim_eps).astype(jnp.int32),
-            0,
-            index.probs_table.shape[1] - 1,
-        )
-        dd = jnp.clip(depth, 0, index.probs_table.shape[0] - 1)
-        return index.probs_table[dd, bucket]
-
     window_iota = jnp.arange(window, dtype=jnp.int32)
     rows = jnp.arange(Q, dtype=jnp.int32)[:, None]
 
@@ -139,10 +135,12 @@ def global_search_batch_impl(
         t_sel = j % L
         sk_idx = t_sel % S
 
-        rec = index.g_records[t_sel, slot]  # (Q, W, 4): id, sk0, sk1, cluster
+        # record layout: [id, sketch words..., cluster] (make_global_tables)
+        Wd = index.sketches.shape[2]
+        rec = index.g_records[t_sel, slot]  # (Q, W, 2+Wd)
         cand_ids = rec[:, :, 0].astype(jnp.int32)
-        cand_sk = rec[:, :, 1:3]
-        cand_cluster = rec[:, :, 3].astype(jnp.int32)
+        cand_sk = rec[:, :, 1 : 1 + Wd]
+        cand_cluster = rec[:, :, 1 + Wd].astype(jnp.int32)
 
         kth_sim = topk_sims[:, k - 1]
         full = topk_ids[:, k - 1] >= 0
@@ -212,8 +210,8 @@ def global_search_batch_impl(
         kth_sim = topk_sims[:, k - 1]
         full = topk_ids[:, k - 1] >= 0
         kth_dist = jnp.where(full, 2.0 * (1.0 - kth_sim), jnp.inf)
-        p_d = probs_lookup(depth_cur, kth_sim)
-        p_d1 = probs_lookup(depth_cur + 1, kth_sim)
+        p_d = probs_lookup(index, depth_cur, kth_sim)
+        p_d1 = probs_lookup(index, depth_cur + 1, kth_sim)
         rest = jnp.where(
             depth_cur == d_entry,
             0.0,
@@ -291,16 +289,10 @@ def global_search(
         q = q[None, :]
     qn = l2_normalize(q.astype(jnp.float32))
 
-    all_sims, all_ids, all_stats = [], [], []
-    for start in range(0, qn.shape[0], batch_size):
-        block = qn[start : start + batch_size]
-        pad = 0
-        if block.shape[0] < batch_size and qn.shape[0] > batch_size:
-            pad = batch_size - block.shape[0]
-            block = jnp.pad(block, ((0, pad), (0, 0)))
+    def run_block(block):
         qh = source.hash(block)
         qs = filterer.sketch(block)
-        sims, ids, stats = global_search_batch_jit(
+        return global_search_batch_jit(
             index,
             block,
             qh,
@@ -312,19 +304,8 @@ def global_search(
             filter_type=filter_type,
             filter_expand=cfg.filter_expand,
         )
-        if pad:
-            sims, ids = sims[:-pad], ids[:-pad]
-            stats = SearchStats(*(s[:-pad] for s in stats))
-        all_sims.append(np.asarray(sims))
-        all_ids.append(np.asarray(ids))
-        all_stats.append(stats)
 
-    sims = np.concatenate(all_sims, axis=0)
-    ids = np.concatenate(all_ids, axis=0)
-    stats = SearchStats(
-        *(np.concatenate([np.asarray(getattr(s, f)) for s in all_stats])
-          for f in SearchStats._fields)
-    )
+    sims, ids, stats = batched_query_driver(qn, batch_size, run_block)
     dists = 2.0 * (1.0 - sims)
     dists = np.where(ids < 0, np.inf, dists)
     return dists, ids, stats

@@ -72,6 +72,48 @@ class _OuterState(NamedTuple):
     visited: jnp.ndarray  # (Q,) int32
 
 
+def probs_lookup(index, depth, sim):
+    """(1-P(depth))^t (1-P(depth+1))^rest pieces — gather from the
+    precomputed table (ops/collision.py HashSourceProbs). Shared by the
+    clustered and global engines."""
+    bucket = jnp.clip(
+        (sim / index.sim_eps).astype(jnp.int32),
+        0,
+        index.probs_table.shape[1] - 1,
+    )
+    dd = jnp.clip(depth, 0, index.probs_table.shape[0] - 1)
+    return index.probs_table[dd, bucket]
+
+
+def batched_query_driver(qn, batch_size, run_block):
+    """Pad/batch/slice/concat driver shared by the LSH search frontends.
+
+    run_block(block (B, d)) -> (sims, ids, stats) device arrays; returns
+    host (sims, ids, SearchStats) concatenated over all batches.
+    """
+    all_sims, all_ids, all_stats = [], [], []
+    for start in range(0, qn.shape[0], batch_size):
+        block = qn[start : start + batch_size]
+        pad = 0
+        if block.shape[0] < batch_size and qn.shape[0] > batch_size:
+            pad = batch_size - block.shape[0]
+            block = jnp.pad(block, ((0, pad), (0, 0)))
+        sims, ids, stats = run_block(block)
+        if pad:
+            sims, ids = sims[:-pad], ids[:-pad]
+            stats = SearchStats(*(s[:-pad] for s in stats))
+        all_sims.append(np.asarray(sims))
+        all_ids.append(np.asarray(ids))
+        all_stats.append(stats)
+    sims = np.concatenate(all_sims, axis=0)
+    ids = np.concatenate(all_ids, axis=0)
+    stats = SearchStats(
+        *(np.concatenate([np.asarray(getattr(s, f)) for s in all_stats])
+          for f in SearchStats._fields)
+    )
+    return sims, ids, stats
+
+
 def _merge_topk(topk_sims, topk_ids, cand_ids, cand_sims, *, n_sentinel):
     """Merge chunk candidates into the running top-k with exact dedup.
 
@@ -155,15 +197,6 @@ def search_batch_impl(
     order = jnp.argsort(center_dist, axis=1).astype(jnp.int32)  # (Q, C)
 
     table_ids = jnp.arange(L, dtype=jnp.int32)
-
-    def probs_lookup(depth, sim):
-        """(1-P(depth))^t (1-P(depth+1))^(rest) pieces — gather from the
-        precomputed table (ops/collision.py HashSourceProbs)."""
-        bucket = jnp.clip(
-            (sim / index.sim_eps).astype(jnp.int32), 0, index.probs_table.shape[1] - 1
-        )
-        dd = jnp.clip(depth, 0, index.probs_table.shape[0] - 1)
-        return index.probs_table[dd, bucket]
 
     def inner_cluster_search(
         topk_sims, topk_ids, active, cluster, dc, cand_ct, qh, qs
@@ -306,8 +339,8 @@ def search_batch_impl(
             tables_consumed = (r_star % L).astype(jnp.float32)
 
             kth_sim = topk_sims[:, k - 1]
-            p_d = probs_lookup(depth_cur, kth_sim)
-            p_d1 = probs_lookup(depth_cur + 1, kth_sim)
+            p_d = probs_lookup(index, depth_cur, kth_sim)
+            p_d1 = probs_lookup(index, depth_cur + 1, kth_sim)
             # At the first (entry) depth the not-yet-consumed tables carry
             # no guarantee yet (reference quirk: last_tables = tables at
             # the first depth level, collection.hpp:927-930).
@@ -408,15 +441,9 @@ def search(
         q = q[None, :]
     qn = l2_normalize(q)
 
-    all_sims, all_ids, all_stats = [], [], []
-    for start in range(0, qn.shape[0], batch_size):
-        block = qn[start : start + batch_size]
-        pad = 0
-        if block.shape[0] < batch_size and qn.shape[0] > batch_size:
-            pad = batch_size - block.shape[0]
-            block = jnp.pad(block, ((0, pad), (0, 0)))
-        from clann_tpu.metrics.trace import TRACER
+    from clann_tpu.metrics.trace import TRACER
 
+    def run_block(block):
         if index.pc_hash_params is not None:
             # bit-faithful import: hash/sketch with every cluster's own
             # functions upfront (batched MXU matmuls over all clusters);
@@ -452,19 +479,9 @@ def search(
                 filter_expand=cfg.filter_expand,
             )
             TRACER.enabled and jax.block_until_ready(sims)
-        if pad:
-            sims, ids = sims[:-pad], ids[:-pad]
-            stats = SearchStats(*(s[:-pad] for s in stats))
-        all_sims.append(np.asarray(sims))
-        all_ids.append(np.asarray(ids))
-        all_stats.append(stats)
+        return sims, ids, stats
 
-    sims = np.concatenate(all_sims, axis=0)
-    ids = np.concatenate(all_ids, axis=0)
-    stats = SearchStats(
-        *(np.concatenate([np.asarray(getattr(s, f)) for s in all_stats])
-          for f in SearchStats._fields)
-    )
+    sims, ids, stats = batched_query_driver(qn, batch_size, run_block)
     dists = 2.0 * (1.0 - sims)  # puffinn_types.rs:77-79 inverse
     dists = np.where(ids < 0, np.inf, dists)
     return dists, ids, stats

@@ -22,8 +22,12 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental.shard_map import shard_map
 from jax.sharding import PartitionSpec as P
+
+try:
+    from jax import shard_map  # jax >= 0.8
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
 
 from clann_tpu.ops.distances import l2_normalize
 from clann_tpu.parallel.mesh import make_mesh
@@ -127,7 +131,7 @@ def sharded_gmm(
         mesh=mesh,
         in_specs=(P(axis), P(axis)),
         out_specs=(P(), P(axis), P()),
-        check_rep=False,
+        check_vma=False,
     )
     centers, assignment, radii = jax.jit(fn)(xn, bases)
     return (
