@@ -213,7 +213,8 @@ def main():
 
         log("attaching global LSH structures for the secondary metric...")
         hashes_T = unsort_hashes(index.sorted_hash, index.sorted_idx)
-        gh, gr = make_global_tables(hashes_T, index.sketches, index.assignment)
+        gh, gr = make_global_tables(hashes_T, index.sketches, index.assignment,
+                                    pad_to=cfg.gather_block)
         n_pts = index.vectors.shape[0]
         gd = build_prefix_directory(
             gh, jnp.asarray(np.asarray([0, n_pts], np.int32)),

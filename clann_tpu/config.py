@@ -89,6 +89,14 @@ class Config:
     # ones (core/index.make_slot_records). Costs (1+W)/2 extra table bytes;
     # disable under memory pressure.
     pack_slot_records: bool = True
+    # LSH candidate gather block: the query window fetches records in runs
+    # of `gather_block` consecutive table slots per gather lane. Measured on
+    # v5e, a random gather costs ~40-50ns per INDEX regardless of element
+    # size up to ~100B, and stream ranges are contiguous equal-hash runs —
+    # so fetching G records per lane multiplies candidate throughput by up
+    # to G at zero extra gather cost (block-edge lanes are masked; tiny
+    # ranges degrade gracefully to parity). Power of two; 1 disables.
+    gather_block: int = 4
     # Prefix-directory bits per (table, cluster) segment seeding query-time
     # binary searches (the reference's PREFIX_INDEX_BITS=13 directory,
     # prefixmap.hpp:70 — smaller here because it is per cluster segment).
@@ -151,6 +159,10 @@ class Config:
             raise ConfigError(
                 "lsh_engine must be 'clustered', 'global', or 'both'"
             )
+        if self.gather_block < 1 or (
+            self.gather_block & (self.gather_block - 1)
+        ):
+            raise ConfigError("gather_block must be a power of two >= 1")
         if isinstance(self.metrics_output, str):
             object.__setattr__(self, "metrics_output", MetricsOutput(self.metrics_output))
 

@@ -26,6 +26,7 @@ Key TPU-first design departures (SURVEY.md §7):
 from __future__ import annotations
 
 import dataclasses
+import functools
 import logging
 from typing import Any, Optional
 
@@ -285,9 +286,12 @@ def derive_prefix_directory(sorted_hash, starts, config: Config, max_seg: int):
     return prefix_dir, dir_bits, dir_iters
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("pad_to",))
 def make_global_tables(
-    hashes_T: jnp.ndarray, sketches: jnp.ndarray, assignment: jnp.ndarray
+    hashes_T: jnp.ndarray,
+    sketches: jnp.ndarray,
+    assignment: jnp.ndarray,
+    pad_to: int = 1,
 ):
     """Hash-sorted global tables + [id, sketch, cluster] records.
 
@@ -296,6 +300,11 @@ def make_global_tables(
     dataset — one set of prefix-range searches serves every query, and the
     cluster id rides in the record so the feasibility filter needs no
     extra gather.
+
+    `pad_to` (config.gather_block) pads the slot axis of the RECORDS array
+    to a multiple so the blocked query gather can view it as
+    (L, n_pad/G, G*R) rows without a copy; sorted_hash stays (L, n) and
+    range validity masks keep pad slots unreachable.
     """
     L, n = hashes_T.shape
     S = sketches.shape[1]
@@ -316,6 +325,9 @@ def make_global_tables(
         ],
         axis=2,
     )
+    pad = (-n) % pad_to
+    if pad:
+        g_records = jnp.pad(g_records, ((0, 0), (0, pad), (0, 0)))
     return g_hash, g_records
 
 
@@ -330,23 +342,28 @@ def unsort_hashes(sorted_hash: jnp.ndarray, sorted_idx: jnp.ndarray):
     )
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("pad_to",))
 def make_slot_records(
-    sorted_idx: jnp.ndarray, sketches: jnp.ndarray
+    sorted_idx: jnp.ndarray, sketches: jnp.ndarray, pad_to: int = 1
 ) -> jnp.ndarray:
     """Pack [id, sketch words] per (table, slot) — see ClusteredIndex.
 
     Table t filters with sketch index t % S (the reference's per-table
     sketch rotation, collection.hpp:826), so the record bakes in the right
-    sketch per table.
+    sketch per table. `pad_to` pads the slot axis for the blocked query
+    gather (see make_global_tables).
     """
-    L = sorted_idx.shape[0]
+    L, n = sorted_idx.shape
     S = sketches.shape[1]
     sk_idx = (jnp.arange(L, dtype=jnp.int32) % S)[:, None]  # (L, 1)
     sk = sketches[sorted_idx, sk_idx, :]  # (L, n, W)
-    return jnp.concatenate(
+    rec = jnp.concatenate(
         [sorted_idx.astype(jnp.uint32)[:, :, None], sk], axis=2
     )
+    pad = (-n) % pad_to
+    if pad:
+        rec = jnp.pad(rec, ((0, 0), (0, pad), (0, 0)))
+    return rec
 
 
 def _hash_in_blocks(fn, x: jnp.ndarray, block: int):
@@ -475,7 +492,8 @@ def build_index(
     g_dir_iters = 0
     if config.lsh_engine in ("global", "both"):
         g_sorted_hash, g_records = make_global_tables(
-            hashes.T, sketches, jnp.asarray(assignment, jnp.int32)
+            hashes.T, sketches, jnp.asarray(assignment, jnp.int32),
+            pad_to=config.gather_block,
         )
         gfull_iters = int(np.ceil(np.log2(max(2, n)))) + 1
         g_dir = build_prefix_directory(
@@ -511,7 +529,9 @@ def build_index(
         sorted_idx=sorted_idx,
         sketches=sketches,
         slot_records=(
-            make_slot_records(sorted_idx, sketches)
+            make_slot_records(
+                sorted_idx, sketches, pad_to=config.gather_block
+            )
             if config.pack_slot_records
             and config.lsh_engine in ("clustered", "both")
             else None

@@ -176,7 +176,9 @@ def load_index(data, path: str):
     if config.pack_slot_records and config.lsh_engine in ("clustered", "both"):
         from clann_tpu.core.index import make_slot_records
 
-        slot_records = make_slot_records(sorted_idx_dev, sketches_dev)
+        slot_records = make_slot_records(
+            sorted_idx_dev, sketches_dev, pad_to=config.gather_block
+        )
     else:
         slot_records = None
     g_sorted_hash = None
@@ -189,7 +191,8 @@ def load_index(data, path: str):
 
         hashes_T = unsort_hashes(sorted_hash_dev, sorted_idx_dev)
         g_sorted_hash, g_records = make_global_tables(
-            hashes_T, sketches_dev, jnp.asarray(arrays["assignment"])
+            hashes_T, sketches_dev, jnp.asarray(arrays["assignment"]),
+            pad_to=config.gather_block,
         )
         n_pts = int(arrays["assignment"].shape[0])
         g_dir = build_prefix_directory(

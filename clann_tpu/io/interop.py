@@ -383,7 +383,9 @@ def _load_faithful(clusters, parsed_blobs, cfg: Config, vectors, family_name):
         sorted_idx=sorted_idx_dev,
         sketches=sketches_dev,
         slot_records=(
-            make_slot_records(sorted_idx_dev, sketches_dev)
+            make_slot_records(
+                sorted_idx_dev, sketches_dev, pad_to=cfg.gather_block
+            )
             if cfg.pack_slot_records
             else None
         ),

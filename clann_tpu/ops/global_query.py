@@ -51,10 +51,11 @@ import numpy as np
 
 from clann_tpu.ops.distances import exact_dot, l2_normalize
 from clann_tpu.ops.prefixmap import (
+    block_stream,
+    blocked_window,
     candidate_stream,
     count_leq,
     depth_bounds,
-    window_range_index,
 )
 from clann_tpu.ops.query import (
     SearchStats,
@@ -88,7 +89,24 @@ def global_search_batch_impl(
     D = index.config.max_hashbits
     S = index.sketches.shape[1]
     d_entry = int(np.clip(np.ceil(np.log2(max(2, n))) + 2, min_depth, D))
-    window = chunk * filter_expand
+    # blocked gather: G consecutive records per gather lane (see
+    # ops/prefixmap.block_stream). The stream cursor runs in block units.
+    G = max(1, index.config.gather_block)
+    g_log = int(np.log2(G))
+    WB = max(1, (chunk * filter_expand) // G)  # window width in blocks
+    WL = WB * G  # window width in record lanes
+    CB = chunk + G  # compacted rescore capacity (block-granular overshoot)
+    Wd = index.sketches.shape[2]
+    R = index.g_records.shape[2]  # 1 + Wd + 1 record words
+    n_pad = index.g_records.shape[1]
+    if n_pad % G:
+        raise ValueError(
+            "g_records slot axis is not a multiple of config.gather_block; "
+            "build records with make_global_tables(..., pad_to=gather_block)"
+        )
+    nb = n_pad // G
+    # free reshape: (L, n_pad, R) rows -> (L, nb, G*R) block rows
+    rec_view = index.g_records.reshape(L, nb, G * R)
 
     # cluster geometry for the feasibility filter (one matmul)
     center_dist = jnp.clip(
@@ -111,11 +129,12 @@ def global_search_batch_impl(
         lo, hi, query_hashes, D, min_depth, start_depth=d_entry
     )  # (Q, M)
     M = sizes_s.shape[1]
-    fc = jnp.cumsum(sizes_s, axis=1)
+    bstarts, bcounts = block_stream(starts_s, sizes_s, g_log)
+    fc = jnp.cumsum(bcounts, axis=1)  # (Q, M) cumulative BLOCK counts
     total = fc[:, -1]
 
-    window_iota = jnp.arange(window, dtype=jnp.int32)
     rows = jnp.arange(Q, dtype=jnp.int32)[:, None]
+    blk_iota = jnp.arange(WB, dtype=jnp.int32)
 
     def cond(s):
         return ~jnp.all(s[2])
@@ -123,24 +142,22 @@ def global_search_batch_impl(
     def body(s):
         topk_sims, topk_ids, qdone, off, dc, cand_ct = s
 
-        pos = off[:, None] + window_iota[None, :]  # (Q, W)
-        valid = (pos < total[:, None]) & (~qdone[:, None])
-        j = jnp.clip(window_range_index(fc, off, window), 0, M - 1)
-        prev = jnp.where(
-            j > 0, jnp.take_along_axis(fc, jnp.maximum(j - 1, 0), axis=1), 0
+        j, blk, lane_slot, lane_valid = blocked_window(
+            fc, off, WB, bstarts, starts_s, sizes_s, g_log
         )
-        within = pos - prev
-        slot = jnp.take_along_axis(starts_s, j, axis=1) + within
-        slot = jnp.clip(slot, 0, n - 1)
-        t_sel = j % L
-        sk_idx = t_sel % S
-
+        valid = (lane_valid & ~qdone[:, None, None]).reshape(Q, WL)
+        t_sel = j % L  # (Q, WB) table of each window block
+        # ONE gather per block fetches G packed records
+        rec = rec_view[t_sel, jnp.clip(blk, 0, nb - 1)]  # (Q, WB, G*R)
+        rec = rec.reshape(Q, WB, G, R)
         # record layout: [id, sketch words..., cluster] (make_global_tables)
-        Wd = index.sketches.shape[2]
-        rec = index.g_records[t_sel, slot]  # (Q, W, 2+Wd)
-        cand_ids = rec[:, :, 0].astype(jnp.int32)
-        cand_sk = rec[:, :, 1 : 1 + Wd]
-        cand_cluster = rec[:, :, 1 + Wd].astype(jnp.int32)
+        cand_ids = rec[..., 0].astype(jnp.int32).reshape(Q, WL)
+        cand_sk = rec[..., 1 : 1 + Wd].reshape(Q, WL, Wd)
+        cand_cluster = jnp.clip(
+            rec[..., 1 + Wd].astype(jnp.int32).reshape(Q, WL),
+            0,
+            feas_bound.shape[1] - 1,
+        )
 
         kth_sim = topk_sims[:, k - 1]
         full = topk_ids[:, k - 1] >= 0
@@ -153,6 +170,9 @@ def global_search_batch_impl(
                 index.maxdiff_table.shape[0] - 1,
             )
         ]
+        sk_idx = jnp.broadcast_to(
+            (t_sel % S)[:, :, None], (Q, WB, G)
+        ).reshape(Q, WL)
         q_sk = jnp.take_along_axis(
             query_sketches, sk_idx[:, :, None], axis=1
         )
@@ -171,15 +191,24 @@ def global_search_batch_impl(
         else:
             passes = valid & feas & (ham <= maxdiff[:, None])
 
-        cumpass = jnp.cumsum(passes, axis=1)
-        consumed = jnp.sum(cumpass <= chunk, axis=1)
-        in_window = window_iota[None, :] < consumed[:, None]
+        # consume whole blocks until ~chunk passing candidates accumulate;
+        # always at least one block so the cursor advances
+        pb = jnp.sum(passes.reshape(Q, WB, G), axis=2)  # per-block passers
+        cum_pb = jnp.cumsum(pb, axis=1)
+        consumed = jnp.maximum(jnp.sum(cum_pb <= chunk, axis=1), 1)
+        in_window = (
+            jnp.broadcast_to(
+                (blk_iota[None, :] < consumed[:, None])[:, :, None],
+                (Q, WB, G),
+            )
+        ).reshape(Q, WL)
         take = passes & in_window
-        rank = jnp.where(take, cumpass - 1, chunk)
-        compact_ids = jnp.full((Q, chunk + 1), n, jnp.int32)
+        cumtake = jnp.cumsum(take, axis=1)
+        rank = jnp.where(take, cumtake - 1, CB)
+        compact_ids = jnp.full((Q, CB + 1), n, jnp.int32)
         compact_ids = compact_ids.at[rows, rank].set(
             jnp.where(take, cand_ids, n)
-        )[:, :chunk]
+        )[:, :CB]
 
         safe_ids = jnp.clip(compact_ids, 0, n - 1)
         vecs = index.vectors[safe_ids]

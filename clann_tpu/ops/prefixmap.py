@@ -309,6 +309,73 @@ def window_range_index(
     return j0[:, None] + jnp.cumsum(bump, axis=1)
 
 
+def block_stream(
+    starts: jnp.ndarray, sizes: jnp.ndarray, g: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Convert a position stream to a G-block stream (G = 1 << g).
+
+    A range [start, start+size) covers the G-aligned blocks
+    floor(start/G) .. floor((start+size-1)/G); empty ranges cover none.
+    Returns (bstarts, bcounts): (Q, M) int32. With g=0 this is the
+    identity (bstarts=starts, bcounts=sizes).
+
+    Why blocks: stream positions inside one range are CONSECUTIVE table
+    slots (equal-hash runs), and a v5e random gather costs ~40-50ns per
+    index regardless of element size up to ~100B — so gathering G packed
+    records per lane (one (G*R)-word row of the reshaped records array)
+    multiplies candidate-stream throughput by up to G for free. Block-edge
+    lanes outside the range are masked; duplicate coverage cannot happen
+    because ranges within one table are disjoint and lane validity is
+    range-scoped.
+    """
+    if g == 0:
+        return starts, sizes
+    bstarts = starts >> g
+    bend = (starts + sizes + ((1 << g) - 1)) >> g
+    bcounts = jnp.where(sizes > 0, bend - bstarts, 0)
+    return bstarts, bcounts
+
+
+def blocked_window(
+    fc_b: jnp.ndarray,
+    off_b: jnp.ndarray,
+    wb: int,
+    bstarts: jnp.ndarray,
+    starts_s: jnp.ndarray,
+    sizes_s: jnp.ndarray,
+    g: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Map WB block-stream positions per query to gatherable blocks.
+
+    fc_b: (Q, M) cumsum of block counts; off_b: (Q,) cursor (in blocks);
+    wb: static window width in blocks; bstarts/starts_s/sizes_s: (Q, M).
+
+    Returns:
+      j          (Q, WB) int32  range index of each window block
+      blk        (Q, WB) int32  table block index (slot // G)
+      lane_slot  (Q, WB, G) int32 table slot of each record lane
+      lane_valid (Q, WB, G) bool lane lies inside its range and the stream
+    """
+    Q, M = fc_b.shape
+    G = 1 << g
+    pos = off_b[:, None] + jnp.arange(wb, dtype=jnp.int32)[None, :]
+    total_b = fc_b[:, -1]
+    j = jnp.clip(window_range_index(fc_b, off_b, wb), 0, M - 1)
+    prev = jnp.where(
+        j > 0, jnp.take_along_axis(fc_b, jnp.maximum(j - 1, 0), axis=1), 0
+    )
+    blk = jnp.take_along_axis(bstarts, j, axis=1) + (pos - prev)
+    st = jnp.take_along_axis(starts_s, j, axis=1)  # (Q, WB)
+    en = st + jnp.take_along_axis(sizes_s, j, axis=1)
+    lane_slot = blk[:, :, None] * G + jnp.arange(G, dtype=jnp.int32)
+    lane_valid = (
+        (lane_slot >= st[:, :, None])
+        & (lane_slot < en[:, :, None])
+        & (pos < total_b[:, None])[:, :, None]
+    )
+    return j, blk, lane_slot, lane_valid
+
+
 def candidate_stream(
     lo: jnp.ndarray,
     hi: jnp.ndarray,

@@ -51,7 +51,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from clann_tpu.ops.distances import exact_dot, l2_normalize
-from clann_tpu.ops.prefixmap import candidate_stream, count_leq, depth_bounds
+from clann_tpu.ops.prefixmap import (
+    block_stream,
+    blocked_window,
+    candidate_stream,
+    count_leq,
+    depth_bounds,
+)
 
 
 class SearchStats(NamedTuple):
@@ -189,7 +195,32 @@ def search_batch_impl(
     # reference reaches after burning through the empty depths
     # (ops/prefixmap.candidate_stream docstring)
     d_entry = int(np.clip(np.ceil(np.log2(max(2, max_seg))) + 2, min_depth, D))
-    window = chunk * filter_expand  # sketch-filter window (positions/step)
+    # blocked gather: G consecutive packed records per gather lane (see
+    # ops/prefixmap.block_stream); needs the packed records array — without
+    # it (two-gather fallback, e.g. shard-local indices built without
+    # pack_slot_records) the stream runs position-at-a-time (G=1).
+    G = (
+        max(1, index.config.gather_block)
+        if index.slot_records is not None
+        else 1
+    )
+    g_log = int(np.log2(G))
+    WB = max(1, (chunk * filter_expand) // G)  # window width in blocks
+    WL = WB * G  # window width in record lanes
+    CB = chunk + G  # compacted rescore capacity
+    Wd = index.sketches.shape[2]
+    if index.slot_records is not None:
+        R = index.slot_records.shape[2]  # 1 + Wd record words
+        if index.slot_records.shape[1] % G:
+            raise ValueError(
+                "slot_records slot axis is not a multiple of "
+                "config.gather_block; build records with "
+                "make_slot_records(..., pad_to=gather_block)"
+            )
+        nb = index.slot_records.shape[1] // G
+        rec_view = index.slot_records.reshape(L, nb, G * R)
+    else:
+        nb = n
 
     # Cluster ordering: one matmul + argsort
     # (reference: index.rs:592-616 sort_cluster_indices_by_distance).
@@ -234,12 +265,13 @@ def search_batch_impl(
         sizes_s = jnp.where(is_brute[:, None], brute_sizes, sizes_s)
         starts_s = jnp.where(is_brute[:, None], brute_starts, starts_s)
 
-        fc = jnp.cumsum(sizes_s, axis=1)  # (Q, M)
+        bstarts, bcounts = block_stream(starts_s, sizes_s, g_log)
+        fc = jnp.cumsum(bcounts, axis=1)  # (Q, M) cumulative BLOCK counts
         total = fc[:, -1]
 
         off0 = jnp.zeros((Q,), jnp.int32)
         qdone0 = (~active) | (total <= 0)
-        window_iota = jnp.arange(window, dtype=jnp.int32)
+        blk_iota = jnp.arange(WB, dtype=jnp.int32)
 
         def cond(s):
             return ~jnp.all(s[2])
@@ -247,27 +279,26 @@ def search_batch_impl(
         def body(s):
             topk_sims, topk_ids, qdone, off, dc, cand_ct = s
 
-            # --- phase 1: sketch-filter a wide window of stream positions
+            # --- phase 1: sketch-filter a wide window of stream lanes
             # (cheap: 8B of sketch per candidate) ---
-            pos = off[:, None] + window_iota[None, :]  # (Q, W)
-            valid = (pos < total[:, None]) & (~qdone[:, None])
-            j = jnp.clip(count_leq(fc, pos), 0, M - 1)
-            prev = jnp.where(
-                j > 0, jnp.take_along_axis(fc, jnp.maximum(j - 1, 0), axis=1), 0
+            j, blk, lane_slot, lane_valid = blocked_window(
+                fc, off, WB, bstarts, starts_s, sizes_s, g_log
             )
-            within = pos - prev
-            slot = jnp.take_along_axis(starts_s, j, axis=1) + within
-            slot = jnp.clip(slot, 0, n - 1)
-            t_sel = j % L  # table of stream slot (depth-major layout)
-            sk_idx = t_sel % S  # sketch per table (collection.hpp:826 ring)
+            valid = (lane_valid & ~qdone[:, None, None]).reshape(Q, WL)
+            t_sel = j % L  # (Q, WB) table (depth-major stream layout)
+            sk_idx = jnp.broadcast_to(
+                (t_sel % S)[:, :, None], (Q, WB, G)
+            ).reshape(Q, WL)  # sketch per table (collection.hpp:826 ring)
             if index.slot_records is not None:
-                # one gather fetches id + its table-local sketch together
-                rec = index.slot_records[t_sel, slot]  # (Q, W, 1+Wd)
-                cand_ids = rec[:, :, 0].astype(jnp.int32)
-                cand_sk = rec[:, :, 1:]
+                # ONE gather per block fetches G packed [id, sketch] records
+                rec = rec_view[t_sel, jnp.clip(blk, 0, nb - 1)]
+                rec = rec.reshape(Q, WB, G, R)
+                cand_ids = rec[..., 0].astype(jnp.int32).reshape(Q, WL)
+                cand_sk = rec[..., 1 : 1 + Wd].reshape(Q, WL, Wd)
             else:
-                cand_ids = index.sorted_idx[t_sel, slot]  # (Q, W) global ids
-                cand_sk = index.sketches[cand_ids, sk_idx, :]  # (Q, W, Wd)
+                slot = jnp.clip(lane_slot.reshape(Q, WL), 0, n - 1)
+                cand_ids = index.sorted_idx[t_sel, slot]  # G=1: WL == WB
+                cand_sk = index.sketches[cand_ids, sk_idx, :]
 
             kth_sim = topk_sims[:, k - 1]
             maxdiff = index.maxdiff_table[
@@ -279,7 +310,7 @@ def search_batch_impl(
             ]  # (Q,)
             q_sk = jnp.take_along_axis(
                 qs, sk_idx[:, :, None], axis=1
-            )  # (Q, W, Wd)
+            )  # (Q, WL, Wd)
             ham = jnp.sum(
                 jax.lax.population_count(jnp.bitwise_xor(cand_sk, q_sk)),
                 axis=-1,
@@ -295,23 +326,29 @@ def search_batch_impl(
                 # batched analog.
                 passes = valid & (is_brute[:, None] | (ham <= maxdiff[:, None]))
 
-            # --- phase 2: consume up to the position where `chunk` passing
+            # --- phase 2: consume whole blocks until ~chunk passing
             # candidates accumulate (the reference's FILTER_BUFFER flush,
-            # collection.hpp:775-781), compact the passers, rescore only
-            # them (vector gathers for non-passers are the dominant cost) ---
-            cumpass = jnp.cumsum(passes, axis=1)  # (Q, W)
-            consumed = jnp.sum(cumpass <= chunk, axis=1)  # (Q,) <= W
-            in_window = window_iota[None, :] < consumed[:, None]
+            # collection.hpp:775-781; at least one block so the cursor
+            # advances), compact the passers, rescore only them (vector
+            # gathers for non-passers are the dominant cost) ---
+            pb = jnp.sum(passes.reshape(Q, WB, G), axis=2)
+            cum_pb = jnp.cumsum(pb, axis=1)  # (Q, WB)
+            consumed = jnp.maximum(jnp.sum(cum_pb <= chunk, axis=1), 1)
+            in_window = jnp.broadcast_to(
+                (blk_iota[None, :] < consumed[:, None])[:, :, None],
+                (Q, WB, G),
+            ).reshape(Q, WL)
             take = passes & in_window
-            rank = jnp.where(take, cumpass - 1, chunk)  # compact slot or dump
+            cumtake = jnp.cumsum(take, axis=1)
+            rank = jnp.where(take, cumtake - 1, CB)  # compact slot or dump
             rows = jnp.arange(Q, dtype=jnp.int32)[:, None]
-            compact_ids = jnp.full((Q, chunk + 1), n, jnp.int32)
+            compact_ids = jnp.full((Q, CB + 1), n, jnp.int32)
             compact_ids = compact_ids.at[rows, rank].set(
                 jnp.where(take, cand_ids, n)
-            )[:, :chunk]
+            )[:, :CB]
 
             safe_ids = jnp.clip(compact_ids, 0, n - 1)
-            vecs = index.vectors[safe_ids]  # (Q, chunk, d)
+            vecs = index.vectors[safe_ids]  # (Q, CB, d)
             dots = jnp.einsum(
                 "qcd,qd->qc",
                 vecs,

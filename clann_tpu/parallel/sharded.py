@@ -197,6 +197,7 @@ def shard_index(index, n_devices: int) -> ShardedIndex:
                 jnp.asarray(h_loc),
                 jnp.asarray(out["sketches"][dev]),
                 jnp.asarray(out["assignment"][dev]),
+                pad_to=cfgx.gather_block,
             )
             gd = build_prefix_directory(
                 gh,
