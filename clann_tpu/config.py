@@ -96,7 +96,9 @@ class Config:
     # so fetching G records per lane multiplies candidate throughput by up
     # to G at zero extra gather cost (block-edge lanes are masked; tiny
     # ranges degrade gracefully to parity). Power of two; 1 disables.
-    gather_block: int = 4
+    # Swept on v5e at 200k x 100 (heavy-collision data): QPS grows through
+    # G=16 (45 -> 105 with chunk=2048/filter_expand=4) and flattens by 32.
+    gather_block: int = 16
     # Prefix-directory bits per (table, cluster) segment seeding query-time
     # binary searches (the reference's PREFIX_INDEX_BITS=13 directory,
     # prefixmap.hpp:70 — smaller here because it is per cluster segment).
@@ -111,7 +113,15 @@ class Config:
     # Directory bits for the global tables (full 13 like the reference:
     # one directory per table, not per cluster, so memory is tiny).
     global_dir_bits: int = 13
-    # Dtype used for rescoring matmuls on the MXU ("float32" | "bfloat16").
+    # In-loop candidate scoring dtype for the adaptive LSH engines.
+    # "float32" (default): score in f32 directly. "int8": score candidates
+    # against an int8 shadow of the dataset with a 2k internal buffer and
+    # exactly re-score the final top-k in f32 — the TPU analog of the
+    # reference's Q15 i16 ranking + f32 re-scoring split (math.hpp:11-34,
+    # index.rs:400-416). Measured on v5e at 200k x 100 the f32 path is ~5%
+    # FASTER (row gathers do not get cheaper below ~400B and the deeper
+    # buffer costs merge work), so int8 is a memory knob (4x smaller score
+    # rows), not a speed knob; recall is within ~1pp either way.
     rescore_dtype: str = "float32"
     # --- dense (IVF) probing mode (no reference counterpart; the TPU-native
     # fast path: probed clusters are scanned with one batched MXU matmul
@@ -163,6 +173,8 @@ class Config:
             self.gather_block & (self.gather_block - 1)
         ):
             raise ConfigError("gather_block must be a power of two >= 1")
+        if self.rescore_dtype not in ("float32", "int8"):
+            raise ConfigError("rescore_dtype must be 'float32' or 'int8'")
         if isinstance(self.metrics_output, str):
             object.__setattr__(self, "metrics_output", MetricsOutput(self.metrics_output))
 

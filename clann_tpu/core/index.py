@@ -98,6 +98,14 @@ class ClusteredIndex:
     # dependency chain). Derived from sorted_idx + sketches; not serialized
     # (rebuilt on load). None disables (falls back to the two-gather path).
     slot_records: Optional[jnp.ndarray] = None  # (L, n, 1+W) uint32
+    # --- int8 shadow of `vectors` for in-loop candidate scoring (the TPU
+    # analog of the reference's Q15 i16 ranking dots, unit_vector.hpp:26-45
+    # + math.hpp:11-34, with CLANN's f32 re-scoring of winners,
+    # index.rs:400-416, applied to the final top-k): a d=100 int8 row is
+    # ~100B, inside the measured flat-cost tier of a random gather, so
+    # rescore gathers cost 1 lane instead of ~4. Built when
+    # config.rescore_dtype == "int8". Derived; not serialized. ---
+    vectors_q8: Optional[jnp.ndarray] = None  # (n, d) int8, scale 127
     # --- per-(table, cluster) prefix directory (prefixmap.hpp:70,86,228-240
     # analog) seeding the query-time binary searches; see
     # ops/prefixmap.build_prefix_directory. Derived; not serialized. ---
@@ -366,6 +374,18 @@ def make_slot_records(
     return rec
 
 
+@jax.jit
+def quantize_q8(xn: jnp.ndarray) -> jnp.ndarray:
+    """Symmetric int8 quantization (scale 127) of unit-norm vectors.
+
+    Components of L2-normalized vectors lie in [-1, 1], so a fixed scale of
+    127 loses < 1/254 per component — the same fixed-point idea as the
+    reference's Q15 storage (format/unit_vector.hpp:26-45), at 8 bits
+    because the winners are exactly re-scored in f32 afterwards.
+    """
+    return jnp.round(jnp.clip(xn * 127.0, -127.0, 127.0)).astype(jnp.int8)
+
+
 def _hash_in_blocks(fn, x: jnp.ndarray, block: int):
     """Apply a per-block hashing fn over point blocks with lax.map.
 
@@ -537,6 +557,7 @@ def build_index(
             else None
         ),
         prefix_dir=prefix_dir,
+        vectors_q8=quantize_q8(xj) if config.rescore_dtype == "int8" else None,
         g_sorted_hash=g_sorted_hash,
         g_records=g_records,
         g_dir=g_dir,

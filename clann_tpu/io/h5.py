@@ -108,7 +108,7 @@ def load_index(data, path: str):
     """
     import h5py
 
-    from clann_tpu.core.index import ClusteredIndex
+    from clann_tpu.core.index import ClusteredIndex, quantize_q8
 
     if not os.path.exists(path):
         raise SerializeError(f"index file {path} not found")
@@ -211,6 +211,9 @@ def load_index(data, path: str):
     )
     return ClusteredIndex(
         vectors=xn,
+        vectors_q8=(
+            quantize_q8(xn) if config.rescore_dtype == "int8" else None
+        ),
         sorted_hash=sorted_hash_dev,
         sorted_idx=sorted_idx_dev,
         sketches=sketches_dev,

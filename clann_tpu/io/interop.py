@@ -215,6 +215,7 @@ def _load_faithful(clusters, parsed_blobs, cfg: Config, vectors, family_name):
         derive_prefix_directory,
         derive_probs_tables,
         make_slot_records,
+        quantize_q8,
     )
     from clann_tpu.io.refcodec import q15_to_f32
     from clann_tpu.ops.distances import l2_normalize
@@ -379,6 +380,9 @@ def _load_faithful(clusters, parsed_blobs, cfg: Config, vectors, family_name):
 
     return ClusteredIndex(
         vectors=xn,
+        vectors_q8=(
+            quantize_q8(xn) if cfg.rescore_dtype == "int8" else None
+        ),
         sorted_hash=sorted_hash_dev,
         sorted_idx=sorted_idx_dev,
         sketches=sketches_dev,

@@ -59,7 +59,9 @@ from clann_tpu.ops.prefixmap import (
 )
 from clann_tpu.ops.query import (
     SearchStats,
+    _exact_rescore_topk,
     _merge_topk,
+    _score_candidates,
     batched_query_driver,
     probs_lookup,
 )
@@ -107,6 +109,15 @@ def global_search_batch_impl(
     nb = n_pad // G
     # free reshape: (L, n_pad, R) rows -> (L, nb, G*R) block rows
     rec_view = index.g_records.reshape(L, nb, G * R)
+
+    queries_q8 = None
+    # internal buffer depth: 2k under quantized scoring (see ops/query.py)
+    kk = k
+    if index.vectors_q8 is not None:
+        from clann_tpu.core.index import quantize_q8
+
+        queries_q8 = quantize_q8(queries_n)
+        kk = 2 * k
 
     # cluster geometry for the feasibility filter (one matmul)
     center_dist = jnp.clip(
@@ -211,15 +222,7 @@ def global_search_batch_impl(
         )[:, :CB]
 
         safe_ids = jnp.clip(compact_ids, 0, n - 1)
-        vecs = index.vectors[safe_ids]
-        dots = jnp.einsum(
-            "qcd,qd->qc",
-            vecs,
-            queries_n,
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        sims = jnp.clip((dots + 1.0) * 0.5, 0.0, 1.0)
+        sims = _score_candidates(index, queries_n, queries_q8, safe_ids)
 
         topk_sims, topk_ids = _merge_topk(
             topk_sims, topk_ids, compact_ids, sims, n_sentinel=n
@@ -255,8 +258,8 @@ def global_search_batch_impl(
         return (topk_sims, topk_ids, qdone, off_new, dc, cand_ct)
 
     init = (
-        jnp.zeros((Q, k), jnp.float32),
-        jnp.full((Q, k), -1, jnp.int32),
+        jnp.zeros((Q, kk), jnp.float32),
+        jnp.full((Q, kk), -1, jnp.int32),
         total <= 0,
         jnp.zeros((Q,), jnp.int32),
         jnp.zeros((Q,), jnp.int32),
@@ -264,6 +267,9 @@ def global_search_batch_impl(
     )
     topk_sims, topk_ids, _, _, dc, cand_ct = jax.lax.while_loop(
         cond, body, init
+    )
+    topk_sims, topk_ids = _exact_rescore_topk(
+        index, queries_n, topk_sims, topk_ids, out_k=k
     )
 
     # clusters still feasible at the final kth — the analog of

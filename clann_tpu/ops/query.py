@@ -120,6 +120,66 @@ def batched_query_driver(qn, batch_size, run_block):
     return sims, ids, stats
 
 
+def _score_candidates(index, queries_n, queries_q8, safe_ids):
+    """Batched candidate similarity (Q, CB) in the configured dtype.
+
+    int8 mode is the TPU analog of the reference's Q15 i16 ranking dot
+    (math.hpp:11-34): an exact int8 x int8 -> int32 MXU contraction over
+    quantized operands; winners get a final f32 re-score
+    (_exact_rescore_topk), like CLANN's re-scoring of PUFFINN candidates
+    (index.rs:400-416). The int8 rows are ~100B at d=100 — inside the
+    measured flat-cost gather tier, ~4x cheaper to fetch than f32 rows.
+    """
+    if index.vectors_q8 is not None:
+        vecs = index.vectors_q8[safe_ids]  # (Q, CB, d) int8
+        dots = jnp.einsum(
+            "qcd,qd->qc",
+            vecs,
+            queries_q8,
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * (1.0 / (127.0 * 127.0))
+    else:
+        vecs = index.vectors[safe_ids]
+        dots = jnp.einsum(
+            "qcd,qd->qc",
+            vecs,
+            queries_n,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    return jnp.clip((dots + 1.0) * 0.5, 0.0, 1.0)  # cosine.hpp:19-23
+
+
+def _exact_rescore_topk(index, queries_n, topk_sims, topk_ids, out_k):
+    """Re-score the kept candidates exactly in f32, re-sort, keep out_k.
+
+    No-op in f32 mode (the buffer already holds exact scores and out_k
+    entries). In int8 mode this mirrors the reference's split: PUFFINN
+    ranks candidates in i16 similarity in a 2k MaxBuffer
+    (maxbuffer.hpp:25-46), then CLANN recomputes f32 distances for the
+    returned ids (index.rs:400-416) — keeping 2k through the quantized
+    loop means a true neighbor is only lost if quantization noise pushes
+    it below rank 2k, not rank k.
+    """
+    if index.vectors_q8 is None:
+        return topk_sims, topk_ids
+    n = index.vectors.shape[0]
+    safe = jnp.clip(topk_ids, 0, n - 1)
+    v = index.vectors[safe]  # (Q, kk, d) — a few rows per query
+    dots = jnp.einsum(
+        "qkd,qd->qk",
+        v,
+        queries_n,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    sims = jnp.clip((dots + 1.0) * 0.5, 0.0, 1.0)
+    sims = jnp.where(topk_ids >= 0, sims, -1.0)
+    new_sims, sel = jax.lax.top_k(sims, out_k)
+    new_ids = jnp.take_along_axis(topk_ids, sel, axis=1)
+    return jnp.maximum(new_sims, 0.0), jnp.where(new_sims < 0, -1, new_ids)
+
+
 def _merge_topk(topk_sims, topk_ids, cand_ids, cand_sims, *, n_sentinel):
     """Merge chunk candidates into the running top-k with exact dedup.
 
@@ -226,6 +286,17 @@ def search_batch_impl(
     # (reference: index.rs:592-616 sort_cluster_indices_by_distance).
     center_dist = jnp.clip(1.0 - exact_dot(queries_n, index.centers.T), 0.0, 2.0)
     order = jnp.argsort(center_dist, axis=1).astype(jnp.int32)  # (Q, C)
+
+    queries_q8 = None
+    # internal buffer depth: 2k under quantized scoring (MaxBuffer keeps 2k,
+    # maxbuffer.hpp:25) so selection noise must push a true neighbor below
+    # rank 2k to lose it; [:, k-1] stays the k-th-best estimate everywhere
+    kk = k
+    if index.vectors_q8 is not None:
+        from clann_tpu.core.index import quantize_q8
+
+        queries_q8 = quantize_q8(queries_n)
+        kk = 2 * k
 
     table_ids = jnp.arange(L, dtype=jnp.int32)
 
@@ -348,15 +419,7 @@ def search_batch_impl(
             )[:, :CB]
 
             safe_ids = jnp.clip(compact_ids, 0, n - 1)
-            vecs = index.vectors[safe_ids]  # (Q, CB, d)
-            dots = jnp.einsum(
-                "qcd,qd->qc",
-                vecs,
-                queries_n,
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            sims = jnp.clip((dots + 1.0) * 0.5, 0.0, 1.0)  # cosine.hpp:19-23
+            sims = _score_candidates(index, queries_n, queries_q8, safe_ids)
 
             topk_sims, topk_ids = _merge_topk(
                 topk_sims, topk_ids, compact_ids, sims, n_sentinel=n
@@ -431,8 +494,8 @@ def search_batch_impl(
         )
 
     init = _OuterState(
-        topk_sims=jnp.zeros((Q, k), jnp.float32),
-        topk_ids=jnp.full((Q, k), -1, jnp.int32),
+        topk_sims=jnp.zeros((Q, kk), jnp.float32),
+        topk_ids=jnp.full((Q, kk), -1, jnp.int32),
         done=jnp.zeros((Q,), bool),
         rank=jnp.asarray(0, jnp.int32),
         dc=jnp.zeros((Q,), jnp.int32),
@@ -441,8 +504,11 @@ def search_batch_impl(
     )
     final = jax.lax.while_loop(outer_cond, outer_body, init)
 
+    topk_sims, topk_ids = _exact_rescore_topk(
+        index, queries_n, final.topk_sims, final.topk_ids, out_k=k
+    )
     stats = SearchStats(final.dc, final.cand, final.visited)
-    return final.topk_sims, final.topk_ids, stats
+    return topk_sims, topk_ids, stats
 
 
 search_batch_jit = functools.partial(

@@ -57,6 +57,33 @@ def test_records_padded_to_block(ds):
     assert i.max() < ds.train.shape[0]
 
 
+def test_int8_scoring_recall_and_exact_distances(ds):
+    """rescore_dtype="int8": quantized in-loop ranking with a 2k buffer
+    and exact f32 final rescore — recall within ~2pp of f32, and returned
+    distances must be exact f32 (not quantized)."""
+    f32 = _build(ds, 8)
+    q8 = build_index(
+        ds.train,
+        f32.config.replace(rescore_dtype="int8"),
+    )
+    assert q8.vectors_q8 is not None and q8.vectors_q8.dtype == np.int8
+    tn = np.asarray(q8.vectors)
+    for fn in (clustered_search, global_search):
+        d0, i0, _ = fn(f32, ds.test, k=10, delta=0.9)
+        d1, i1, _ = fn(q8, ds.test, k=10, delta=0.9)
+        r0, _, _ = recall_values(ds.distances, d0, count=10)
+        r1, _, _ = recall_values(ds.distances, d1, count=10)
+        assert r1 >= r0 - 0.03, (fn.__module__, r0, r1)
+        # distances are exact f32 cosine of the returned ids
+        qn = ds.test / np.linalg.norm(ds.test, axis=1, keepdims=True)
+        got = 1.0 - np.einsum(
+            "qd,qkd->qk", qn, tn[np.clip(i1, 0, None)]
+        )
+        mask = i1 >= 0
+        # 2*(1-sim) with sim=(dot+1)/2 is exactly the cosine distance 1-dot
+        np.testing.assert_allclose(d1[mask], got[mask], rtol=0, atol=2e-5)
+
+
 def test_invalid_gather_block_rejected():
     from clann_tpu.errors import ConfigError
 
