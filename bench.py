@@ -202,8 +202,9 @@ def main():
     # --- secondary: delta-guarantee LSH path (ball-filtered global
     # engine, ops/global_query.py) on a subset. Small sample: the path is
     # gather-rate bound on this (deliberately hard, heavy hash-collision)
-    # dataset; batch 128 measured fastest, larger trips memory pressure.
-    lsh_sub = min(256, len(test))
+    # dataset; blocked gather (gather_block=16) with a wide chunk measured
+    # fastest (2.3x the position-at-a-time stream at 200k).
+    lsh_sub = min(512, len(test))
     lsh_qps = 0.0
     lsh_recall = 0.0
     try:
@@ -223,13 +224,15 @@ def main():
         )
         gdi = int(np.ceil(np.log2(max(2, int(jnp.max(
             gd[:, :, 1:] - gd[:, :, :-1])))))) + 1
+        lsh_cfg = cfg.replace(candidate_chunk=2048, filter_expand=4)
         index = index.replace(
-            g_sorted_hash=gh, g_records=gr, g_dir=gd, g_dir_iters=gdi
+            g_sorted_hash=gh, g_records=gr, g_dir=gd, g_dir_iters=gdi,
+            config=lsh_cfg,
         )
-        global_search(index, test[:128], k=K, delta=DELTA, batch_size=128)
+        global_search(index, test[:256], k=K, delta=DELTA, batch_size=256)
         t0 = time.time()
         d_l, _, st_l = global_search(
-            index, test[:lsh_sub], k=K, delta=DELTA, batch_size=128
+            index, test[:lsh_sub], k=K, delta=DELTA, batch_size=256
         )
         lsh_qps = lsh_sub / (time.time() - t0)
         lsh_recall, _, _ = recall_values(gt_d[:lsh_sub], d_l, count=K)
