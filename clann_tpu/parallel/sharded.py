@@ -241,6 +241,213 @@ def shard_index(index, n_devices: int) -> ShardedIndex:
     )
 
 
+def build_sharded(
+    data, config: Config, mesh=None, metric: str = "angular"
+) -> ShardedIndex:
+    """End-to-end multi-chip index build: per-shard tables are built from
+    per-shard points directly, so no single-chip (L, n) structure is ever
+    materialized (the missing piece for beyond-one-chip datasets — the
+    reference's whole build is single-node OpenMP, SURVEY.md §2.5).
+
+    Stages:
+    1. mesh-sharded GMM (parallel/gmm.py) — O(D + d) collective traffic
+       per iteration, bit-identical to the single-device clustering.
+    2. balanced cluster partition (host integer bookkeeping only).
+    3. ONE shard_map program: each device hashes, sketches and
+       segment-sorts ITS OWN points (the per-device analog of build_index
+       steps 3-5) and builds its hash-sorted global-engine records.
+    4. per-shard prefix directories for the global engine.
+
+    Equivalence: with the same config/seed this produces byte-identical
+    shards to `shard_index(build_index(data, cfg))` — same GMM, same
+    partition, same shared hash functions — verified in tests. Host memory
+    still holds the raw dataset (fine: host RAM >> HBM); device memory per
+    chip is bounded by its shard.
+    """
+    from clann_tpu.core.index import (
+        derive_probs_tables,
+        make_global_tables,
+    )
+    from clann_tpu.errors import DataError, IndexCreationError
+    from clann_tpu.ops.distances import l2_normalize
+    from clann_tpu.ops.hashing import make_hash_family
+    from clann_tpu.ops.prefixmap import (
+        build_prefix_directory,
+        sort_tables_segmented,
+    )
+    from clann_tpu.ops.sketches import SketchFilterer
+    from clann_tpu.ops.sources import make_hash_source
+    from clann_tpu.parallel.gmm import sharded_gmm
+
+    x = np.asarray(data, np.float32)
+    if x.ndim != 2 or x.shape[0] == 0:
+        raise DataError("empty or non-2D dataset")
+    if metric != "angular":
+        raise IndexCreationError(
+            "sharded LSH build supports the angular metric"
+        )
+    n, d = x.shape
+    if mesh is None:
+        mesh = make_mesh()
+    axis = mesh.axis_names[0]
+    D = int(np.prod(list(mesh.shape.values())))
+    cfg = config
+
+    # 1. clustering over the mesh
+    centers_idx, assignment, radii = sharded_gmm(
+        x, cfg.num_clusters(n), mesh=mesh, metric=metric
+    )
+    C = len(centers_idx)
+    sizes = np.bincount(assignment, minlength=C)
+    brute_np = sizes < max(cfg.brute_force_threshold, cfg.k)
+
+    # 2. balanced partition + host-side shard assembly (integers + one
+    # vector slice per shard; identical layout rules to shard_index)
+    groups = partition_clusters(sizes, D)
+    C_max = max(1, max(len(g) for g in groups))
+    n_max = max(1, int(max(sizes[g].sum() if len(g) else 0 for g in groups)))
+    # uniform slot padding so per-shard g_records stack cleanly
+    n_max += (-n_max) % max(1, cfg.gather_block)
+
+    xn_host = x / np.maximum(
+        np.linalg.norm(x, axis=1, keepdims=True), 1e-30
+    )
+    vecs = np.zeros((D, n_max, d), np.float32)
+    clus_local = np.full((D, n_max), C_max, np.int32)  # pads sort last
+    global_ids = np.full((D, n_max), -1, np.int32)
+    cluster_starts = np.zeros((D, C_max + 1), np.int32)
+    centers_arr = np.zeros((D, C_max, d), np.float32)
+    center_ids = np.full((D, C_max), -1, np.int32)
+    radii_arr = np.full((D, C_max), PAD_RADIUS, np.float32)
+    brute_arr = np.zeros((D, C_max), bool)
+    for dev, g in enumerate(groups):
+        local_starts = [0]
+        parts = []
+        for ci, c in enumerate(g):
+            members = np.where(assignment == c)[0].astype(np.int32)
+            parts.append(members)
+            local_starts.append(local_starts[-1] + len(members))
+            centers_arr[dev, ci] = xn_host[centers_idx[c]]
+            center_ids[dev, ci] = centers_idx[c]
+            radii_arr[dev, ci] = radii[c]
+            brute_arr[dev, ci] = brute_np[c]
+            clus_local[dev, local_starts[ci] : local_starts[ci + 1]] = ci
+        gids = np.concatenate(parts) if parts else np.zeros(0, np.int32)
+        n_local = len(gids)
+        global_ids[dev, :n_local] = gids
+        vecs[dev, :n_local] = xn_host[gids]
+        cs = np.asarray(local_starts, np.int32)
+        cluster_starts[dev, : len(cs)] = cs
+        cluster_starts[dev, len(cs):] = n_local
+
+    # shared hash functions (same PRNG stream as build_index)
+    key = jax.random.PRNGKey(cfg.seed)
+    k_hash, k_sketch = jax.random.split(key)
+    family = make_hash_family(
+        cfg.hash_family,
+        d,
+        num_rotations=cfg.num_rotations,
+        estimation_repetitions=cfg.estimation_repetitions,
+        estimation_eps=cfg.estimation_eps,
+    )
+    source = make_hash_source(
+        cfg.hash_source, family, cfg.num_tables, cfg.max_hashbits
+    ).init(k_hash)
+    filterer = SketchFilterer(d, cfg.num_sketches, cfg.sketch_bits).init(
+        k_sketch
+    )
+    probs, maxdiff = derive_probs_tables(family, cfg)
+
+    build_global = cfg.lsh_engine in ("global", "both")
+    n_locals = (global_ids >= 0).sum(axis=1).astype(np.int32)
+
+    # 3. per-device hash + sketch + sorts in ONE mesh program
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis)),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    def local_build(vec, clus, nl):
+        xl = vec[0]  # (n_max, d) already normalized; pad rows are zero
+        cl = clus[0]
+        n_local = nl[0]
+        hashes = source.hash(xl)  # (n_max, L) — params captured, replicated
+        sk = filterer.sketch(xl)  # (n_max, S, W)
+        pad = jnp.arange(xl.shape[0], dtype=jnp.int32) >= n_local
+        hashes_T = jnp.where(
+            pad[None, :], jnp.uint32(0xFFFFFFFF), hashes.T
+        )
+        sorted_hash, sorted_idx = sort_tables_segmented(hashes_T, cl)
+        out = {
+            "sorted_hash": sorted_hash[None],
+            "sorted_idx": sorted_idx[None],
+            "sketches": sk[None],
+        }
+        if build_global:
+            gh, gr = make_global_tables(
+                hashes_T, sk, cl, pad_to=cfg.gather_block
+            )
+            out["g_sorted_hash"] = gh[None]
+            out["g_records"] = gr[None]
+        return out
+
+    built = jax.jit(local_build)(
+        jnp.asarray(vecs), jnp.asarray(clus_local), jnp.asarray(n_locals)
+    )
+
+    # 4. per-shard global-engine prefix directories
+    g_fields = {}
+    g_dir_iters = 0
+    if build_global:
+        full_iters = int(np.ceil(np.log2(max(2, n_max)))) + 1
+        gd_list = []
+        for dev in range(D):
+            gd = build_prefix_directory(
+                built["g_sorted_hash"][dev],
+                jnp.asarray(np.asarray([0, n_max], np.int32)),
+                cfg.global_dir_bits,
+                full_iters,
+                cfg.max_hashbits,
+            )
+            g_dir_iters = max(
+                g_dir_iters,
+                int(np.ceil(np.log2(max(2, int(jnp.max(
+                    gd[:, :, 1:] - gd[:, :, :-1])))))) + 1,
+            )
+            gd_list.append(gd)
+        g_fields = {
+            "g_sorted_hash": built["g_sorted_hash"],
+            "g_records": built["g_records"],
+            "g_dir": jnp.stack(gd_list),
+        }
+
+    return ShardedIndex(
+        vectors=jnp.asarray(vecs),
+        sorted_hash=built["sorted_hash"],
+        sorted_idx=built["sorted_idx"],
+        sketches=built["sketches"],
+        cluster_starts=jnp.asarray(cluster_starts),
+        centers=jnp.asarray(centers_arr),
+        center_ids=jnp.asarray(center_ids),
+        radii=jnp.asarray(radii_arr),
+        brute=jnp.asarray(brute_arr),
+        assignment=jnp.asarray(np.where(clus_local >= C_max, 0, clus_local)),
+        global_ids=jnp.asarray(global_ids),
+        hash_params=source.params,
+        sketch_params=filterer.params,
+        probs_table=jnp.asarray(probs.table),
+        maxdiff_table=jnp.asarray(maxdiff),
+        config=cfg,
+        metric=metric,
+        sim_eps=probs.sim_eps,
+        max_seg_len=int(sizes.max()) if len(sizes) else 0,
+        g_dir_iters=g_dir_iters,
+        **g_fields,
+    )
+
+
 def _local_index(sharded: ShardedIndex, arrays: dict, repl: dict):
     """Assemble the device-local ClusteredIndex from shard_map blocks."""
     from clann_tpu.core.index import ClusteredIndex
@@ -515,6 +722,13 @@ def dryrun(n_devices: int) -> None:
     assert d3.shape == (32, 5) and i3.max() < 512
     assert int(np.asarray(st3.distance_computations).sum()) > 0
     assert np.all(np.diff(d3, axis=1) >= -1e-5)
+    # end-to-end sharded build (no single-chip structure materialized):
+    # must reproduce the shard-a-built-index path exactly
+    direct = build_sharded(train, cfg, mesh=mesh)
+    d4, i4, _ = sharded_search(direct, queries, mesh=mesh)
+    assert np.array_equal(i4, ids) and np.allclose(d4, dists, atol=1e-6)
+    d5, i5, _ = sharded_global_search(direct, queries, mesh=mesh)
+    assert d5.shape == (32, 5) and i5.max() < 512
 
 
 def sharded_scan_search(
