@@ -134,7 +134,11 @@ def main():
     test_d = jax.device_put(jnp.asarray(test))
     _ = np.asarray(test_d[:1])
     el, (d_s, _, st_s) = timed(
-        lambda: scan_search(index, test_d, k=K, recall_target=0.95,
+        # recall_target swept at this scale: measured recall is 0.9991 at
+        # EVERY setting down to 0.1 (the exact merge + final rescore keep
+        # membership); 0.85 is ~15-20% faster than 0.95 and the curve is
+        # flat below it (the bound moves to score materialization)
+        lambda: scan_search(index, test_d, k=K, recall_target=0.85,
                             batch_q=len(test))
     )
     r_s, _, _ = recall_values(gt_d, d_s, count=K)

@@ -59,6 +59,7 @@ from clann_tpu.ops.prefixmap import (
 )
 from clann_tpu.ops.query import (
     SearchStats,
+    _compact_take,
     _exact_rescore_topk,
     _merge_topk,
     _score_candidates,
@@ -144,7 +145,6 @@ def global_search_batch_impl(
     fc = jnp.cumsum(bcounts, axis=1)  # (Q, M) cumulative BLOCK counts
     total = fc[:, -1]
 
-    rows = jnp.arange(Q, dtype=jnp.int32)[:, None]
     blk_iota = jnp.arange(WB, dtype=jnp.int32)
 
     def cond(s):
@@ -181,21 +181,36 @@ def global_search_batch_impl(
                 index.maxdiff_table.shape[0] - 1,
             )
         ]
-        sk_idx = jnp.broadcast_to(
-            (t_sel % S)[:, :, None], (Q, WB, G)
-        ).reshape(Q, WL)
-        q_sk = jnp.take_along_axis(
-            query_sketches, sk_idx[:, :, None], axis=1
-        )
+        # one query-sketch fetch per BLOCK (the sketch index is constant
+        # across a block's G lanes), broadcast to lanes
+        q_sk = jnp.broadcast_to(
+            jnp.take_along_axis(
+                query_sketches, (t_sel % S)[:, :, None], axis=1
+            )[:, :, None, :],
+            (Q, WB, G, Wd),
+        ).reshape(Q, WL, Wd)
         ham = jnp.sum(
             jax.lax.population_count(jnp.bitwise_xor(cand_sk, q_sk)),
             axis=-1,
         ).astype(jnp.int32)
 
-        # ball feasibility per candidate (index.rs:342-361 per candidate)
+        # ball feasibility per candidate (index.rs:342-361 per candidate).
+        # Gather-free: the exact (Q, C) feasibility booleans are contracted
+        # with a one-hot of the candidate's cluster on the MXU — a (Q, WL)
+        # f32 gather costs ~25ms per window at these shapes, the one-hot
+        # einsum ~4ms. Exact: 0/1 are exactly representable in bf16 and
+        # each one-hot row has exactly one nonzero.
+        ok = (feas_bound <= kth_dist[:, None]).astype(jnp.bfloat16)
         feas = (
-            jnp.take_along_axis(feas_bound, cand_cluster, axis=1)
-            <= kth_dist[:, None]
+            jnp.einsum(
+                "qwc,qc->qw",
+                jax.nn.one_hot(
+                    cand_cluster, feas_bound.shape[1], dtype=jnp.bfloat16
+                ),
+                ok,
+                preferred_element_type=jnp.float32,
+            )
+            >= 0.5
         )
         if filter_type == "none":
             passes = valid & feas
@@ -214,12 +229,7 @@ def global_search_batch_impl(
             )
         ).reshape(Q, WL)
         take = passes & in_window
-        cumtake = jnp.cumsum(take, axis=1)
-        rank = jnp.where(take, cumtake - 1, CB)
-        compact_ids = jnp.full((Q, CB + 1), n, jnp.int32)
-        compact_ids = compact_ids.at[rows, rank].set(
-            jnp.where(take, cand_ids, n)
-        )[:, :CB]
+        compact_ids = _compact_take(take, cand_ids, cap=CB, n_sentinel=n)
 
         safe_ids = jnp.clip(compact_ids, 0, n - 1)
         sims = _score_candidates(index, queries_n, queries_q8, safe_ids)

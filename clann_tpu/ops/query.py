@@ -180,6 +180,28 @@ def _exact_rescore_topk(index, queries_n, topk_sims, topk_ids, out_k):
     return jnp.maximum(new_sims, 0.0), jnp.where(new_sims < 0, -1, new_ids)
 
 
+def _compact_take(take, cand_ids, *, cap, n_sentinel):
+    """Compact taken candidate ids into the first `cap` slots, in order.
+
+    The natural scatter (`out.at[rows, rank].set(ids)`) lowers to
+    ~40-50ns/lane serialized stores on TPU — 13ms per (256, 8192) window.
+    Sorting (rank, id) pairs instead rides the vectorized sort lowering
+    (4.2ms measured, same shapes) and is bit-identical: taken lanes get
+    unique ranks 0..T-1, everything else sorts last as the sentinel, and
+    overflow past `cap` is truncated exactly like out-of-bounds scatter
+    ranks were dropped.
+    """
+    WL = take.shape[1]
+    cumtake = jnp.cumsum(take, axis=1)
+    rank = jnp.where(take, cumtake - 1, jnp.int32(WL)).astype(jnp.int32)
+    _, ids_sorted = jax.lax.sort(
+        (rank, jnp.where(take, cand_ids, n_sentinel)),
+        num_keys=1,
+        dimension=1,
+    )
+    return ids_sorted[:, :cap]
+
+
 def _merge_topk(topk_sims, topk_ids, cand_ids, cand_sims, *, n_sentinel):
     """Merge chunk candidates into the running top-k with exact dedup.
 
@@ -379,9 +401,14 @@ def search_batch_impl(
                     index.maxdiff_table.shape[0] - 1,
                 )
             ]  # (Q,)
-            q_sk = jnp.take_along_axis(
-                qs, sk_idx[:, :, None], axis=1
-            )  # (Q, WL, Wd)
+            # one query-sketch fetch per BLOCK (the sketch index is
+            # constant across a block's G lanes), broadcast to lanes
+            q_sk = jnp.broadcast_to(
+                jnp.take_along_axis(qs, (t_sel % S)[:, :, None], axis=1)[
+                    :, :, None, :
+                ],
+                (Q, WB, G, Wd),
+            ).reshape(Q, WL, Wd)
             ham = jnp.sum(
                 jax.lax.population_count(jnp.bitwise_xor(cand_sk, q_sk)),
                 axis=-1,
@@ -410,13 +437,9 @@ def search_batch_impl(
                 (Q, WB, G),
             ).reshape(Q, WL)
             take = passes & in_window
-            cumtake = jnp.cumsum(take, axis=1)
-            rank = jnp.where(take, cumtake - 1, CB)  # compact slot or dump
-            rows = jnp.arange(Q, dtype=jnp.int32)[:, None]
-            compact_ids = jnp.full((Q, CB + 1), n, jnp.int32)
-            compact_ids = compact_ids.at[rows, rank].set(
-                jnp.where(take, cand_ids, n)
-            )[:, :CB]
+            compact_ids = _compact_take(
+                take, cand_ids, cap=CB, n_sentinel=n
+            )
 
             safe_ids = jnp.clip(compact_ids, 0, n - 1)
             sims = _score_candidates(index, queries_n, queries_q8, safe_ids)
