@@ -125,10 +125,16 @@ def brute_force_topk(base, queries, k: int = 10, metric: str = "angular", block_
 
 def _dense_scan_impl(
     base_n, queries_n, *, k: int, block_points: int, recall_target: float,
-    exact: bool,
+    exact: bool, normalize_queries: bool = False,
 ):
     """Traceable dense-scan body (inlined under shard_map by
     parallel/sharded.py); use `_dense_scan_jit` directly."""
+    if normalize_queries:
+        # fused normalization: a separate eager l2_normalize costs a full
+        # ~40ms relay dispatch per search call (see ops/ivf.scan_search)
+        queries_n = queries_n / jnp.maximum(
+            jnp.linalg.norm(queries_n, axis=-1, keepdims=True), 1e-30
+        )
     n = base_n.shape[0]
     nb = -(-n // block_points)
     pad = nb * block_points - n
@@ -186,7 +192,9 @@ def _dense_scan_impl(
 
 _dense_scan_jit = functools.partial(
     jax.jit,
-    static_argnames=("k", "block_points", "recall_target", "exact"),
+    static_argnames=(
+        "k", "block_points", "recall_target", "exact", "normalize_queries"
+    ),
 )(_dense_scan_impl)
 
 

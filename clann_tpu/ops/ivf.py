@@ -97,7 +97,7 @@ def scan_search(
     device-resident, so repeated calls pay no host transfer. Returns
     (distances ascending, ids, DenseSearchStats).
     """
-    from clann_tpu.ops.distances import _dense_scan_jit, l2_normalize
+    from clann_tpu.ops.distances import _dense_scan_jit
 
     k = (index.config.k if k is None else k)
     # preserve device residency: np.asarray on a device array would pull
@@ -105,41 +105,48 @@ def scan_search(
     q = queries if isinstance(queries, jnp.ndarray) else jnp.asarray(
         np.asarray(queries, np.float32)
     )
-    qn = l2_normalize(q.astype(jnp.float32))
+    # normalization happens INSIDE each jitted scan body — as a separate
+    # eager call it costs a full ~40ms relay dispatch per search
+    qn = q.astype(jnp.float32)
     if qn.ndim == 1:
         qn = qn[None, :]
     n = index.vectors.shape[0]
 
     if use_pallas:
-        from clann_tpu.ops.pallas.scan_topk import fused_scan_candidates
+        from clann_tpu.ops.pallas.scan_topk import fused_scan_topk_e2e
 
-        block_n = 16384 if n >= 16384 else max(256, 1 << (n - 1).bit_length())
-        num_bins = min(128, block_n)
-        q_tile = 256
+        # packed single-pass kernel sweep on v5e at 1.18M x 100 (see
+        # PERFORMANCE.md): 32k-point blocks with 64 bins measured 62.8ms
+        # per 10k queries (159k QPS candidate generation) vs 142ms for the
+        # original 3-pass kernel at 16k/128; the WHOLE path (kernel +
+        # selection + exact rescore) runs as one jit — separate dispatches
+        # through the ~40ms relay diluted the kernel win to nothing
+        block_n = 32768 if n >= 32768 else max(256, 1 << (n - 1).bit_length())
+        # Bin sizing targets a TOTAL candidate budget across all blocks:
+        # expected top-k loss from two true neighbors sharing a bin is
+        # ~(k-1)/(2*total_bins) (measured 0.12% at k=10 with 2368 bins),
+        # so small datasets with few blocks need MORE bins per block —
+        # a fixed per-block count cost 4.8% recall at n=30k (one block).
+        n_blocks = (n + block_n - 1) // block_n
+        target = max(2048, 32 * k)
+        nb = 1 << (max(
+            64, (target + n_blocks - 1) // n_blocks,
+            1 << (k - 1).bit_length(),
+        ) - 1).bit_length()
+        num_bins = min(nb, max(8, block_n // 8))
+        rescore_m = min(num_bins, max(32, 1 << (k - 1).bit_length()))
         base_p = _pallas_base(index, block_n)
-        dpad = base_p.shape[1]
         outs_s, outs_i = [], []
         for s in range(0, qn.shape[0], batch_q):
             blk = qn[s : s + batch_q]
-            q_real = blk.shape[0]
-            q_pad = ((q_real + q_tile - 1) // q_tile) * q_tile
-            qp = jnp.zeros((q_pad, dpad), jnp.bfloat16)
-            qp = qp.at[:q_real, : blk.shape[1]].set(blk.astype(jnp.bfloat16))
-            vals, cids = fused_scan_candidates(
-                base_p, qp, n_real=n,
-                num_bins=num_bins, block_n=block_n, q_tile=q_tile,
+            ts, ti = fused_scan_topk_e2e(
+                base_p, index.vectors, blk,
+                n_real=n, k=k, rescore_m=rescore_m,
+                num_bins=num_bins, block_n=block_n, q_tile=256,
+                normalize=True,
             )
-            vals, cids = vals[:q_real], cids[:q_real]
-            safe = jnp.clip(cids, 0, n - 1)
-            ex = jnp.einsum(
-                "qbd,qd->qb", index.vectors[safe], blk,
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            ex = jnp.where(cids >= 0, ex, -jnp.inf)
-            ts, sel = jax.lax.top_k(ex, k)
             outs_s.append(ts)
-            outs_i.append(jnp.take_along_axis(cids, sel, axis=1))
+            outs_i.append(ti)
     else:
         # bound the transient (batch, block) score matrix to ~4GB; measured
         # optimum at glove scale: one 10k-query call with ~100k-point blocks
@@ -154,13 +161,27 @@ def scan_search(
             ts, ti = _dense_scan_jit(
                 index.vectors, blk, k=k, block_points=block_points,
                 recall_target=recall_target, exact=exact,
+                normalize_queries=True,
             )
             # keep device arrays; materialize once at the end so batches
             # pipeline asynchronously instead of syncing per batch
             outs_s.append(ts)
             outs_i.append(ti)
-    dots = np.concatenate([np.asarray(t) for t in outs_s])
-    ids = np.concatenate([np.asarray(t) for t in outs_i])
+    # ONE host pull: bitcast the int32 ids into the f32 result tensor so
+    # sims and ids come back in a single transfer round trip (each
+    # separate np.asarray pays the relay's fixed latency)
+    packed = jnp.concatenate(
+        [
+            jnp.concatenate(
+                [ts, jax.lax.bitcast_convert_type(ti, jnp.float32)], axis=1
+            )
+            for ts, ti in zip(outs_s, outs_i)
+        ],
+        axis=0,
+    )
+    flat = np.asarray(packed)
+    dots = flat[:, :k]
+    ids = np.ascontiguousarray(flat[:, k:]).view(np.int32)
     dists = np.where(ids >= 0, np.clip(1.0 - dots, 0.0, 2.0), np.inf)
     Q = ids.shape[0]
     dc = np.full(Q, n, np.int32)

@@ -80,6 +80,121 @@ def _scan_kernel(q_ref, b_ref, vals_ref, ids_ref, *, nb, block_n):
     ids_ref[:, :] = ids.T
 
 
+def _scan_kernel_packed(q_ref, b_ref, out_ref, *, nb, block_n):
+    """One grid step, packed single-pass variant.
+
+    The original kernel pays ~4 VPU passes over the (block_n, q_tile)
+    score tile (max-reduce, >=-compare, where, min-reduce) plus two
+    transposed output writes. Here the score and the in-bin sub-index are
+    packed into ONE int32 — round(score * 2^16) * per_bin + sub — so a
+    single max-reduce picks the bin winner AND records which row won.
+    Score quantization (2^-16) is far below the bf16 input noise and the
+    winners are exactly re-scored afterwards anyway. Output stays in the
+    kernel's natural (nb, q_tile) layout; decode and transpose are cheap
+    XLA passes over the tiny winner tensor, not the score tile.
+    """
+    per_bin = block_n // nb
+
+    q = q_ref[:]  # (Qt, dpad) bf16
+    b = b_ref[:]  # (block_n, dpad) bf16
+    sT = jax.lax.dot_general(
+        b,
+        q,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (block_n, Qt)
+    s3 = sT.reshape(nb, per_bin, sT.shape[1])
+    sq = jnp.round(s3 * 65536.0).astype(jnp.int32)  # |score| <= 1 -> 17 bits
+    sub = jax.lax.broadcasted_iota(jnp.int32, s3.shape, 1)
+    packed = sq * per_bin + sub
+    out_ref[:, :] = jnp.max(packed, axis=1)  # (nb, Qt)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_real", "num_bins", "block_n", "q_tile", "interpret"
+    ),
+)
+def fused_scan_candidates_packed(
+    base_bf16: jnp.ndarray,  # (n_pad, dpad) bf16, rows beyond n_real zero
+    queries_bf16: jnp.ndarray,  # (Q_pad, dpad) bf16
+    *,
+    n_real: int,
+    num_bins: int = 128,
+    block_n: int = 16384,
+    q_tile: int = 256,
+    interpret: bool = False,
+):
+    """(Q_pad, num_bins) approximate top candidates (vals f32, ids i32).
+
+    Same contract as fused_scan_candidates; packed single-pass kernel.
+    """
+    n_pad, dpad = base_bf16.shape
+    q_pad = queries_bf16.shape[0]
+    assert n_pad % block_n == 0 and q_pad % q_tile == 0
+    assert block_n % num_bins == 0
+    per_bin = block_n // num_bins
+    # packing puts round(score * 2^16) in the high bits: per_bin must be a
+    # power of two and small enough that the product stays inside int32
+    assert per_bin & (per_bin - 1) == 0 and per_bin <= (1 << 14)
+    grid = (q_pad // q_tile, n_pad // block_n)
+    n_blocks = n_pad // block_n
+
+    kernel = functools.partial(
+        _scan_kernel_packed, nb=num_bins, block_n=block_n
+    )
+    packed = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (q_tile, dpad), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (block_n, dpad), lambda i, j: (j, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (num_bins, q_tile), lambda i, j: (j, i),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (n_blocks * num_bins, q_pad), jnp.int32
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(queries_bf16, base_bf16)
+    packed = packed.T  # (q_pad, n_blocks * nb) — one pass over winners
+    # decode: packed = round(score * 2^16) * per_bin + sub with floor
+    # semantics under arithmetic shift (sub = low bits, exact)
+    sub = packed & (per_bin - 1)
+    ids = (
+        jnp.arange(n_blocks * num_bins, dtype=jnp.int32)[None, :] * per_bin
+        + sub
+    )
+    masked = jnp.where(ids < n_real, packed, jnp.int32(-(1 << 30)))
+    if masked.shape[1] > num_bins:
+        top_p, sel = jax.lax.top_k(masked, num_bins)
+        top_i = jnp.take_along_axis(ids, sel, axis=1)
+    else:
+        top_p, top_i = masked, ids
+    # approximate values (exact rescore happens downstream); shift right
+    # arithmetic floors, matching the packing
+    top_v = (
+        jax.lax.shift_right_arithmetic(
+            top_p, jnp.int32(per_bin.bit_length() - 1)
+        ).astype(jnp.float32)
+        / 65536.0
+    )
+    valid = top_p > jnp.int32(-(1 << 30))
+    top_v = jnp.where(valid, top_v, -jnp.inf)
+    top_i = jnp.where(valid, top_i, -1)
+    return top_v, top_i
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("n_real", "num_bins", "block_n", "q_tile", "interpret"),
@@ -149,6 +264,71 @@ def fused_scan_candidates(
         top_v, top_i = flat_v, flat_i
     top_i = jnp.where(jnp.isfinite(top_v), top_i, -1)
     return top_v, top_i
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_real", "k", "rescore_m", "num_bins", "block_n", "q_tile",
+        "normalize", "interpret",
+    ),
+)
+def fused_scan_topk_e2e(
+    base_bf16: jnp.ndarray,  # (n_pad, dpad) bf16, rows beyond n_real zero
+    base_f32: jnp.ndarray,  # (n_real, d) f32 normalized (exact rescore)
+    queries_f32: jnp.ndarray,  # (Q, d) f32; normalized here if `normalize`
+    *,
+    n_real: int,
+    k: int,
+    rescore_m: int = 32,
+    num_bins: int = 64,
+    block_n: int = 32768,
+    q_tile: int = 256,
+    normalize: bool = False,
+    interpret: bool = False,
+):
+    """Whole fused-scan query path in ONE jit: pad + kernel + candidate
+    selection + exact f32 rescore of the best `rescore_m` + final top-k.
+
+    Measured on v5e at 1.18M x 100, 10k queries: the packed kernel alone
+    is 63ms, but running selection/rescore as separate dispatches through
+    the relay (~40ms each) diluted it to parity with the approx_max_k
+    scan. Fused end-to-end: 129k QPS at recall 0.9988 (vs 76k for the
+    approx path) with rescore_m=32. Returns (exact sims desc (Q, k),
+    ids (Q, k)).
+    """
+    n_pad, dpad = base_bf16.shape
+    Q, d = queries_f32.shape
+    if normalize:
+        # fused into the one dispatch: a separate eager l2_normalize call
+        # costs a full ~40ms relay round trip per search call
+        queries_f32 = queries_f32 / jnp.maximum(
+            jnp.linalg.norm(queries_f32, axis=-1, keepdims=True), 1e-30
+        )
+    q_pad = ((Q + q_tile - 1) // q_tile) * q_tile
+    qp = jnp.zeros((q_pad, dpad), jnp.bfloat16)
+    qp = qp.at[:Q, :d].set(queries_f32.astype(jnp.bfloat16))
+    v, i = fused_scan_candidates_packed(
+        base_bf16, qp, n_real=n_real,
+        num_bins=num_bins, block_n=block_n, q_tile=q_tile,
+        interpret=interpret,
+    )
+    v, i = v[:Q], i[:Q]
+    m = min(rescore_m, v.shape[1])
+    if v.shape[1] > m:
+        _, sel = jax.lax.top_k(v, m)
+        i = jnp.take_along_axis(i, sel, axis=1)
+    safe = jnp.clip(i, 0, n_real - 1)
+    ex = jnp.einsum(
+        "qbd,qd->qb", base_f32[safe], queries_f32,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    ex = jnp.where(i >= 0, ex, -jnp.inf)
+    s, sel2 = jax.lax.top_k(ex, k)
+    return s, jnp.where(
+        jnp.isfinite(s), jnp.take_along_axis(i, sel2, axis=1), -1
+    )
 
 
 def pallas_scan_topk(

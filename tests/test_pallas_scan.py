@@ -62,3 +62,74 @@ class TestFusedScan:
         base = random_unit_vectors(600, 16, seed=7)
         with pytest.raises(ValueError):
             pallas_scan_topk(base, base[:4], k=20, num_bins=16, interpret=True)
+
+
+class TestPackedKernel:
+    """Packed single-pass kernel + one-jit e2e wrapper (interpret mode)."""
+
+    def _data(self, n=2048, d=24, q=32, seed=3):
+        rng = np.random.default_rng(seed)
+        base = rng.normal(size=(n, d)).astype(np.float32)
+        base /= np.linalg.norm(base, axis=1, keepdims=True)
+        qs = rng.normal(size=(q, d)).astype(np.float32)
+        qs /= np.linalg.norm(qs, axis=1, keepdims=True)
+        return base, qs
+
+    def test_packed_matches_original_candidates(self):
+        import jax.numpy as jnp
+
+        from clann_tpu.ops.pallas.scan_topk import (
+            fused_scan_candidates,
+            fused_scan_candidates_packed,
+        )
+
+        base, qs = self._data()
+        n_real = base.shape[0] - 17  # exercise padded-row masking
+        base[n_real:] = 0.0
+        dpad, bn, qt, nb = 128, 512, 32, 32
+        bp = np.zeros((base.shape[0], dpad), np.float32)
+        bp[:, : base.shape[1]] = base
+        qp = np.zeros((qs.shape[0], dpad), np.float32)
+        qp[:, : qs.shape[1]] = qs
+        kw = dict(n_real=n_real, num_bins=nb, block_n=bn, q_tile=qt,
+                  interpret=True)
+        v0, i0 = fused_scan_candidates(
+            jnp.asarray(bp, jnp.bfloat16), jnp.asarray(qp, jnp.bfloat16), **kw
+        )
+        v1, i1 = fused_scan_candidates_packed(
+            jnp.asarray(bp, jnp.bfloat16), jnp.asarray(qp, jnp.bfloat16), **kw
+        )
+        i0, i1 = np.asarray(i0), np.asarray(i1)
+        # same candidate sets up to score-quantization ties (2^-16)
+        overlap = np.mean(
+            [len(set(i0[q]) & set(i1[q])) / nb for q in range(len(qs))]
+        )
+        assert overlap > 0.97, overlap
+        assert i1.max() < n_real and (i1 >= 0).all()
+
+    def test_e2e_matches_brute_force(self):
+        import jax.numpy as jnp
+
+        from clann_tpu.ops.distances import brute_force_topk
+        from clann_tpu.ops.pallas.scan_topk import fused_scan_topk_e2e
+
+        base, qs = self._data(n=1500, d=24, q=48)
+        bn = 512
+        n_pad = ((base.shape[0] + bn - 1) // bn) * bn
+        bp = np.zeros((n_pad, 128), np.float32)
+        bp[: base.shape[0], : base.shape[1]] = base
+        s, i = fused_scan_topk_e2e(
+            jnp.asarray(bp, jnp.bfloat16),
+            jnp.asarray(base),
+            jnp.asarray(qs),
+            n_real=base.shape[0], k=5, rescore_m=16,
+            num_bins=32, block_n=bn, q_tile=16, interpret=True,
+        )
+        s, i = np.asarray(s), np.asarray(i)
+        gt_d, gt_i = brute_force_topk(base, qs, k=5, metric="angular")
+        # returned sims are exact f32; membership matches brute force for
+        # nearly every query at these shapes
+        match = np.mean([len(set(i[q]) & set(np.asarray(gt_i)[q])) / 5
+                         for q in range(len(qs))])
+        assert match > 0.9, match
+        assert np.all(np.diff(s, axis=1) <= 1e-6)
