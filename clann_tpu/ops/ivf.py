@@ -64,6 +64,30 @@ def auto_n_probe(n_rows: int) -> int:
 _PALLAS_BASE_CACHE: dict = {}
 
 
+def pallas_scan_plan(n: int, k: int) -> Tuple[int, int, int]:
+    """(block_n, num_bins, rescore_m) for the fused Pallas scan.
+
+    Bin sizing targets a TOTAL candidate budget across all blocks:
+    expected top-k loss from two true neighbors sharing a bin is
+    ~(k-1)/(2*total_bins) (measured 0.12% at k=10 with 2368 bins), so
+    small datasets with few blocks need MORE bins per block — a fixed
+    per-block count cost 4.8% recall at n=30k (one block). Block size 32k
+    and 64 bins/block measured fastest at 1.18M x 100 on v5e.
+    """
+    block_n = 32768 if n >= 32768 else max(256, 1 << (n - 1).bit_length())
+    n_blocks = (n + block_n - 1) // block_n
+    target = max(2048, 32 * k)
+    nb = 1 << (max(
+        64, (target + n_blocks - 1) // n_blocks,
+        1 << (k - 1).bit_length(),
+    ) - 1).bit_length()
+    # cap at block_n: per_bin=1 degrades gracefully to an exact scan of
+    # tiny datasets/shards (every point is its own bin)
+    num_bins = min(nb, block_n)
+    rescore_m = min(num_bins, max(32, 1 << (k - 1).bit_length()))
+    return block_n, num_bins, rescore_m
+
+
 def _pallas_base(index, block_n: int):
     key = (id(index.vectors), block_n)
     hit = _PALLAS_BASE_CACHE.get(key)
@@ -121,20 +145,7 @@ def scan_search(
         # original 3-pass kernel at 16k/128; the WHOLE path (kernel +
         # selection + exact rescore) runs as one jit — separate dispatches
         # through the ~40ms relay diluted the kernel win to nothing
-        block_n = 32768 if n >= 32768 else max(256, 1 << (n - 1).bit_length())
-        # Bin sizing targets a TOTAL candidate budget across all blocks:
-        # expected top-k loss from two true neighbors sharing a bin is
-        # ~(k-1)/(2*total_bins) (measured 0.12% at k=10 with 2368 bins),
-        # so small datasets with few blocks need MORE bins per block —
-        # a fixed per-block count cost 4.8% recall at n=30k (one block).
-        n_blocks = (n + block_n - 1) // block_n
-        target = max(2048, 32 * k)
-        nb = 1 << (max(
-            64, (target + n_blocks - 1) // n_blocks,
-            1 << (k - 1).bit_length(),
-        ) - 1).bit_length()
-        num_bins = min(nb, max(8, block_n // 8))
-        rescore_m = min(num_bins, max(32, 1 << (k - 1).bit_length()))
+        block_n, num_bins, rescore_m = pallas_scan_plan(n, k)
         base_p = _pallas_base(index, block_n)
         outs_s, outs_i = [], []
         for s in range(0, qn.shape[0], batch_q):

@@ -717,6 +717,11 @@ def dryrun(n_devices: int) -> None:
     d2, i2, _ = sharded_scan_search(sharded, queries, k=5, exact=True, mesh=mesh)
     assert d2.shape == (32, 5) and i2.max() < 512
     assert np.all(np.diff(d2, axis=1) >= -1e-5)
+    # packed fused-kernel scan over the mesh (interpreted off-TPU)
+    d2p, i2p, _ = sharded_scan_search(
+        sharded, queries, k=5, use_pallas=True, mesh=mesh
+    )
+    assert d2p.shape == (32, 5) and i2p.max() < 512
     # ball-filtered global LSH path over the mesh
     d3, i3, st3 = sharded_global_search(sharded, queries, mesh=mesh)
     assert d3.shape == (32, 5) and i3.max() < 512
@@ -737,13 +742,16 @@ def sharded_scan_search(
     k: Optional[int] = None,
     recall_target: float = 0.95,
     exact: bool = False,
+    use_pallas: bool = False,
     mesh=None,
 ) -> Tuple[np.ndarray, np.ndarray, SearchStats]:
     """Full dense scan sharded over the mesh (the multi-chip fast path).
 
-    Every device scans its local point shard with the blocked
-    approx_max_k pipeline (ops/distances._dense_scan_impl) and the
-    per-device top-k sets are merged with an all_gather — the same
+    Every device scans its local point shard — with the blocked
+    approx_max_k pipeline (ops/distances._dense_scan_impl) or, with
+    use_pallas, the packed fused kernel that holds the single-chip
+    headline (ops/pallas/scan_topk.fused_scan_topk_e2e) — and the
+    per-device top-k sets are merged with an all_gather, the same
     collective merge as the LSH path. Point shards are disjoint, so no
     dedup is needed. Returns (distances ascending, GLOBAL ids, stats).
     """
@@ -757,6 +765,16 @@ def sharded_scan_search(
         qn = qn[None, :]
     n_local = sharded.vectors.shape[1]
     block_points = min(262144, n_local)
+    d = sharded.vectors.shape[2]
+    if use_pallas:
+        from clann_tpu.ops.ivf import pallas_scan_plan
+
+        block_n, num_bins, rescore_m = pallas_scan_plan(n_local, k)
+        n_pad = ((n_local + block_n - 1) // block_n) * block_n
+        dpad = ((d + 127) // 128) * 128
+        # Mosaic kernels need real TPU hardware; the virtual CPU mesh
+        # (tests, dryrun) runs the same kernel interpreted
+        interpret = jax.devices()[0].platform != "tpu"
 
     @functools.partial(
         shard_map,
@@ -769,10 +787,21 @@ def sharded_scan_search(
         vecs = vec_shard[0]  # (n_local, d)
         gids = gid_shard[0]  # (n_local,)
         # padded rows (gid < 0) are zero vectors; mask via global ids
-        sims, lids = _dense_scan_impl(
-            vecs, qn, k=k, block_points=block_points,
-            recall_target=recall_target, exact=exact,
-        )
+        if use_pallas:
+            from clann_tpu.ops.pallas.scan_topk import fused_scan_topk_e2e
+
+            bp = jnp.zeros((n_pad, dpad), jnp.bfloat16)
+            bp = bp.at[:n_local, :d].set(vecs.astype(jnp.bfloat16))
+            sims, lids = fused_scan_topk_e2e(
+                bp, vecs, qn, n_real=n_local, k=k, rescore_m=rescore_m,
+                num_bins=num_bins, block_n=block_n, q_tile=256,
+                interpret=interpret,
+            )
+        else:
+            sims, lids = _dense_scan_impl(
+                vecs, qn, k=k, block_points=block_points,
+                recall_target=recall_target, exact=exact,
+            )
         safe = jnp.clip(lids, 0, n_local - 1)
         out_ids = jnp.where(lids >= 0, gids[safe], -1)
         sims = jnp.where(out_ids >= 0, sims, -jnp.inf)

@@ -135,6 +135,21 @@ class TestShardedScan:
         r = recall_by_ids(np.asarray(gt_i), ids, count=5)
         assert r >= 0.85, r
 
+    def test_pallas_kernel_over_mesh(self, setup):
+        from clann_tpu.ops.distances import brute_force_topk
+        from clann_tpu.parallel.sharded import sharded_scan_search
+
+        cfg, train, index, queries = setup
+        sharded = shard_index(index, 4)
+        mesh = make_mesh(4)
+        dists, ids, _ = sharded_scan_search(
+            sharded, queries, k=5, use_pallas=True, mesh=mesh
+        )
+        gt_d, gt_i = brute_force_topk(train, queries, k=5, metric="angular")
+        r = recall_by_ids(np.asarray(gt_i), ids, count=5)
+        assert r >= 0.85, r
+        assert np.all(np.diff(dists, axis=1) >= -1e-5)
+
 
 class TestShardedGlobal:
     """Point-sharded ball-filtered global LSH over the mesh."""
