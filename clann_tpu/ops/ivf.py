@@ -72,9 +72,16 @@ def pallas_scan_plan(n: int, k: int) -> Tuple[int, int, int]:
     ~(k-1)/(2*total_bins) (measured 0.12% at k=10 with 2368 bins), so
     small datasets with few blocks need MORE bins per block — a fixed
     per-block count cost 4.8% recall at n=30k (one block). Block size 32k
-    and 64 bins/block measured fastest at 1.18M x 100 on v5e.
+    and 64 bins/block measured fastest at 1.18M x 100 on v5e; at 10M the
+    step count dominates and 64k blocks run 2.1x faster (131k blocks are
+    SLOWER again — the (block_n, q_tile) f32 score tile outgrows VMEM).
     """
-    block_n = 32768 if n >= 32768 else max(256, 1 << (n - 1).bit_length())
+    if n >= 4_000_000:
+        block_n = 65536
+    elif n >= 32768:
+        block_n = 32768
+    else:
+        block_n = max(256, 1 << (n - 1).bit_length())
     n_blocks = (n + block_n - 1) // block_n
     target = max(2048, 32 * k)
     nb = 1 << (max(
