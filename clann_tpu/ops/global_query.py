@@ -303,6 +303,35 @@ global_search_batch_jit = functools.partial(
 )(global_search_batch_impl)
 
 
+@functools.partial(jax.jit, static_argnames=("d_entry", "min_depth"))
+def _difficulty_jit(index, query_hashes, *, d_entry, min_depth):
+    """Per-query total stream length (in slots) — the batch-cost driver.
+
+    The adaptive while_loop runs to the SLOWEST query of a batch: measured
+    at 1.18M the batch takes ~60 iterations while the mean query needs ~6,
+    so heterogeneous batches waste most of their work on done-query lanes.
+    Sorting the query set by this total before batching groups queries of
+    similar depth, cutting total batch iterations several-fold.
+    """
+    n = index.vectors.shape[0]
+    Q = query_hashes.shape[0]
+    zero = jnp.zeros((Q,), jnp.int32)
+    full_n = jnp.full((Q,), n, jnp.int32)
+    lo, hi = depth_bounds(
+        index.g_sorted_hash, query_hashes, zero, full_n,
+        index.config.max_hashbits, index.g_dir_iters,
+        up_to_depth=d_entry,
+        prefix_dir=index.g_dir,
+        cluster=zero,
+        dir_bits=index.config.global_dir_bits,
+    )
+    _, sizes = candidate_stream(
+        lo, hi, query_hashes, index.config.max_hashbits, min_depth,
+        start_depth=d_entry,
+    )
+    return jnp.sum(sizes, axis=1)
+
+
 def global_search(
     index,
     queries,
@@ -310,6 +339,7 @@ def global_search(
     delta: float = None,
     batch_size: int = 1024,
     filter_type: str = "default",
+    sort_by_difficulty: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray, SearchStats]:
     """Full global-engine search: hash + sketch, one adaptive loop.
 
@@ -334,6 +364,25 @@ def global_search(
         q = q[None, :]
     qn = l2_normalize(q.astype(jnp.float32))
 
+    # difficulty-sorted batching (multi-batch sets only): see
+    # _difficulty_jit. Pure reordering — per-query results are unchanged
+    # up to batch-composition effects, which only ADD candidates.
+    # Off by default: on the homogeneous synthetic benchmark the two
+    # extra dispatches cost ~10% and there is no tail variance to win
+    # back; enable for query sets with heterogeneous difficulty.
+    perm = None
+    if sort_by_difficulty and qn.shape[0] > batch_size:
+        n = index.vectors.shape[0]
+        d_entry = int(np.clip(
+            np.ceil(np.log2(max(2, n))) + 2, cfg.min_depth,
+            cfg.max_hashbits,
+        ))
+        tot = _difficulty_jit(
+            index, source.hash(qn), d_entry=d_entry, min_depth=cfg.min_depth
+        )
+        perm = np.argsort(np.asarray(tot), kind="stable")
+        qn = qn[jnp.asarray(perm)]
+
     def run_block(block):
         qh = source.hash(block)
         qs = filterer.sketch(block)
@@ -351,6 +400,11 @@ def global_search(
         )
 
     sims, ids, stats = batched_query_driver(qn, batch_size, run_block)
+    if perm is not None:
+        inv = np.empty_like(perm)
+        inv[perm] = np.arange(len(perm))
+        sims, ids = sims[inv], ids[inv]
+        stats = SearchStats(*(np.asarray(f)[inv] for f in stats))
     dists = 2.0 * (1.0 - sims)
     dists = np.where(ids < 0, np.inf, dists)
     return dists, ids, stats

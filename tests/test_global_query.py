@@ -122,3 +122,17 @@ class TestApiDispatch:
             h2 = clann_tpu.init_with_config(ds.train, cfg2)
             clann_tpu.build(h2)
             h2.search_batch(ds.test[:4], mode="lsh-global")
+
+
+def test_difficulty_sorted_batching_same_results(ds, index):
+    """Multi-batch search (difficulty-sorted) must match the single-batch
+    run up to batch-composition over-scan, which only ADDS candidates."""
+    d1, i1, _ = global_search(index, ds.test, k=5, delta=0.85,
+                              batch_size=len(ds.test))
+    d2, i2, _ = global_search(index, ds.test, k=5, delta=0.85,
+                              batch_size=16, sort_by_difficulty=True)
+    assert np.all(np.diff(np.where(np.isfinite(d2), d2, 9.0), axis=1) >= -1e-5)
+    assert d2.shape == d1.shape
+    r1, _, _ = recall_values(ds.distances, d1, count=5)
+    r2, _, _ = recall_values(ds.distances, d2, count=5)
+    assert abs(r1 - r2) < 0.05, (r1, r2)
