@@ -92,16 +92,26 @@ def masked_binary_search(
     lo = seg_lo
     hi = seg_hi
 
-    def body(_, state):
-        lo, hi = state
+    def body(state):
+        lo, hi, _ = state
         mid = (lo + hi) >> 1
         v = sorted_hash[table_ids, mid]
         go_right = v < keys
         lo = jnp.where((lo < hi) & go_right, mid + 1, lo)
         hi = jnp.where((lo < hi) & ~go_right, mid, hi)
-        return lo, hi
+        return lo, hi, state[2] + 1
 
-    lo, hi = jax.lax.fori_loop(0, n_iters, body, (lo, hi))
+    def cond(state):
+        lo, hi, it = state
+        # adaptive trip count: n_iters covers the WORST bucket over the
+        # whole table (a giant equal-hash run), but most searches live in
+        # near-empty buckets and converge in 1-3 probes — each probe is a
+        # random gather, the dominant cost of the clustered walk
+        return (it < n_iters) & jnp.any(lo < hi)
+
+    lo, hi, _ = jax.lax.while_loop(
+        cond, body, (lo, hi, jnp.asarray(0, jnp.int32))
+    )
     return lo
 
 
