@@ -64,8 +64,8 @@ def auto_n_probe(n_rows: int) -> int:
 _PALLAS_BASE_CACHE: dict = {}
 
 
-def pallas_scan_plan(n: int, k: int) -> Tuple[int, int, int]:
-    """(block_n, num_bins, rescore_m) for the fused Pallas scan.
+def pallas_scan_plan(n: int, k: int) -> Tuple[int, int, int, int]:
+    """(block_n, num_bins, rescore_m, q_tile) for the fused Pallas scan.
 
     Bin sizing targets a TOTAL candidate budget across all blocks:
     expected top-k loss from two true neighbors sharing a bin is
@@ -75,6 +75,9 @@ def pallas_scan_plan(n: int, k: int) -> Tuple[int, int, int]:
     and 64 bins/block measured fastest at 1.18M x 100 on v5e; at 10M the
     step count dominates and 64k blocks run 2.1x faster (131k blocks are
     SLOWER again — the (block_n, q_tile) f32 score tile outgrows VMEM).
+    q_tile is sized so block_n * q_tile * 4B stays ~<= 70MB of VMEM:
+    512-query tiles measured ~12% faster than 256 at 32k blocks (fewer
+    dataset streams), but 64k x 512 f32 scores would not fit.
     """
     if n >= 4_000_000:
         block_n = 65536
@@ -92,19 +95,27 @@ def pallas_scan_plan(n: int, k: int) -> Tuple[int, int, int]:
     # tiny datasets/shards (every point is its own bin)
     num_bins = min(nb, block_n)
     rescore_m = min(num_bins, max(32, 1 << (k - 1).bit_length()))
-    return block_n, num_bins, rescore_m
+    q_tile = 512 if block_n * 512 * 4 <= 70 * 1024 * 1024 else 256
+    return block_n, num_bins, rescore_m, q_tile
 
 
 def _pallas_base(index, block_n: int):
+    """Padded bf16 copy with the kernel's bias column at index d.
+
+    The bias column (1.0 per real row; 3.0 on the query side) folds the
+    packed kernel's score shift into the matmul — one VPU pass over the
+    score tile saved per grid step (ops/pallas/scan_topk._scan_kernel_packed).
+    """
     key = (id(index.vectors), block_n)
     hit = _PALLAS_BASE_CACHE.get(key)
     if hit is not None and hit[0] is index.vectors:
         return hit[1]
     n, d = index.vectors.shape
-    dpad = ((d + 127) // 128) * 128
+    dpad = ((d + 1 + 127) // 128) * 128  # always >= one spare (bias) dim
     n_pad = ((n + block_n - 1) // block_n) * block_n
     base_p = jnp.zeros((n_pad, dpad), jnp.bfloat16)
     base_p = base_p.at[:n, :d].set(index.vectors.astype(jnp.bfloat16))
+    base_p = base_p.at[:n, d].set(jnp.bfloat16(1.0))
     if len(_PALLAS_BASE_CACHE) > 4:
         _PALLAS_BASE_CACHE.clear()
     _PALLAS_BASE_CACHE[key] = (index.vectors, base_p)
@@ -152,7 +163,7 @@ def scan_search(
         # original 3-pass kernel at 16k/128; the WHOLE path (kernel +
         # selection + exact rescore) runs as one jit — separate dispatches
         # through the ~40ms relay diluted the kernel win to nothing
-        block_n, num_bins, rescore_m = pallas_scan_plan(n, k)
+        block_n, num_bins, rescore_m, q_tile = pallas_scan_plan(n, k)
         base_p = _pallas_base(index, block_n)
         outs_s, outs_i = [], []
         for s in range(0, qn.shape[0], batch_q):
@@ -160,8 +171,8 @@ def scan_search(
             ts, ti = fused_scan_topk_e2e(
                 base_p, index.vectors, blk,
                 n_real=n, k=k, rescore_m=rescore_m,
-                num_bins=num_bins, block_n=block_n, q_tile=256,
-                normalize=True,
+                num_bins=num_bins, block_n=block_n, q_tile=q_tile,
+                normalize=True, biased=True,
             )
             outs_s.append(ts)
             outs_i.append(ti)

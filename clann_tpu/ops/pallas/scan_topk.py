@@ -80,18 +80,28 @@ def _scan_kernel(q_ref, b_ref, vals_ref, ids_ref, *, nb, block_n):
     ids_ref[:, :] = ids.T
 
 
-def _scan_kernel_packed(q_ref, b_ref, out_ref, *, nb, block_n):
+def _scan_kernel_packed(q_ref, b_ref, out_ref, *, nb, block_n, biased):
     """One grid step, packed single-pass variant.
 
     The original kernel pays ~4 VPU passes over the (block_n, q_tile)
     score tile (max-reduce, >=-compare, where, min-reduce) plus two
     transposed output writes. Here the score and the in-bin sub-index are
-    packed into ONE int32 — round(score * 2^16) * per_bin + sub — so a
-    single max-reduce picks the bin winner AND records which row won.
-    Score quantization (2^-16) is far below the bf16 input noise and the
-    winners are exactly re-scored afterwards anyway. Output stays in the
-    kernel's natural (nb, q_tile) layout; decode and transpose are cheap
-    XLA passes over the tiny winner tensor, not the score tile.
+    packed into ONE int32 so a single max-reduce picks the bin winner AND
+    records which row won. Every elementwise op over the score tile is a
+    VMEM round trip (~13us per op per 32k x 256 step on v5e — measured,
+    see PERFORMANCE.md), so the packing is built from the cheapest
+    possible chain: shift the scores to [2, 4) (monotone, positive, fixed
+    exponent), BITCAST the f32 pattern to int32 (order-preserving for
+    positive floats, and free — no arithmetic), then mask the low
+    log2(per_bin) mantissa bits and OR in the row index. Those low bits
+    sit ~2^-14 below the bf16 input noise floor, and winners are exactly
+    re-scored afterwards anyway.
+
+    `biased`: the +3.0 shift rides the MATMUL for free when the operands
+    carry a bias column (base column == 1.0, query column == 3.0 — both
+    exact in bf16); otherwise one extra VPU add pays for it. Output stays
+    in the kernel's natural (nb, q_tile) layout; decode and transpose are
+    cheap XLA passes over the tiny winner tensor, not the score tile.
     """
     per_bin = block_n // nb
 
@@ -102,18 +112,20 @@ def _scan_kernel_packed(q_ref, b_ref, out_ref, *, nb, block_n):
         q,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (block_n, Qt)
+    )  # (block_n, Qt) = score + 3.0 when biased
+    if not biased:
+        sT = sT + 3.0
     s3 = sT.reshape(nb, per_bin, sT.shape[1])
-    sq = jnp.round(s3 * 65536.0).astype(jnp.int32)  # |score| <= 1 -> 17 bits
+    p = jax.lax.bitcast_convert_type(s3, jnp.int32)
     sub = jax.lax.broadcasted_iota(jnp.int32, s3.shape, 1)
-    packed = sq * per_bin + sub
+    packed = (p & jnp.int32(~(per_bin - 1))) | sub
     out_ref[:, :] = jnp.max(packed, axis=1)  # (nb, Qt)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "n_real", "num_bins", "block_n", "q_tile", "interpret"
+        "n_real", "num_bins", "block_n", "q_tile", "biased", "interpret"
     ),
 )
 def fused_scan_candidates_packed(
@@ -124,25 +136,29 @@ def fused_scan_candidates_packed(
     num_bins: int = 128,
     block_n: int = 16384,
     q_tile: int = 256,
+    biased: bool = False,
     interpret: bool = False,
 ):
     """(Q_pad, num_bins) approximate top candidates (vals f32, ids i32).
 
     Same contract as fused_scan_candidates; packed single-pass kernel.
+    `biased`: operands carry a bias column making the dot == score + 3.0
+    (see _scan_kernel_packed) — saves one full VPU pass over the scores.
     """
     n_pad, dpad = base_bf16.shape
     q_pad = queries_bf16.shape[0]
     assert n_pad % block_n == 0 and q_pad % q_tile == 0
     assert block_n % num_bins == 0
     per_bin = block_n // num_bins
-    # packing puts round(score * 2^16) in the high bits: per_bin must be a
-    # power of two and small enough that the product stays inside int32
+    # the sub-index replaces the low log2(per_bin) mantissa bits of the
+    # f32 score pattern: per_bin must be a power of two, small enough that
+    # >= 9 mantissa bits of score survive (bf16 inputs carry ~8 bits)
     assert per_bin & (per_bin - 1) == 0 and per_bin <= (1 << 14)
     grid = (q_pad // q_tile, n_pad // block_n)
     n_blocks = n_pad // block_n
 
     kernel = functools.partial(
-        _scan_kernel_packed, nb=num_bins, block_n=block_n
+        _scan_kernel_packed, nb=num_bins, block_n=block_n, biased=biased
     )
     packed = pl.pallas_call(
         kernel,
@@ -168,8 +184,9 @@ def fused_scan_candidates_packed(
         interpret=interpret,
     )(queries_bf16, base_bf16)
     packed = packed.T  # (q_pad, n_blocks * nb) — one pass over winners
-    # decode: packed = round(score * 2^16) * per_bin + sub with floor
-    # semantics under arithmetic shift (sub = low bits, exact)
+    # decode: high bits = bitcast(score + 3.0) with the low log2(per_bin)
+    # mantissa bits replaced by sub. Clearing them and bitcasting back
+    # floors the score to its quantization step.
     sub = packed & (per_bin - 1)
     ids = (
         jnp.arange(n_blocks * num_bins, dtype=jnp.int32)[None, :] * per_bin
@@ -181,13 +198,13 @@ def fused_scan_candidates_packed(
         top_i = jnp.take_along_axis(ids, sel, axis=1)
     else:
         top_p, top_i = masked, ids
-    # approximate values (exact rescore happens downstream); shift right
-    # arithmetic floors, matching the packing
+    # approximate values (exact rescore happens downstream). The sentinel
+    # decodes to bitcast(0xC0000000) - 3 = -5.0 < any real score - 3.
     top_v = (
-        jax.lax.shift_right_arithmetic(
-            top_p, jnp.int32(per_bin.bit_length() - 1)
-        ).astype(jnp.float32)
-        / 65536.0
+        jax.lax.bitcast_convert_type(
+            top_p & jnp.int32(~(per_bin - 1)), jnp.float32
+        )
+        - 3.0
     )
     valid = top_p > jnp.int32(-(1 << 30))
     top_v = jnp.where(valid, top_v, -jnp.inf)
@@ -270,7 +287,7 @@ def fused_scan_candidates(
     jax.jit,
     static_argnames=(
         "n_real", "k", "rescore_m", "num_bins", "block_n", "q_tile",
-        "normalize", "interpret",
+        "normalize", "biased", "interpret",
     ),
 )
 def fused_scan_topk_e2e(
@@ -285,6 +302,7 @@ def fused_scan_topk_e2e(
     block_n: int = 32768,
     q_tile: int = 256,
     normalize: bool = False,
+    biased: bool = False,
     interpret: bool = False,
 ):
     """Whole fused-scan query path in ONE jit: pad + kernel + candidate
@@ -296,6 +314,10 @@ def fused_scan_topk_e2e(
     scan. Fused end-to-end: 129k QPS at recall 0.9988 (vs 76k for the
     approx path) with rescore_m=32. Returns (exact sims desc (Q, k),
     ids (Q, k)).
+
+    `biased`: base_bf16 carries the bias column (base_bf16[:n_real, d]
+    == 1.0, as written by ops/ivf._pallas_base); the query side is set
+    here. Requires dpad > d.
     """
     n_pad, dpad = base_bf16.shape
     Q, d = queries_f32.shape
@@ -308,10 +330,13 @@ def fused_scan_topk_e2e(
     q_pad = ((Q + q_tile - 1) // q_tile) * q_tile
     qp = jnp.zeros((q_pad, dpad), jnp.bfloat16)
     qp = qp.at[:Q, :d].set(queries_f32.astype(jnp.bfloat16))
+    if biased:
+        assert dpad > d, "bias column needs one spare padded dim"
+        qp = qp.at[:Q, d].set(jnp.bfloat16(3.0))
     v, i = fused_scan_candidates_packed(
         base_bf16, qp, n_real=n_real,
         num_bins=num_bins, block_n=block_n, q_tile=q_tile,
-        interpret=interpret,
+        biased=biased, interpret=interpret,
     )
     v, i = v[:Q], i[:Q]
     m = min(rescore_m, v.shape[1])

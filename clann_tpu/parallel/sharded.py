@@ -769,9 +769,9 @@ def sharded_scan_search(
     if use_pallas:
         from clann_tpu.ops.ivf import pallas_scan_plan
 
-        block_n, num_bins, rescore_m = pallas_scan_plan(n_local, k)
+        block_n, num_bins, rescore_m, q_tile = pallas_scan_plan(n_local, k)
         n_pad = ((n_local + block_n - 1) // block_n) * block_n
-        dpad = ((d + 127) // 128) * 128
+        dpad = ((d + 1 + 127) // 128) * 128  # spare dim for the bias column
         # Mosaic kernels need real TPU hardware; the virtual CPU mesh
         # (tests, dryrun) runs the same kernel interpreted
         interpret = jax.devices()[0].platform != "tpu"
@@ -792,10 +792,11 @@ def sharded_scan_search(
 
             bp = jnp.zeros((n_pad, dpad), jnp.bfloat16)
             bp = bp.at[:n_local, :d].set(vecs.astype(jnp.bfloat16))
+            bp = bp.at[:n_local, d].set(jnp.bfloat16(1.0))
             sims, lids = fused_scan_topk_e2e(
                 bp, vecs, qn, n_real=n_local, k=k, rescore_m=rescore_m,
-                num_bins=num_bins, block_n=block_n, q_tile=256,
-                interpret=interpret,
+                num_bins=num_bins, block_n=block_n, q_tile=q_tile,
+                biased=True, interpret=interpret,
             )
         else:
             sims, lids = _dense_scan_impl(
