@@ -99,11 +99,37 @@ class Config:
     # Swept on v5e at 200k x 100 (heavy-collision data): QPS grows through
     # G=16 (45 -> 105 with chunk=2048/filter_expand=4) and flattens by 32.
     gather_block: int = 16
+    # Cluster ranks fused per outer step of the clustered walk: G members'
+    # candidate streams are concatenated so one filter window can drain
+    # several small clusters per iteration. Per-member delta termination
+    # and ball-overlap stops are preserved (ops/query.search_batch_impl).
+    # Measured on v5e at 200k x 100 (64-query batches): G=1 23.7 QPS,
+    # G=4 21, G=8 18.7, G=16 14.9 — grouping LOSES because the walk is
+    # bound by the per-(query, cluster, table, depth) range-search probes,
+    # whose count grouping does not change, while batching G clusters'
+    # bisections inflates the lockstep trip count to the group max. Kept
+    # as a knob (the fused form may win on low-collision data where the
+    # at-least-one-window-per-cluster floor dominates instead).
+    lsh_group_ranks: int = 1
     # Prefix-directory bits per (table, cluster) segment seeding query-time
     # binary searches (the reference's PREFIX_INDEX_BITS=13 directory,
     # prefixmap.hpp:70 — smaller here because it is per cluster segment).
     # 0 disables.
     prefix_dir_bits: int = 10
+    # Directory lookups in the clustered walk as MXU one-hot contractions
+    # instead of per-index gathers (ops/prefixmap._dir_select_onehot):
+    # the (q, cluster, table, level) bound lookups are the walk's probe
+    # hot spot and gathers pay ~40-50ns per index on v5e. Bit-identical
+    # to the gather path (tested); default off until measured on the chip.
+    dir_onehot: bool = False
+    # EXPERIMENTAL: enter the peel walk at the directory granularity
+    # (d_entry = min(d_entry, prefix_dir_bits)) so every level bound is a
+    # direct directory answer and the bisection tail disappears. Consumes
+    # each table's full dir_bits-prefix bucket at entry — identical
+    # delta-guarantee semantics at depth dir_bits, but more candidates
+    # are scored when the adaptive stop would have fired deeper; measure
+    # dc/q before enabling at scale.
+    lsh_entry_cap: bool = False
     # LSH engine layout: "clustered" = the reference-faithful per-cluster
     # walk (ops/query.py); "global" = the ball-filtered global adaptive
     # engine (ops/global_query.py — same delta guarantee, one set of range
@@ -175,6 +201,8 @@ class Config:
             raise ConfigError("gather_block must be a power of two >= 1")
         if self.rescore_dtype not in ("float32", "int8"):
             raise ConfigError("rescore_dtype must be 'float32' or 'int8'")
+        if self.lsh_group_ranks < 1:
+            raise ConfigError("lsh_group_ranks must be >= 1")
         if isinstance(self.metrics_output, str):
             object.__setattr__(self, "metrics_output", MetricsOutput(self.metrics_output))
 

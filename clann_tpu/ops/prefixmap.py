@@ -163,6 +163,48 @@ def build_prefix_directory(
     return out.reshape(-1, C, P)[:L]
 
 
+def _dir_rows_onehot(prefix_dir_f32: jnp.ndarray, cluster: jnp.ndarray):
+    """cdir_q[l, q, p] = prefix_dir[l, cluster[q], p] via an MXU one-hot
+    contraction instead of a row gather.
+
+    Measured on v5e, random gathers cost ~40-50ns PER INDEX regardless of
+    table size, so picking Q*L directory rows of 4KB each runs at gather
+    issue rate; a (Q, C) exact-0/1 one-hot contracted on the MXU streams
+    the whole directory once. Exactness: slot positions are ints < 2^24,
+    exactly representable in f32; the bf16 one-hot holds only 0/1 (exact);
+    each output sums exactly one nonzero product (HIGHEST precision keeps
+    f32 arithmetic).
+    """
+    C = prefix_dir_f32.shape[1]
+    oh_c = jax.nn.one_hot(cluster, C, dtype=jnp.bfloat16)
+    return jnp.einsum(
+        "qc,lcp->lqp",
+        oh_c,
+        prefix_dir_f32,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _dir_select_onehot(cdir_q: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
+    """out[q, l, k] = cdir_q[l, q, p[q, l, k]] via one-hot contraction.
+
+    Same economics as _dir_rows_onehot: the (Q, L, K) directory-position
+    lookups of the peel-level bounds are the probe-count hot spot of the
+    clustered walk (Q*L*K ~ 70k gathers per cluster rank); the bf16
+    one-hot einsum trades them for one MXU pass over (K, P+1) per (q, l).
+    """
+    P1 = cdir_q.shape[2]
+    oh_p = jax.nn.one_hot(p, P1, dtype=jnp.bfloat16)  # (Q, L, K, P+1)
+    return jnp.einsum(
+        "qlkp,lqp->qlk",
+        oh_p,
+        cdir_q,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ).astype(jnp.int32)
+
+
 def depth_bounds(
     sorted_hash: jnp.ndarray,
     query_hashes: jnp.ndarray,
@@ -211,9 +253,21 @@ def depth_bounds(
     )
 
     if prefix_dir is not None and dir_bits > 0:
-        cdir = prefix_dir[:, cluster, :]  # (L, Q, P+1)
         P = prefix_dir.shape[2] - 1  # == 2^dir_bits
         q_ids = jnp.arange(Q, dtype=jnp.int32)[:, None, None]
+        # dtype dispatch: an f32 directory selects the one-hot MXU path
+        # (_dir_rows_onehot / _dir_select_onehot — callers convert once per
+        # batch); an i32 directory keeps the per-index gather path.
+        onehot = prefix_dir.dtype == jnp.float32
+        if onehot:
+            cdir_oh = _dir_rows_onehot(prefix_dir, cluster)  # (L, Q, P+1)
+        else:
+            cdir = prefix_dir[:, cluster, :]  # (L, Q, P+1)
+
+        def positions(keys):
+            return jnp.minimum(
+                (keys >> jnp.uint32(D - dir_bits)).astype(jnp.int32), P
+            )
 
         def direct(keys):
             """Depths d <= dir_bits have directory-ALIGNED keys (low
@@ -224,23 +278,28 @@ def depth_bounds(
             (64-query, 1-cluster) depth_bounds call, all probe gathers).
             The depth-0 upper sentinel key 0xFFFFFFFF clamps to cdir[P] =
             first-geq(2^D) = the first sentinel slot — also exact."""
-            p = jnp.minimum(
-                (keys >> jnp.uint32(D - dir_bits)).astype(jnp.int32), P
-            )
+            p = positions(keys)
+            if onehot:
+                return _dir_select_onehot(cdir_oh, p)
             tids = jnp.broadcast_to(
                 jnp.arange(L, dtype=jnp.int32)[None, :, None], keys.shape
             )
             return cdir[tids, q_ids, p]
 
         def seeded(keys):
-            p = jnp.minimum(
-                (keys >> jnp.uint32(D - dir_bits)).astype(jnp.int32), P
-            )
+            p = positions(keys)
             tids = jnp.broadcast_to(
                 jnp.arange(L, dtype=jnp.int32)[None, :, None], keys.shape
             )
-            b_lo = cdir[tids, q_ids, p]
-            b_hi = cdir[tids, q_ids, jnp.minimum(p + 1, P)]
+            if onehot:
+                both = _dir_select_onehot(
+                    cdir_oh,
+                    jnp.concatenate([p, jnp.minimum(p + 1, P)], axis=2),
+                )
+                b_lo, b_hi = jnp.split(both, 2, axis=2)
+            else:
+                b_lo = cdir[tids, q_ids, p]
+                b_hi = cdir[tids, q_ids, jnp.minimum(p + 1, P)]
             return masked_binary_search(
                 sorted_hash, tids, keys, b_lo, b_hi, n_iters
             )

@@ -71,8 +71,8 @@ class SearchStats(NamedTuple):
 class _OuterState(NamedTuple):
     topk_sims: jnp.ndarray  # (Q, k) descending similarity, 0 = empty
     topk_ids: jnp.ndarray  # (Q, k) int32, -1 = empty
-    done: jnp.ndarray  # (Q,) bool
-    rank: jnp.ndarray  # () int32
+    stopped: jnp.ndarray  # (Q,) bool — ball-overlap full stop fired
+    group: jnp.ndarray  # () int32 — next group of cluster ranks
     dc: jnp.ndarray  # (Q,) int32
     cand: jnp.ndarray  # (Q,) int32
     visited: jnp.ndarray  # (Q,) int32
@@ -249,6 +249,7 @@ def search_batch_impl(
     with_stats: bool = True,
     filter_type: str = "default",
     filter_expand: int = 8,
+    group_ranks: int = 8,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, SearchStats]:
     """Search a pre-hashed query batch. Returns (sims desc, ids, stats).
 
@@ -259,6 +260,17 @@ def search_batch_impl(
     query_hashes as (Q, C, L) and query_sketches as (Q, C, S, W) — the
     hashes/sketches computed with each cluster's own functions; the walk
     then selects the current cluster's row per rank.
+
+    group_ranks: clusters whose streams are fused per outer step. The
+    reference scans one cluster at a time (index.rs:331-432); here G
+    consecutive cluster ranks share one concatenated candidate stream, so
+    a window can drain several small clusters in ONE inner iteration and
+    the per-cluster fixed costs (range binary searches, stream setup, the
+    at-least-one-window minimum) amortize G-fold. Semantics per member are
+    unchanged: the delta failure check runs against each member's own
+    cursor (a satisfied member's remaining stream is jumped over), and the
+    ball-overlap full stop (index.rs:342-361) is evaluated at every member
+    boundary with the then-current k-th distance.
 
     Traceable (un-jitted) so it can be inlined under shard_map
     (clann_tpu/parallel/sharded.py); use `search_batch_jit` directly.
@@ -277,6 +289,11 @@ def search_batch_impl(
     # reference reaches after burning through the empty depths
     # (ops/prefixmap.candidate_stream docstring)
     d_entry = int(np.clip(np.ceil(np.log2(max(2, max_seg))) + 2, min_depth, D))
+    have_dir = index.prefix_dir is not None and index.dir_bits > 0
+    if have_dir and index.config.lsh_entry_cap:
+        # enter at directory granularity: every level bound is a direct
+        # directory answer, no bisection (config.lsh_entry_cap)
+        d_entry = int(max(min_depth, min(d_entry, index.dir_bits)))
     # blocked gather: G consecutive packed records per gather lane (see
     # ops/prefixmap.block_stream); needs the packed records array — without
     # it (two-gather fallback, e.g. shard-local indices built without
@@ -304,10 +321,22 @@ def search_batch_impl(
     else:
         nb = n
 
+    RG = int(max(1, min(group_ranks, C)))  # members per group
+    n_groups = -(-C // RG)
+    ND = d_entry - min_depth + 1
+    M = ND * L  # ranges per member stream (depth-major)
+    SM = RG * M  # ranges per group stream
+
     # Cluster ordering: one matmul + argsort
     # (reference: index.rs:592-616 sort_cluster_indices_by_distance).
     center_dist = jnp.clip(1.0 - exact_dot(queries_n, index.centers.T), 0.0, 2.0)
     order = jnp.argsort(center_dist, axis=1).astype(jnp.int32)  # (Q, C)
+    pad_r = n_groups * RG - C
+    if pad_r:
+        # pad ranks repeat the last cluster; masked out via rank_ok below
+        order = jnp.concatenate(
+            [order, jnp.broadcast_to(order[:, -1:], (Q, pad_r))], axis=1
+        )
 
     queries_q8 = None
     # internal buffer depth: 2k under quantized scoring (MaxBuffer keeps 2k,
@@ -320,65 +349,122 @@ def search_batch_impl(
         queries_q8 = quantize_q8(queries_n)
         kk = 2 * k
 
-    table_ids = jnp.arange(L, dtype=jnp.int32)
+    use_dir = have_dir
+    # f32 directory selects the one-hot MXU lookup path inside
+    # depth_bounds (dtype dispatch); converted ONCE per batch — positions
+    # are ints < 2^24, exact in f32
+    pdir = None
+    if use_dir:
+        pdir = (
+            index.prefix_dir.astype(jnp.float32)
+            if index.config.dir_onehot
+            else index.prefix_dir
+        )
+    blk_iota = jnp.arange(WB, dtype=jnp.int32)
+    g_iota = jnp.arange(RG, dtype=jnp.int32)
 
-    def inner_cluster_search(
-        topk_sims, topk_ids, active, cluster, dc, cand_ct, qh, qs
-    ):
-        """Adaptive LSH scan of each query's current cluster.
+    def group_scan(s: _OuterState):
+        """Scan the next RG cluster ranks of every query's ordering."""
+        gi = s.group
+        members = jax.lax.dynamic_slice_in_dim(
+            order, gi * RG, RG, axis=1
+        )  # (Q, RG)
+        rank_ok = (gi * RG + g_iota) < C  # (RG,) pad-rank mask
+        cdist_g = jnp.take_along_axis(center_dist, members, axis=1)
+        minpos_g = cdist_g - index.radii[members]  # (Q, RG) ball bounds
+        seg_lo_g = index.cluster_starts[members]
+        seg_hi_g = index.cluster_starts[members + 1]
+        seg_len_g = seg_hi_g - seg_lo_g
+        # collection.hpp:550-554 brute fallback for tiny datasets
+        is_brute_g = index.brute[members] | (seg_len_g < 100)
 
-        Stream formulation: the full (depth-major) sequence of revealed
-        ranges is materialized as (starts, sizes) + a cumulative sum, and
-        the while_loop consumes `chunk` stream positions per iteration.
-        Iteration count is ceil(consumed / chunk) — independent of how many
-        prefix depths exist or how many of their ranges are empty (the
-        depth-at-a-time form wasted one iteration per empty depth).
-        """
-        seg_lo = index.cluster_starts[cluster]
-        seg_hi = index.cluster_starts[cluster + 1]
-        seg_len = seg_hi - seg_lo
-        is_brute = index.brute[cluster] | (seg_len < 100)  # collection.hpp:550-554
-        use_dir = index.prefix_dir is not None and index.dir_bits > 0
+        if per_cluster:
+            qh_g = jnp.take_along_axis(
+                query_hashes, members[:, :, None], axis=1
+            )  # (Q, RG, L)
+            qs_g = jnp.take_along_axis(
+                query_sketches, members[:, :, None, None], axis=1
+            )  # (Q, RG, S, W)
+        else:
+            qh_g = jnp.broadcast_to(query_hashes[:, None, :], (Q, RG, L))
+            qs_g = None
+        qh_flat = qh_g.reshape(Q * RG, L)
+
+        # one batched set of range searches for ALL (query, member) pairs
         lo, hi = depth_bounds(
-            index.sorted_hash, qh, seg_lo, seg_hi, D,
+            index.sorted_hash, qh_flat,
+            seg_lo_g.reshape(-1), seg_hi_g.reshape(-1), D,
             index.dir_iters if use_dir else n_iters,
             up_to_depth=d_entry,
-            prefix_dir=index.prefix_dir if use_dir else None,
-            cluster=cluster if use_dir else None,
+            prefix_dir=pdir,
+            cluster=members.reshape(-1) if use_dir else None,
             dir_bits=index.dir_bits if use_dir else 0,
-        )  # (Q, L, d_entry+1)
-        starts_s, sizes_s = candidate_stream(
-            lo, hi, qh, D, min_depth, start_depth=d_entry
-        )  # (Q, M), depth-major descending from d_entry
-        # Brute clusters: a single range covering the whole segment on
-        # table 0 (reference: index.rs:666-685 brute_force per cluster).
-        M = sizes_s.shape[1]
-        brute_sizes = jnp.zeros((Q, M), jnp.int32).at[:, 0].set(seg_len)
-        brute_starts = jnp.zeros((Q, M), jnp.int32).at[:, 0].set(seg_lo)
-        sizes_s = jnp.where(is_brute[:, None], brute_sizes, sizes_s)
-        starts_s = jnp.where(is_brute[:, None], brute_starts, starts_s)
+        )  # (Q*RG, L, d_entry+1)
+        st_f, sz_f = candidate_stream(
+            lo, hi, qh_flat, D, min_depth, start_depth=d_entry
+        )  # (Q*RG, M)
+        st3 = st_f.reshape(Q, RG, M)
+        sz3 = sz_f.reshape(Q, RG, M)
+        # Brute members: a single range covering the whole segment at the
+        # member's first stream slot (reference: index.rs:666-685).
+        sz3 = jnp.where(
+            is_brute_g[:, :, None],
+            jnp.zeros_like(sz3).at[:, :, 0].set(seg_len_g),
+            sz3,
+        )
+        st3 = jnp.where(
+            is_brute_g[:, :, None],
+            jnp.zeros_like(st3).at[:, :, 0].set(seg_lo_g),
+            st3,
+        )
+        sz3 = jnp.where(rank_ok[None, :, None], sz3, 0)
+        # member-major concatenated group stream
+        starts_s = st3.reshape(Q, SM)
+        sizes_s = sz3.reshape(Q, SM)
 
         bstarts, bcounts = block_stream(starts_s, sizes_s, g_log)
-        fc = jnp.cumsum(bcounts, axis=1)  # (Q, M) cumulative BLOCK counts
+        fc = jnp.cumsum(bcounts, axis=1)  # (Q, SM) cumulative BLOCK counts
         total = fc[:, -1]
+        # block-cursor position of each member's end (== next member start)
+        mend = fc[:, (g_iota + 1) * M - 1]  # (Q, RG)
 
-        off0 = jnp.zeros((Q,), jnp.int32)
-        qdone0 = (~active) | (total <= 0)
-        blk_iota = jnp.arange(WB, dtype=jnp.int32)
+        topk_sims, topk_ids = s.topk_sims, s.topk_ids
+        # Ball-overlap entry check for member 0 (reference: index.rs:342-361
+        # runs it before every cluster; members >= 1 are checked inside the
+        # loop when the cursor crosses their boundary). Active only once
+        # the queue holds k results (get_top() is Some).
+        full0 = topk_ids[:, k - 1] >= 0
+        kth0 = jnp.where(full0, 2.0 * (1.0 - topk_sims[:, k - 1]), jnp.inf)
+        stopped0 = s.stopped | (full0 & (minpos_g[:, 0] > kth0))
+        dc0 = s.dc + (full0 & ~s.stopped).astype(jnp.int32)  # index.rs:352
+        visited0 = s.visited + (~stopped0).astype(jnp.int32)
 
-        def cond(s):
-            return ~jnp.all(s[2])
+        qdone0 = stopped0 | (total <= 0)
+        state0 = (
+            topk_sims, topk_ids, qdone0, stopped0,
+            jnp.zeros((Q,), jnp.int32),  # off (block units)
+            jnp.zeros((Q,), jnp.int32),  # mcur: member the cursor is in
+            dc0, s.cand, visited0,
+        )
 
-        def body(s):
-            topk_sims, topk_ids, qdone, off, dc, cand_ct = s
+        def cond(t):
+            return ~jnp.all(t[2])
+
+        def body(t):
+            (topk_sims, topk_ids, qdone, stopped, off, mcur, dc, cand_ct,
+             visited) = t
 
             # --- phase 1: sketch-filter a wide window of stream lanes
-            # (cheap: 8B of sketch per candidate) ---
+            # (cheap: 8B of sketch per candidate); windows cross member
+            # boundaries freely — consuming a boundary-straddling window
+            # only ADDS candidates ---
             j, blk, lane_slot, lane_valid = blocked_window(
                 fc, off, WB, bstarts, starts_s, sizes_s, g_log
             )
             valid = (lane_valid & ~qdone[:, None, None]).reshape(Q, WL)
-            t_sel = j % L  # (Q, WB) table (depth-major stream layout)
+            msel = j // M  # (Q, WB) member of each window block
+            t_sel = j % L  # table (depth-major layout; M is a multiple of L)
+            brute_blk = jnp.take_along_axis(is_brute_g, msel, axis=1)
             sk_idx = jnp.broadcast_to(
                 (t_sel % S)[:, :, None], (Q, WB, G)
             ).reshape(Q, WL)  # sketch per table (collection.hpp:826 ring)
@@ -403,16 +489,26 @@ def search_batch_impl(
             ]  # (Q,)
             # one query-sketch fetch per BLOCK (the sketch index is
             # constant across a block's G lanes), broadcast to lanes
+            if per_cluster:
+                # each lane uses its member's own sketch functions
+                qs_flat = qs_g.reshape(Q, RG * S, Wd)
+                q_sk_b = jnp.take_along_axis(
+                    qs_flat, (msel * S + t_sel % S)[:, :, None], axis=1
+                )  # (Q, WB, Wd)
+            else:
+                q_sk_b = jnp.take_along_axis(
+                    query_sketches, (t_sel % S)[:, :, None], axis=1
+                )
             q_sk = jnp.broadcast_to(
-                jnp.take_along_axis(qs, (t_sel % S)[:, :, None], axis=1)[
-                    :, :, None, :
-                ],
-                (Q, WB, G, Wd),
+                q_sk_b[:, :, None, :], (Q, WB, G, Wd)
             ).reshape(Q, WL, Wd)
             ham = jnp.sum(
                 jax.lax.population_count(jnp.bitwise_xor(cand_sk, q_sk)),
                 axis=-1,
             ).astype(jnp.int32)
+            brute_lane = jnp.broadcast_to(
+                brute_blk[:, :, None], (Q, WB, G)
+            ).reshape(Q, WL)
             if filter_type == "none":
                 # FilterType::None (reference: collection.hpp:670-712):
                 # every candidate is scored, no sketch test
@@ -422,7 +518,7 @@ def search_batch_impl(
                 # they differ only in CPU scheduling (ring buffer vs plain
                 # loop, collection.hpp:714-765 vs 768-948) which has no
                 # batched analog.
-                passes = valid & (is_brute[:, None] | (ham <= maxdiff[:, None]))
+                passes = valid & (brute_lane | (ham <= maxdiff[:, None]))
 
             # --- phase 2: consume whole blocks until ~chunk passing
             # candidates accumulate (the reference's FILTER_BUFFER flush,
@@ -453,13 +549,17 @@ def search_batch_impl(
                 valid & in_window, axis=1, dtype=jnp.int32
             )
 
-            # --- advance cursor + termination (collection.hpp:927-943) ---
+            # --- advance cursor + per-member termination
+            # (collection.hpp:927-943, against the member's own cursor) ---
             off_new = off + consumed
-            exhausted = off_new >= total
-            # ranges fully consumed at the new cursor
+            mcur_new = jnp.sum(
+                mend <= off_new[:, None], axis=1, dtype=jnp.int32
+            )  # members fully consumed == member the cursor is in
+            mcur_idx = jnp.minimum(mcur_new, RG - 1)
             r_star = count_leq(fc, off_new[:, None])[:, 0]
-            depth_cur = jnp.maximum(d_entry - r_star // L, min_depth)
-            tables_consumed = (r_star % L).astype(jnp.float32)
+            local_r = r_star - mcur_idx * M  # ranges consumed IN the member
+            depth_cur = jnp.maximum(d_entry - local_r // L, min_depth)
+            tables_consumed = (local_r % L).astype(jnp.float32)
 
             kth_sim = topk_sims[:, k - 1]
             p_d = probs_lookup(index, depth_cur, kth_sim)
@@ -473,59 +573,69 @@ def search_batch_impl(
             failure = jnp.power(1.0 - p_d, tables_consumed) * jnp.power(
                 1.0 - p_d1, rest
             )
-            lsh_done = (~is_brute) & (failure <= 1.0 - delta)
-            qdone = qdone | lsh_done | exhausted
+            cur_brute = jnp.take_along_axis(
+                is_brute_g, mcur_idx[:, None], axis=1
+            )[:, 0]
+            member_done = (
+                (~cur_brute) & (failure <= 1.0 - delta) & (mcur_new < RG)
+            )
+            # jump over the rest of a delta-satisfied member's stream
+            jump_to = jnp.take_along_axis(mend, mcur_idx[:, None], axis=1)[
+                :, 0
+            ]
+            off2 = jnp.where(member_done, jump_to, off_new)
+            mcur2 = jnp.sum(mend <= off2[:, None], axis=1, dtype=jnp.int32)
 
-            return (topk_sims, topk_ids, qdone, off_new, dc, cand_ct)
+            # --- ball-overlap entry check for every member crossed this
+            # iteration (reference: index.rs:342-361 before each cluster;
+            # the kth here additionally includes any candidates already
+            # consumed from the straddling window — strictly tighter) ---
+            full = topk_ids[:, k - 1] >= 0
+            kth_dist = jnp.where(full, 2.0 * (1.0 - kth_sim), jnp.inf)
+            crossed = (
+                (g_iota[None, :] > mcur[:, None])
+                & (g_iota[None, :] <= mcur2[:, None])
+                & rank_ok[None, :]
+                & ~qdone[:, None]
+            )
+            ball_fire = jnp.any(
+                crossed & (minpos_g > kth_dist[:, None]), axis=1
+            )
+            dc = dc + jnp.sum(crossed, axis=1, dtype=jnp.int32) * full.astype(
+                jnp.int32
+            )
+            newly_stopped = (~qdone) & full & ball_fire
+            stopped = stopped | newly_stopped
+            visited = visited + jnp.sum(
+                crossed & ~newly_stopped[:, None], axis=1, dtype=jnp.int32
+            )
 
-        topk_sims, topk_ids, _, _, dc, cand_ct = jax.lax.while_loop(
-            cond, body, (topk_sims, topk_ids, qdone0, off0, dc, cand_ct)
+            qdone = qdone | stopped | (off2 >= total)
+            return (
+                topk_sims, topk_ids, qdone, stopped, off2, mcur2, dc,
+                cand_ct, visited,
+            )
+
+        (topk_sims, topk_ids, _, stopped, _, _, dc, cand_ct, visited) = (
+            jax.lax.while_loop(cond, body, state0)
         )
-        return topk_sims, topk_ids, dc, cand_ct
+        return _OuterState(
+            topk_sims, topk_ids, stopped, gi + 1, dc, cand_ct, visited
+        )
 
     def outer_cond(s: _OuterState):
-        return (~jnp.all(s.done)) & (s.rank < C)
-
-    def outer_body(s: _OuterState):
-        cluster = order[:, s.rank]  # (Q,)
-        # Ball-overlap termination (reference: index.rs:342-361): only
-        # active once the queue holds k results (get_top() is Some).
-        full = s.topk_ids[:, k - 1] >= 0
-        kth_dist = jnp.where(full, 2.0 * (1.0 - s.topk_sims[:, k - 1]), jnp.inf)
-        cdist = jnp.take_along_axis(center_dist, cluster[:, None], axis=1)[:, 0]
-        min_possible = cdist - index.radii[cluster]
-        newly_done = (~s.done) & (min_possible > kth_dist)
-        dc = s.dc + (full & ~s.done).astype(jnp.int32)  # index.rs:352
-        done = s.done | newly_done
-
-        active = ~done
-        if per_cluster:
-            qh = jnp.take_along_axis(
-                query_hashes, cluster[:, None, None], axis=1
-            )[:, 0]
-            qs = jnp.take_along_axis(
-                query_sketches, cluster[:, None, None, None], axis=1
-            )[:, 0]
-        else:
-            qh, qs = query_hashes, query_sketches
-        topk_sims, topk_ids, dc, cand = inner_cluster_search(
-            s.topk_sims, s.topk_ids, active, cluster, dc, s.cand, qh, qs
-        )
-        visited = s.visited + active.astype(jnp.int32)
-        return _OuterState(
-            topk_sims, topk_ids, done, s.rank + 1, dc, cand, visited
-        )
+        return (~jnp.all(s.stopped)) & (s.group < n_groups)
 
     init = _OuterState(
         topk_sims=jnp.zeros((Q, kk), jnp.float32),
         topk_ids=jnp.full((Q, kk), -1, jnp.int32),
-        done=jnp.zeros((Q,), bool),
-        rank=jnp.asarray(0, jnp.int32),
+        stopped=jnp.zeros((Q,), bool),
+        group=jnp.asarray(0, jnp.int32),
         dc=jnp.zeros((Q,), jnp.int32),
         cand=jnp.zeros((Q,), jnp.int32),
         visited=jnp.zeros((Q,), jnp.int32),
     )
-    final = jax.lax.while_loop(outer_cond, outer_body, init)
+    final = jax.lax.while_loop(outer_cond, group_scan, init)
 
     topk_sims, topk_ids = _exact_rescore_topk(
         index, queries_n, final.topk_sims, final.topk_ids, out_k=k
@@ -538,7 +648,7 @@ search_batch_jit = functools.partial(
     jax.jit,
     static_argnames=(
         "k", "chunk", "min_depth", "with_stats", "filter_type",
-        "filter_expand",
+        "filter_expand", "group_ranks",
     ),
 )(search_batch_impl)
 
@@ -603,6 +713,7 @@ def search(
                 min_depth=cfg.min_depth,
                 filter_type=filter_type,
                 filter_expand=cfg.filter_expand,
+                group_ranks=cfg.lsh_group_ranks,
             )
             TRACER.enabled and jax.block_until_ready(sims)
         return sims, ids, stats

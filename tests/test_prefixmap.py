@@ -171,3 +171,66 @@ class TestCandidateStream:
         # per (q, t), total stream <= segment length
         per_table = sz.reshape(5, D, 2).sum(axis=1)
         assert np.all(per_table <= seg_len)
+
+
+class TestOnehotDirectory:
+    """The f32 (one-hot MXU) directory path must be bit-identical to the
+    i32 gather path, and the entry-cap walk must preserve the recall
+    contract (kernel-vs-reference equivalence, math_test.hpp analog)."""
+
+    def test_onehot_matches_gather(self):
+        import jax.numpy as jnp
+
+        from clann_tpu.ops.prefixmap import (
+            build_prefix_directory,
+            depth_bounds,
+            sort_tables_segmented,
+        )
+
+        rng = np.random.default_rng(5)
+        n, L, D, db = 3000, 6, 16, 7
+        clusters = np.sort(rng.integers(0, 5, n)).astype(np.int32)
+        starts = np.searchsorted(clusters, np.arange(6)).astype(np.int32)
+        hashes = rng.integers(0, 1 << D, (L, n), dtype=np.uint32)
+        sh, si = sort_tables_segmented(jnp.asarray(hashes), jnp.asarray(clusters))
+        pdir = build_prefix_directory(
+            sh, jnp.asarray(starts), db, 14, max_hashbits=D
+        )
+
+        Q = 24
+        qh = jnp.asarray(rng.integers(0, 1 << D, (Q, L), dtype=np.uint32))
+        qc = jnp.asarray(rng.integers(0, 5, Q, dtype=np.int32))
+        slo = jnp.asarray(starts)[qc]
+        shi = jnp.asarray(starts)[qc + 1]
+        kw = dict(up_to_depth=12, cluster=qc, dir_bits=db)
+        lo_g, hi_g = depth_bounds(sh, qh, slo, shi, D, 8,
+                                  prefix_dir=pdir, **kw)
+        lo_o, hi_o = depth_bounds(sh, qh, slo, shi, D, 8,
+                                  prefix_dir=pdir.astype(jnp.float32), **kw)
+        np.testing.assert_array_equal(np.asarray(lo_g), np.asarray(lo_o))
+        np.testing.assert_array_equal(np.asarray(hi_g), np.asarray(hi_o))
+
+    def test_entry_cap_recall_contract(self):
+        from clann_tpu.config import Config
+        from clann_tpu.core.index import build_index
+        from clann_tpu.data.synthetic import clustered_unit_vectors, random_unit_vectors
+        from clann_tpu.metrics.recall import recall_by_ids
+        from clann_tpu.ops.distances import brute_force_topk
+        from clann_tpu.ops.query import search
+
+        train = clustered_unit_vectors(2500, 16, n_modes=24, seed=8)
+        queries = random_unit_vectors(32, 16, seed=9)
+        gt_d, gt_i = brute_force_topk(train, queries, k=5, metric="angular")
+        cfg = Config(
+            num_tables=10, num_clusters_factor=0.4, k=5, delta=0.9,
+            hash_family="simhash", candidate_chunk=128,
+            brute_force_threshold=20, seed=6, lsh_entry_cap=True,
+            prefix_dir_bits=8,
+        )
+        index = build_index(train, cfg)
+        dists, ids, st = search(index, queries, k=5, delta=0.9)
+        r = recall_by_ids(np.asarray(gt_i), ids, count=5)
+        assert r >= 0.6, r
+        # entering at the directory granularity consumes coarser entry
+        # ranges; still adaptive, never the whole dataset
+        assert np.mean(st.distance_computations) < train.shape[0]
