@@ -195,3 +195,75 @@ class TestShardedGlobal:
         sharded = shard_index(index, 4)
         with pytest.raises(ValueError):
             sharded_global_search(sharded, queries, mesh=make_mesh(4))
+
+
+class TestShardedJaccard:
+    """Point-sharded set-LSH search (parallel/jaccard.py) vs the flat
+    index and the brute-force Jaccard oracle."""
+
+    @pytest.fixture(scope="class")
+    def jsetup(self):
+        from clann_tpu.core.jaccard import build_jaccard_index
+        from clann_tpu.data.setdata import JaccardData
+
+        rng = np.random.default_rng(11)
+        universe = 400
+        sets = []
+        for _ in range(900):
+            size = max(2, rng.poisson(10))
+            sets.append(
+                rng.choice(universe, size=min(size, universe), replace=False)
+            )
+        data = JaccardData(sets, universe)
+        cfg = Config(
+            num_tables=12, k=5, delta=0.8, candidate_chunk=128,
+            max_hashbits=16, seed=9,
+        )
+        return build_jaccard_index(data, cfg), data
+
+    def test_matches_flat_and_oracle(self, jsetup):
+        from clann_tpu.core.jaccard import jaccard_search
+        from clann_tpu.data.setdata import brute_force_jaccard_topk
+        from clann_tpu.parallel.jaccard import (
+            shard_jaccard_index,
+            sharded_jaccard_search,
+        )
+
+        index, data = jsetup
+        sh = shard_jaccard_index(index, 8)
+        assert sh.tokens.shape[0] == 8
+        # every real point appears exactly once across shards
+        gids = np.asarray(sh.global_ids)
+        real = gids[gids >= 0]
+        assert sorted(real.tolist()) == list(range(900))
+
+        queries = data.tokens[:40]
+        s_sh, i_sh, st = sharded_jaccard_search(sh, queries, k=5, delta=0.8)
+        assert s_sh.shape == (40, 5)
+        assert np.all(np.diff(s_sh, axis=1) <= 1e-6)
+        assert i_sh.max() < 900
+        # per-shard termination uses the local kth (never larger than the
+        # global kth), so the sharded run works at least as hard: its
+        # recall vs the oracle kth threshold must meet the same contract
+        gt_s, _ = brute_force_jaccard_topk(data, queries, k=5)
+        kth = gt_s[:, 4]
+        recall = (s_sh >= kth[:, None] - 1e-6).sum(axis=1).mean() / 5
+        assert recall >= 0.8 * 0.8, recall
+        # and should be >= the flat engine's recall up to tie noise
+        s_fl, _, _ = jaccard_search(index, queries, k=5, delta=0.8)
+        r_flat = (s_fl >= kth[:, None] - 1e-6).sum(axis=1).mean() / 5
+        assert recall >= r_flat - 0.05
+        assert int(np.asarray(st.distance_computations).sum()) > 0
+
+    def test_self_query(self, jsetup):
+        from clann_tpu.parallel.jaccard import (
+            shard_jaccard_index,
+            sharded_jaccard_search,
+        )
+
+        index, data = jsetup
+        sh = shard_jaccard_index(index, 8)
+        sims, ids, _ = sharded_jaccard_search(sh, data.tokens[:16], k=1,
+                                              delta=0.9)
+        found = (ids[:, 0] == np.arange(16)).mean()
+        assert found >= 0.85
