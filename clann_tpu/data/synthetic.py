@@ -58,6 +58,47 @@ def clustered_unit_vectors(
     return (x / np.where(norms == 0, 1, norms)).astype(np.float32)
 
 
+def hierarchical_unit_vectors(
+    n: int,
+    d: int,
+    n_super: int = 32,
+    subs_per_super: int = 32,
+    super_spread: float = 0.6,
+    sub_spread: float = 0.15,
+    seed: int = 0,
+) -> np.ndarray:
+    """Two-level (super-cluster -> sub-mode) mixture of unit vectors.
+
+    The flat mixture (clustered_unit_vectors at spread ~0.7) is
+    deliberately hard: modes overlap enough that hash buckets collide
+    across modes and the ball-overlap bound almost never prunes. Real
+    corpora (word, product, image embeddings) have MULTI-SCALE structure —
+    topics containing subtopics — where most of a query's distance mass is
+    concentrated in a few nearby sub-modes. At sub_spread << super_spread
+    the GMM ball bound prunes most clusters per query, the regime the
+    reference's clustered design targets (src/lib.rs:3-4) and where the
+    IVF/adaptive-wave dense paths stop after a few probed rows.
+    """
+    rng = np.random.default_rng(seed)
+    supers = rng.standard_normal((n_super, d)).astype(np.float32)
+    supers /= np.linalg.norm(supers, axis=1, keepdims=True)
+    n_subs = n_super * subs_per_super
+    sup_of_sub = np.repeat(np.arange(n_super), subs_per_super)
+    subs = supers[sup_of_sub] + (
+        super_spread / np.sqrt(d)
+    ) * rng.standard_normal((n_subs, d)).astype(np.float32)
+    subs /= np.linalg.norm(subs, axis=1, keepdims=True)
+    # Zipf-ish popularity over sub-modes for ragged cluster sizes
+    weights = 1.0 / np.arange(1, n_subs + 1) ** 0.7
+    weights /= weights.sum()
+    which = rng.choice(n_subs, size=n, p=weights)
+    x = subs[which] + (sub_spread / np.sqrt(d)) * rng.standard_normal(
+        (n, d)
+    ).astype(np.float32)
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    return (x / np.where(norms == 0, 1, norms)).astype(np.float32)
+
+
 def make_synthetic_dataset(
     n: int = 20000,
     d: int = 25,
@@ -67,18 +108,29 @@ def make_synthetic_dataset(
     clustered: bool = True,
     seed: int = 0,
     name: str = "",
+    kind: str = "",
 ) -> AnnDataset:
-    """Build a full ann-benchmarks-shaped dataset with exact ground truth."""
+    """Build a full ann-benchmarks-shaped dataset with exact ground truth.
+
+    kind: "uniform", "clustered" (flat mixture, deliberately
+    collision-heavy) or "hierarchical" (multi-scale — the ball-prunable
+    regime). Defaults from the legacy `clustered` flag when empty.
+    """
     from clann_tpu.ops.distances import brute_force_topk
 
-    gen = clustered_unit_vectors if clustered else random_unit_vectors
+    if not kind:
+        kind = "clustered" if clustered else "uniform"
+    gen = {
+        "uniform": random_unit_vectors,
+        "clustered": clustered_unit_vectors,
+        "hierarchical": hierarchical_unit_vectors,
+    }[kind]
     train = gen(n, d, seed=seed)
     # Queries from the same distribution (held out).
     test = gen(n_queries, d, seed=seed + 1)
 
     dists, ids = brute_force_topk(train, test, k=k_gt, metric=metric)
     if not name:
-        kind = "clustered" if clustered else "uniform"
         name = f"synthetic-{kind}-{n}x{d}-{metric}"
     return AnnDataset(
         train=train,

@@ -143,3 +143,32 @@ class TestSyntheticDataset:
         # re-derive ground truth for 5 queries
         dists, ids = brute_force_topk(ds.train, ds.test[:5], k=10, metric="angular")
         np.testing.assert_allclose(np.asarray(dists), ds.distances[:5, :10], atol=1e-5)
+
+    def test_hierarchical_is_ball_prunable(self):
+        # the multi-scale generator must produce data where a point's own
+        # sub-mode is far tighter than the inter-mode spread — i.e. the
+        # k-NN distance is much smaller than the typical pairwise distance
+        # (the regime where the reference's ball bound prunes; the flat
+        # clustered mixture at spread 0.7 deliberately is NOT in it)
+        from clann_tpu.data.synthetic import hierarchical_unit_vectors
+
+        x = hierarchical_unit_vectors(4000, 32, n_super=8,
+                                      subs_per_super=16, seed=0)
+        assert x.shape == (4000, 32)
+        np.testing.assert_allclose(np.linalg.norm(x, axis=1), 1.0, atol=1e-5)
+        d1, _ = brute_force_topk(x, x[:64], k=10, metric="angular")
+        knn = np.asarray(d1)[:, 1:].mean()  # skip self
+        rng = np.random.default_rng(1)
+        pairs = 1.0 - np.sum(
+            x[rng.integers(0, 4000, 500)] * x[rng.integers(0, 4000, 500)],
+            axis=1,
+        )
+        assert knn < 0.25 * pairs.mean(), (knn, pairs.mean())
+
+    def test_make_dataset_kinds(self):
+        from clann_tpu.data.synthetic import make_synthetic_dataset
+
+        ds = make_synthetic_dataset(n=500, d=16, n_queries=10, k_gt=5,
+                                    kind="hierarchical")
+        assert ds.name.startswith("synthetic-hierarchical")
+        assert ds.train.shape == (500, 16)
