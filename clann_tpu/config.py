@@ -120,16 +120,18 @@ class Config:
     # instead of per-index gathers (ops/prefixmap._dir_select_onehot):
     # the (q, cluster, table, level) bound lookups are the walk's probe
     # hot spot and gathers pay ~40-50ns per index on v5e. Bit-identical
-    # to the gather path (tested); default off until measured on the chip.
-    dir_onehot: bool = False
-    # EXPERIMENTAL: enter the peel walk at the directory granularity
+    # to the gather path (tested). Measured at 200k x 100, bs=64:
+    # 23.7 -> 27.3 QPS alone; 40.4 -> 44.7 on top of lsh_entry_cap.
+    dir_onehot: bool = True
+    # Enter the peel walk at the directory granularity
     # (d_entry = min(d_entry, prefix_dir_bits)) so every level bound is a
     # direct directory answer and the bisection tail disappears. Consumes
     # each table's full dir_bits-prefix bucket at entry — identical
-    # delta-guarantee semantics at depth dir_bits, but more candidates
-    # are scored when the adaptive stop would have fired deeper; measure
-    # dc/q before enabling at scale.
-    lsh_entry_cap: bool = False
+    # delta-guarantee semantics at depth dir_bits. Measured at 200k x 100:
+    # 23.7 -> 44.7 QPS (with dir_onehot), recall 0.901 -> 0.904, dc/q +1%
+    # (the adaptive stop rarely fired deeper than the directory
+    # granularity anyway).
+    lsh_entry_cap: bool = True
     # LSH engine layout: "clustered" = the reference-faithful per-cluster
     # walk (ops/query.py); "global" = the ball-filtered global adaptive
     # engine (ops/global_query.py — same delta guarantee, one set of range
@@ -139,6 +141,11 @@ class Config:
     # Directory bits for the global tables (full 13 like the reference:
     # one directory per table, not per cluster, so memory is tiny).
     global_dir_bits: int = 13
+    # Experimental entry-depth cap for the GLOBAL engine (0 = off): enter
+    # the peel walk at this depth instead of log2(n)+2. See
+    # ops/global_query.global_search_batch_impl; measure dc/QPS before
+    # enabling (global buckets hold n/2^cap points).
+    global_entry_cap: int = 0
     # In-loop candidate scoring dtype for the adaptive LSH engines.
     # "float32" (default): score in f32 directly. "int8": score candidates
     # against an int8 shadow of the dataset with a 2k internal buffer and

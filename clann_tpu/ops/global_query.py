@@ -92,6 +92,15 @@ def global_search_batch_impl(
     D = index.config.max_hashbits
     S = index.sketches.shape[1]
     d_entry = int(np.clip(np.ceil(np.log2(max(2, n))) + 2, min_depth, D))
+    if index.config.global_entry_cap > 0:
+        # experimental analog of the clustered walk's lsh_entry_cap:
+        # entering at a shallower depth trades bisection probes in
+        # depth_bounds for more entry-level candidates; unlike the
+        # clustered case the global buckets hold n/2^cap points, so this
+        # is a measured knob, not a default
+        d_entry = int(
+            max(min_depth, min(d_entry, index.config.global_entry_cap))
+        )
     # blocked gather: G consecutive records per gather lane (see
     # ops/prefixmap.block_stream). The stream cursor runs in block units.
     G = max(1, index.config.gather_block)

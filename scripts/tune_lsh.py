@@ -33,13 +33,14 @@ gd = build_prefix_directory(gh, jnp.asarray(np.asarray([0, n_pts], np.int32)),
 gdi = int(np.ceil(np.log2(max(2, int(jnp.max(gd[:, :, 1:] - gd[:, :, :-1])))))) + 1
 index = index.replace(g_sorted_hash=gh, g_records=gr, g_dir=gd, g_dir_iters=gdi)
 
-configs = [tuple(map(int, c.split(","))) for c in sys.argv[1:]]
-for g, chunk, fx, bs in configs:
-    cfg = cfg0.replace(gather_block=g, candidate_chunk=chunk, filter_expand=fx)
+configs = [tuple(map(int, (c.split(",") + ["0"])[:5])) for c in sys.argv[1:]]
+for g, chunk, fx, bs, cap in configs:
+    cfg = cfg0.replace(gather_block=g, candidate_chunk=chunk,
+                       filter_expand=fx, global_entry_cap=cap)
     idx = index.replace(config=cfg)
     global_search(idx, test, k=10, delta=0.9, batch_size=bs)  # warm
     t0 = time.time()
     d_, i_, st = global_search(idx, test, k=10, delta=0.9, batch_size=bs)
     el = time.time() - t0
     r, _, _ = recall_values(gt_d, d_, count=10)
-    print(f"G={g} chunk={chunk} fx={fx} bs={bs}: QPS={256/el:.1f} recall={r:.4f} dc/q={st.distance_computations.mean():.0f}", flush=True)
+    print(f"G={g} chunk={chunk} fx={fx} bs={bs} cap={cap}: QPS={256/el:.1f} recall={r:.4f} dc/q={st.distance_computations.mean():.0f}", flush=True)
