@@ -132,6 +132,23 @@ class Config:
     # (the adaptive stop rarely fired deeper than the directory
     # granularity anyway).
     lsh_entry_cap: bool = True
+    # Lazy depth-level materialization for the clustered walk: peel levels
+    # are computed in windows of this many levels per (group, chunk) outer
+    # step, and deeper windows are materialized ONLY when some query's
+    # delta check still fails after exhausting the current window — the
+    # stop state at a window edge, (1-p(d_lo))^L, depends only on the
+    # query's k-th similarity, so the descend decision is one table lookup.
+    # 0 = eager (materialize every level up front). Requires the prefix
+    # directory + lsh_entry_cap (direct directory bounds); ignored
+    # otherwise. MEASURED NEGATIVE on v5e at 200k x 100, bs=64 (default
+    # stays eager): flat data 44.7 QPS eager vs 33.1/40.2/42.6 at
+    # lc=2/4/6; hierarchical data 19.8 vs 17.1/18.6 at lc=2/4. The delta
+    # check typically needs several levels, and one unsatisfied query per
+    # 64-batch forces the descent for everyone, so per-window fixed costs
+    # (stream build, at-least-one-window inner rounds) repeat without
+    # skipping levels. Kept as a knob for small-batch / low-L regimes
+    # where walks retire at entry.
+    lsh_level_chunk: int = 0
     # LSH engine layout: "clustered" = the reference-faithful per-cluster
     # walk (ops/query.py); "global" = the ball-filtered global adaptive
     # engine (ops/global_query.py — same delta guarantee, one set of range
@@ -210,6 +227,8 @@ class Config:
             raise ConfigError("rescore_dtype must be 'float32' or 'int8'")
         if self.lsh_group_ranks < 1:
             raise ConfigError("lsh_group_ranks must be >= 1")
+        if self.lsh_level_chunk < 0:
+            raise ConfigError("lsh_level_chunk must be >= 0")
         if isinstance(self.metrics_output, str):
             object.__setattr__(self, "metrics_output", MetricsOutput(self.metrics_output))
 

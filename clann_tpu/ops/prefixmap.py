@@ -364,6 +364,92 @@ def revealed_range(
     return start, jnp.maximum(end - start, 0)
 
 
+def chunk_stream_direct(
+    query_hashes: jnp.ndarray,
+    d_top: jnp.ndarray,
+    entry_first: jnp.ndarray,
+    lc: int,
+    max_hashbits: int,
+    dir_bits: int,
+    min_depth: int,
+    d_entry: int,
+    *,
+    cdir_oh: jnp.ndarray = None,
+    cdir: jnp.ndarray = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Peel-level ranges for ONE dynamic window of `lc` depth levels.
+
+    The lazy-materialization core (config.lsh_level_chunk): where
+    depth_bounds + candidate_stream compute every level of the walk up
+    front, this computes only the window [d_top, d_top-lc+1] — and because
+    entering at directory granularity (config.lsh_entry_cap) makes every
+    level key directory-ALIGNED, each bound is a direct directory answer
+    (see depth_bounds.direct), so the window needs no bisection and its
+    depth may be a traced value.
+
+    query_hashes: (QG, L) uint32. d_top: () int32 — the window's first
+    (deepest) level; all levels satisfy min_depth <= level <= d_entry <=
+    dir_bits. entry_first: () bool — level 0 is the walk's entry range
+    [lo(d_top), hi(d_top)) instead of a one-sided spill. lc: static window
+    size in levels. Exactly one of cdir_oh (L, QG, P+1) f32 — the one-hot
+    MXU path — or cdir (L, QG, P+1) int32 must be given; both hold each
+    search's own cluster-segment directory row (prefix_dir[:, cluster, :]).
+
+    Returns (starts, sizes): (QG, lc*L) int32, level-major (slot j = level
+    j // L, table j % L) — the same layout candidate_stream emits for one
+    member, so the consuming window machinery is shared.
+
+    Levels whose depth falls below min_depth (the final window of a walk
+    whose level count is not a multiple of lc) are emitted with size 0.
+    """
+    QG, L = query_hashes.shape
+    D = max_hashbits
+    P = (cdir_oh if cdir is None else cdir).shape[2] - 1
+    jj = jnp.arange(lc + 1, dtype=jnp.int32)  # bound levels, deepest first
+    dep = jnp.clip(d_top + 1 - jj, min_depth, d_entry)  # (lc+1,)
+    shifts = (jnp.int32(D) - dep).astype(jnp.uint32)
+    prefix = (query_hashes[:, :, None] >> shifts) << shifts  # (QG, L, lc+1)
+    upper = prefix + (jnp.uint32(1) << shifts)
+
+    def positions(keys):
+        return jnp.minimum(
+            (keys >> jnp.uint32(D - dir_bits)).astype(jnp.int32), P
+        )
+
+    p_both = jnp.concatenate(
+        [positions(prefix), positions(upper)], axis=2
+    )  # (QG, L, 2*(lc+1))
+    if cdir_oh is not None:
+        both = _dir_select_onehot(cdir_oh, p_both)
+    else:
+        tids = jnp.broadcast_to(
+            jnp.arange(L, dtype=jnp.int32)[None, :, None], p_both.shape
+        )
+        q_ids = jnp.arange(QG, dtype=jnp.int32)[:, None, None]
+        both = cdir[tids, q_ids, p_both]
+    lo, hi = jnp.split(both, 2, axis=2)  # (QG, L, lc+1) each
+
+    # level j (depth d_top - j) uses bounds jj=j+1 (own depth) and jj=j
+    # (depth+1); spill direction from the peeled bit (prefixmap.hpp:272-279)
+    lo_d, hi_d = lo[:, :, 1:], hi[:, :, 1:]  # (QG, L, lc)
+    lo_d1, hi_d1 = lo[:, :, :lc], hi[:, :, :lc]
+    bit = (query_hashes[:, :, None] >> shifts[None, None, :lc]) & jnp.uint32(1)
+    is_entry = entry_first & (jj[:lc] == 0)  # (lc,)
+    start = jnp.where(
+        is_entry[None, None, :], lo_d, jnp.where(bit == 0, hi_d1, lo_d)
+    )
+    end = jnp.where(
+        is_entry[None, None, :], hi_d, jnp.where(bit == 0, hi_d, lo_d1)
+    )
+    level_ok = (d_top - jj[:lc]) >= min_depth  # (lc,)
+    sizes = jnp.where(
+        level_ok[None, None, :], jnp.maximum(end - start, 0), 0
+    )
+    starts = jnp.transpose(start, (0, 2, 1)).reshape(QG, lc * L)
+    sizes = jnp.transpose(sizes, (0, 2, 1)).reshape(QG, lc * L)
+    return starts, sizes
+
+
 def count_leq(sorted_rows: jnp.ndarray, values: jnp.ndarray) -> jnp.ndarray:
     """Per-row count of sorted_rows[q] entries <= values[q, i].
 

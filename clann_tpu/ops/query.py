@@ -52,9 +52,11 @@ import numpy as np
 
 from clann_tpu.ops.distances import exact_dot, l2_normalize
 from clann_tpu.ops.prefixmap import (
+    _dir_rows_onehot,
     block_stream,
     blocked_window,
     candidate_stream,
+    chunk_stream_direct,
     count_leq,
     depth_bounds,
 )
@@ -72,7 +74,9 @@ class _OuterState(NamedTuple):
     topk_sims: jnp.ndarray  # (Q, k) descending similarity, 0 = empty
     topk_ids: jnp.ndarray  # (Q, k) int32, -1 = empty
     stopped: jnp.ndarray  # (Q,) bool — ball-overlap full stop fired
-    group: jnp.ndarray  # () int32 — next group of cluster ranks
+    group: jnp.ndarray  # () int32 — current group of cluster ranks
+    chunk: jnp.ndarray  # () int32 — current depth-level window of the group
+    msat: jnp.ndarray  # (Q, RG) bool — member delta-satisfied in this group
     dc: jnp.ndarray  # (Q,) int32
     cand: jnp.ndarray  # (Q,) int32
     visited: jnp.ndarray  # (Q,) int32
@@ -323,8 +327,22 @@ def search_batch_impl(
 
     RG = int(max(1, min(group_ranks, C)))  # members per group
     n_groups = -(-C // RG)
-    ND = d_entry - min_depth + 1
-    M = ND * L  # ranges per member stream (depth-major)
+    ND = d_entry - min_depth + 1  # total peel levels of a full walk
+    # Lazy depth-level materialization (config.lsh_level_chunk): levels
+    # are produced LC at a time per (group, chunk) outer step, and deeper
+    # windows run ONLY while some query's delta check still fails — most
+    # walks satisfy delta 0-2 levels below entry, so the common case
+    # computes LC+1 bound levels instead of all ND. Requires direct
+    # directory bounds (lsh_entry_cap + prefix directory) so the window
+    # depth can be a traced value. LC = ND degenerates to the eager
+    # one-chunk walk (bit-compatible with the pre-lazy engine).
+    lazy = (
+        have_dir
+        and index.config.lsh_entry_cap
+        and 0 < index.config.lsh_level_chunk < ND
+    )
+    LC = index.config.lsh_level_chunk if lazy else ND
+    M = LC * L  # ranges per member stream per chunk (level-major)
     SM = RG * M  # ranges per group stream
 
     # Cluster ordering: one matmul + argsort
@@ -363,9 +381,11 @@ def search_batch_impl(
     blk_iota = jnp.arange(WB, dtype=jnp.int32)
     g_iota = jnp.arange(RG, dtype=jnp.int32)
 
-    def group_scan(s: _OuterState):
-        """Scan the next RG cluster ranks of every query's ordering."""
-        gi = s.group
+    def chunk_scan(s: _OuterState):
+        """Scan one depth-level window of the current RG cluster ranks."""
+        gi, ci = s.group, s.chunk
+        d_top = d_entry - ci * LC  # deepest level of this window
+        entry_chunk = ci == 0  # () bool — window holds the entry level
         members = jax.lax.dynamic_slice_in_dim(
             order, gi * RG, RG, axis=1
         )  # (Q, RG)
@@ -390,26 +410,47 @@ def search_batch_impl(
             qs_g = None
         qh_flat = qh_g.reshape(Q * RG, L)
 
-        # one batched set of range searches for ALL (query, member) pairs
-        lo, hi = depth_bounds(
-            index.sorted_hash, qh_flat,
-            seg_lo_g.reshape(-1), seg_hi_g.reshape(-1), D,
-            index.dir_iters if use_dir else n_iters,
-            up_to_depth=d_entry,
-            prefix_dir=pdir,
-            cluster=members.reshape(-1) if use_dir else None,
-            dir_bits=index.dir_bits if use_dir else 0,
-        )  # (Q*RG, L, d_entry+1)
-        st_f, sz_f = candidate_stream(
-            lo, hi, qh_flat, D, min_depth, start_depth=d_entry
-        )  # (Q*RG, M)
+        if lazy:
+            # one dynamic window of LC levels, all bounds direct directory
+            # answers (ops/prefixmap.chunk_stream_direct)
+            mflat = members.reshape(-1)
+            if index.config.dir_onehot:
+                st_f, sz_f = chunk_stream_direct(
+                    qh_flat, d_top, entry_chunk, LC, D, index.dir_bits,
+                    min_depth, d_entry,
+                    cdir_oh=_dir_rows_onehot(pdir, mflat),
+                )
+            else:
+                st_f, sz_f = chunk_stream_direct(
+                    qh_flat, d_top, entry_chunk, LC, D, index.dir_bits,
+                    min_depth, d_entry,
+                    cdir=pdir[:, mflat, :],
+                )
+        else:
+            # eager: one batched set of range searches for ALL levels and
+            # (query, member) pairs
+            lo, hi = depth_bounds(
+                index.sorted_hash, qh_flat,
+                seg_lo_g.reshape(-1), seg_hi_g.reshape(-1), D,
+                index.dir_iters if use_dir else n_iters,
+                up_to_depth=d_entry,
+                prefix_dir=pdir,
+                cluster=members.reshape(-1) if use_dir else None,
+                dir_bits=index.dir_bits if use_dir else 0,
+            )  # (Q*RG, L, d_entry+1)
+            st_f, sz_f = candidate_stream(
+                lo, hi, qh_flat, D, min_depth, start_depth=d_entry
+            )  # (Q*RG, M)
         st3 = st_f.reshape(Q, RG, M)
         sz3 = sz_f.reshape(Q, RG, M)
         # Brute members: a single range covering the whole segment at the
-        # member's first stream slot (reference: index.rs:666-685).
+        # member's first stream slot, consumed in the entry window only
+        # (reference: index.rs:666-685).
         sz3 = jnp.where(
             is_brute_g[:, :, None],
-            jnp.zeros_like(sz3).at[:, :, 0].set(seg_len_g),
+            jnp.zeros_like(sz3)
+            .at[:, :, 0]
+            .set(jnp.where(entry_chunk, seg_len_g, 0)),
             sz3,
         )
         st3 = jnp.where(
@@ -418,6 +459,8 @@ def search_batch_impl(
             st3,
         )
         sz3 = jnp.where(rank_ok[None, :, None], sz3, 0)
+        # delta-satisfied members contribute nothing in deeper windows
+        sz3 = jnp.where(s.msat[:, :, None], 0, sz3)
         # member-major concatenated group stream
         starts_s = st3.reshape(Q, SM)
         sizes_s = sz3.reshape(Q, SM)
@@ -432,27 +475,33 @@ def search_batch_impl(
         # Ball-overlap entry check for member 0 (reference: index.rs:342-361
         # runs it before every cluster; members >= 1 are checked inside the
         # loop when the cursor crosses their boundary). Active only once
-        # the queue holds k results (get_top() is Some).
+        # the queue holds k results (get_top() is Some). Members are
+        # ENTERED in the entry window only — deeper windows revisit them,
+        # so the check (and its dc/visited accounting) is gated on it.
         full0 = topk_ids[:, k - 1] >= 0
         kth0 = jnp.where(full0, 2.0 * (1.0 - topk_sims[:, k - 1]), jnp.inf)
-        stopped0 = s.stopped | (full0 & (minpos_g[:, 0] > kth0))
-        dc0 = s.dc + (full0 & ~s.stopped).astype(jnp.int32)  # index.rs:352
-        visited0 = s.visited + (~stopped0).astype(jnp.int32)
+        stopped0 = s.stopped | (
+            entry_chunk & full0 & (minpos_g[:, 0] > kth0)
+        )
+        dc0 = s.dc + (entry_chunk & full0 & ~s.stopped).astype(
+            jnp.int32
+        )  # index.rs:352
+        visited0 = s.visited + (entry_chunk & ~stopped0).astype(jnp.int32)
 
         qdone0 = stopped0 | (total <= 0)
         state0 = (
             topk_sims, topk_ids, qdone0, stopped0,
             jnp.zeros((Q,), jnp.int32),  # off (block units)
             jnp.zeros((Q,), jnp.int32),  # mcur: member the cursor is in
-            dc0, s.cand, visited0,
+            s.msat, dc0, s.cand, visited0,
         )
 
         def cond(t):
             return ~jnp.all(t[2])
 
         def body(t):
-            (topk_sims, topk_ids, qdone, stopped, off, mcur, dc, cand_ct,
-             visited) = t
+            (topk_sims, topk_ids, qdone, stopped, off, mcur, msat, dc,
+             cand_ct, visited) = t
 
             # --- phase 1: sketch-filter a wide window of stream lanes
             # (cheap: 8B of sketch per candidate); windows cross member
@@ -558,7 +607,7 @@ def search_batch_impl(
             mcur_idx = jnp.minimum(mcur_new, RG - 1)
             r_star = count_leq(fc, off_new[:, None])[:, 0]
             local_r = r_star - mcur_idx * M  # ranges consumed IN the member
-            depth_cur = jnp.maximum(d_entry - local_r // L, min_depth)
+            depth_cur = jnp.maximum(d_top - local_r // L, min_depth)
             tables_consumed = (local_r % L).astype(jnp.float32)
 
             kth_sim = topk_sims[:, k - 1]
@@ -579,6 +628,10 @@ def search_batch_impl(
             member_done = (
                 (~cur_brute) & (failure <= 1.0 - delta) & (mcur_new < RG)
             )
+            # record delta satisfaction so deeper windows skip the member
+            msat = msat | (
+                (g_iota[None, :] == mcur_idx[:, None]) & member_done[:, None]
+            )
             # jump over the rest of a delta-satisfied member's stream
             jump_to = jnp.take_along_axis(mend, mcur_idx[:, None], axis=1)[
                 :, 0
@@ -597,6 +650,7 @@ def search_batch_impl(
                 & (g_iota[None, :] <= mcur2[:, None])
                 & rank_ok[None, :]
                 & ~qdone[:, None]
+                & entry_chunk  # members are only ENTERED in this window
             )
             ball_fire = jnp.any(
                 crossed & (minpos_g > kth_dist[:, None]), axis=1
@@ -612,15 +666,50 @@ def search_batch_impl(
 
             qdone = qdone | stopped | (off2 >= total)
             return (
-                topk_sims, topk_ids, qdone, stopped, off2, mcur2, dc,
+                topk_sims, topk_ids, qdone, stopped, off2, mcur2, msat, dc,
                 cand_ct, visited,
             )
 
-        (topk_sims, topk_ids, _, stopped, _, _, dc, cand_ct, visited) = (
-            jax.lax.while_loop(cond, body, state0)
-        )
+        (topk_sims, topk_ids, _, stopped, _, _, msat, dc, cand_ct,
+         visited) = jax.lax.while_loop(cond, body, state0)
+
+        if lazy:
+            # Descend decision: stopping at the window edge means all L
+            # tables were consumed at depth d_lo = d_top-LC+1, so failure
+            # is (1-p(d_lo))^L — a function of (depth, kth similarity)
+            # only, one table lookup for every exhausted member at once.
+            # Members satisfied mid-window are in msat; brute members were
+            # fully consumed in the entry window.
+            d_next = d_top - LC
+            p_end = probs_lookup(
+                index,
+                jnp.maximum(d_next + 1, min_depth),
+                topk_sims[:, k - 1],
+            )
+            end_fail = jnp.power(1.0 - p_end, float(L))
+            # a query whose bound is met at the edge retires ALL its
+            # exhausted members — otherwise it would re-consume deeper
+            # windows whenever another query in the batch forces a descent
+            msat = msat | (
+                (end_fail <= 1.0 - delta)[:, None] & rank_ok[None, :]
+            )
+            unsat = jnp.any(
+                (~msat) & (~is_brute_g) & rank_ok[None, :], axis=1
+            )
+            need = (~stopped) & unsat
+            descend = jnp.any(need) & (d_next >= min_depth)
+        else:
+            descend = jnp.asarray(False)
         return _OuterState(
-            topk_sims, topk_ids, stopped, gi + 1, dc, cand_ct, visited
+            topk_sims,
+            topk_ids,
+            stopped,
+            jnp.where(descend, gi, gi + 1),
+            jnp.where(descend, ci + 1, 0),
+            jnp.where(descend, msat, jnp.zeros_like(msat)),
+            dc,
+            cand_ct,
+            visited,
         )
 
     def outer_cond(s: _OuterState):
@@ -631,11 +720,13 @@ def search_batch_impl(
         topk_ids=jnp.full((Q, kk), -1, jnp.int32),
         stopped=jnp.zeros((Q,), bool),
         group=jnp.asarray(0, jnp.int32),
+        chunk=jnp.asarray(0, jnp.int32),
+        msat=jnp.zeros((Q, RG), bool),
         dc=jnp.zeros((Q,), jnp.int32),
         cand=jnp.zeros((Q,), jnp.int32),
         visited=jnp.zeros((Q,), jnp.int32),
     )
-    final = jax.lax.while_loop(outer_cond, group_scan, init)
+    final = jax.lax.while_loop(outer_cond, chunk_scan, init)
 
     topk_sims, topk_ids = _exact_rescore_topk(
         index, queries_n, final.topk_sims, final.topk_ids, out_k=k

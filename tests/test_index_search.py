@@ -158,3 +158,49 @@ class TestBruteForceClusters:
         gt_d, _ = brute_force_topk(x, x[:10], k=120, metric="angular")
         dists, ids, _ = search(index, x[:10], k=120)
         np.testing.assert_allclose(dists, np.asarray(gt_d), atol=1e-4)
+
+
+class TestLazyLevelWindows:
+    """Lazy depth-window materialization (config.lsh_level_chunk) must
+    preserve the walk's semantics: same recall contract, same candidate
+    consumption order, with descent only when the delta check demands it."""
+
+    @pytest.fixture(scope="class")
+    def built(self, ds):
+        cfg = Config(
+            num_tables=12,
+            num_clusters_factor=0.4,
+            k=10,
+            delta=0.9,
+            hash_family="simhash",
+            candidate_chunk=128,
+            seed=4,
+        )
+        return cfg, build_index(ds.train, cfg)
+
+    @pytest.mark.parametrize("lc,rg", [(2, 1), (1, 1), (3, 4)])
+    def test_matches_eager_contract(self, built, ds, lc, rg):
+        cfg, index = built
+        eager = index.replace(
+            config=cfg.replace(lsh_level_chunk=0, lsh_group_ranks=rg)
+        )
+        lazy = index.replace(
+            config=cfg.replace(lsh_level_chunk=lc, lsh_group_ranks=rg)
+        )
+        d_e, i_e, st_e = search(eager, ds.test, k=10, delta=0.9)
+        d_l, i_l, st_l = search(lazy, ds.test, k=10, delta=0.9)
+        r_e, _, _ = recall_values(ds.distances, d_e, count=10)
+        r_l, _, _ = recall_values(ds.distances, d_l, count=10)
+        assert r_l >= 0.8 * 0.9, f"lazy recall {r_l}"
+        # window-edge stop points differ slightly from the eager walk's
+        # (a window cannot straddle a chunk boundary) but the adaptive
+        # behaviour must stay in the same regime
+        assert abs(r_l - r_e) < 0.1, (r_l, r_e)
+        dc_e = np.mean(st_e.distance_computations)
+        dc_l = np.mean(st_l.distance_computations)
+        assert dc_l < ds.train.shape[0]
+        assert 0.5 * dc_e < dc_l < 2.0 * dc_e + 100, (dc_e, dc_l)
+        # no duplicate ids within any result row
+        for row in i_l:
+            live = row[row >= 0]
+            assert len(set(live.tolist())) == len(live)

@@ -234,3 +234,83 @@ class TestOnehotDirectory:
         # entering at the directory granularity consumes coarser entry
         # ranges; still adaptive, never the whole dataset
         assert np.mean(st.distance_computations) < train.shape[0]
+
+
+class TestLazyChunkStream:
+    """The lazy depth-window stream (chunk_stream_direct) must reproduce
+    the eager depth_bounds + candidate_stream layout exactly, window by
+    window, in both directory lookup modes."""
+
+    def _fixture(self):
+        from clann_tpu.ops.prefixmap import (
+            build_prefix_directory,
+            sort_tables_segmented,
+        )
+
+        rng = np.random.default_rng(11)
+        n, L, D, db = 4000, 5, 16, 8
+        clusters = np.sort(rng.integers(0, 7, n)).astype(np.int32)
+        starts = np.searchsorted(clusters, np.arange(8)).astype(np.int32)
+        hashes = rng.integers(0, 1 << D, (L, n), dtype=np.uint32)
+        sh, si = sort_tables_segmented(
+            jnp.asarray(hashes), jnp.asarray(clusters)
+        )
+        pdir = build_prefix_directory(
+            sh, jnp.asarray(starts), db, 14, max_hashbits=D
+        )
+        Q = 16
+        qh = jnp.asarray(rng.integers(0, 1 << D, (Q, L), dtype=np.uint32))
+        qc = jnp.asarray(rng.integers(0, 7, Q, dtype=np.int32))
+        slo = jnp.asarray(starts)[qc]
+        shi = jnp.asarray(starts)[qc + 1]
+        return sh, pdir, qh, qc, slo, shi, D, db, L
+
+    @pytest.mark.parametrize("onehot", [False, True])
+    @pytest.mark.parametrize("lc", [1, 3, 4])
+    def test_chunks_concat_to_eager_stream(self, onehot, lc):
+        from clann_tpu.ops.prefixmap import (
+            candidate_stream,
+            chunk_stream_direct,
+            depth_bounds,
+        )
+
+        sh, pdir, qh, qc, slo, shi, D, db, L = self._fixture()
+        d_entry, min_depth = 8, 1
+        nd = d_entry - min_depth + 1
+
+        lo, hi = depth_bounds(
+            sh, qh, slo, shi, D, 8, up_to_depth=d_entry,
+            prefix_dir=pdir, cluster=qc, dir_bits=db,
+        )
+        st_e, sz_e = candidate_stream(
+            lo, hi, qh, D, min_depth, start_depth=d_entry
+        )
+        st_e, sz_e = np.asarray(st_e), np.asarray(sz_e)
+
+        cdir_kw = (
+            {"cdir_oh": jnp.asarray(pdir.astype(jnp.float32))[:, qc, :]}
+            if onehot
+            else {"cdir": pdir[:, qc, :]}
+        )
+        chunks = []
+        n_chunks = -(-nd // lc)
+        for ci in range(n_chunks):
+            st_c, sz_c = chunk_stream_direct(
+                qh,
+                jnp.asarray(d_entry - ci * lc, jnp.int32),
+                jnp.asarray(ci == 0),
+                lc, D, db, min_depth, d_entry,
+                **cdir_kw,
+            )
+            chunks.append((np.asarray(st_c), np.asarray(sz_c)))
+        st_l = np.concatenate([c[0] for c in chunks], axis=1)
+        sz_l = np.concatenate([c[1] for c in chunks], axis=1)
+
+        m = nd * L
+        np.testing.assert_array_equal(sz_l[:, :m], sz_e)
+        live = sz_e > 0
+        np.testing.assert_array_equal(
+            np.where(live, st_l[:, :m], 0), np.where(live, st_e, 0)
+        )
+        # levels below min_depth (final partial window) are masked out
+        assert (sz_l[:, m:] == 0).all()
