@@ -14,6 +14,8 @@ from clann_tpu.api import (
     init,
     init_from_file,
     init_with_config,
+    insert,
+    rebuild,
     save_metrics,
     search,
     serialize,
@@ -43,6 +45,8 @@ __all__ = [
     "init_with_config",
     "init_from_file",
     "build",
+    "insert",
+    "rebuild",
     "search",
     "serialize",
     "save_metrics",

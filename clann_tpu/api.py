@@ -136,6 +136,29 @@ class Clann:
         self._last_dists = dists
         return dists, ids, stats
 
+    # -- incremental updates -------------------------------------------
+
+    def insert(self, points) -> "Clann":
+        """Append points; searchable through the tables after rebuild()
+        (reference: collection.hpp:218-222 insert-then-rebuild contract;
+        see core.index.insert for the clustered-geometry semantics)."""
+        from clann_tpu.core.index import insert as _insert
+
+        self.index = _insert(self._require_built(), points)
+        self.data = make_metric_data(
+            np.asarray(self.index.vectors), self.index.metric
+        )
+        return self
+
+    def rebuild(self) -> "Clann":
+        """Index pending points (reference: collection.hpp:241-306)."""
+        from clann_tpu.core.index import rebuild as _rebuild
+
+        t0 = time.perf_counter()
+        self.index = _rebuild(self._require_built())
+        log.info("rebuild completed in %.2fs", time.perf_counter() - t0)
+        return self
+
     # -- persistence ----------------------------------------------------
 
     def serialize(self, directory: str) -> str:
@@ -207,6 +230,16 @@ def build(handle: Clann) -> Clann:
 def search(handle: Clann, query) -> List[Tuple[float, int]]:
     """reference: lib.rs:183-189."""
     return handle.search(query)
+
+
+def insert(handle: Clann, points) -> Clann:
+    """Append points (searchable after rebuild); see Clann.insert."""
+    return handle.insert(points)
+
+
+def rebuild(handle: Clann) -> Clann:
+    """Index pending points; see Clann.rebuild."""
+    return handle.rebuild()
 
 
 def serialize(handle: Clann, directory: str) -> str:

@@ -136,11 +136,28 @@ class ClusteredIndex:
     dir_bits: int = flax.struct.field(pytree_node=False, default=0)
     dir_iters: int = flax.struct.field(pytree_node=False, default=0)
     g_dir_iters: int = flax.struct.field(pytree_node=False, default=0)
+    # points present in the hash tables; -1 = all. Points appended by
+    # insert() beyond this count are PENDING: stored in `vectors` (and
+    # scanned by the dense exact/approx scan, which reads the dataset
+    # directly) but invisible to the table-backed paths (LSH walks, IVF
+    # probing) until rebuild() — the reference's insert-then-rebuild
+    # contract (collection.hpp:218-222, 241-306), where search_bf on the
+    # Dataset likewise sees pending points its tables do not.
+    n_indexed: int = flax.struct.field(pytree_node=False, default=-1)
 
     # Convenience shape accessors (python-level, static under jit).
     @property
     def n(self) -> int:
         return self.vectors.shape[0]
+
+    @property
+    def num_indexed(self) -> int:
+        """Points searchable through the hash tables (see n_indexed)."""
+        return self.n if self.n_indexed < 0 else self.n_indexed
+
+    @property
+    def num_pending(self) -> int:
+        return self.n - self.num_indexed
 
     @property
     def dims(self) -> int:
@@ -339,12 +356,17 @@ def make_global_tables(
     return g_hash, g_records
 
 
-def unsort_hashes(sorted_hash: jnp.ndarray, sorted_idx: jnp.ndarray):
-    """Recover per-point hashes (L, n) from a sorted table layout."""
-    L, n = sorted_hash.shape
+def unsort_hashes(
+    sorted_hash: jnp.ndarray, sorted_idx: jnp.ndarray, n: int = None
+):
+    """Recover per-point hashes (L, n) from a sorted table layout.
+
+    `n` sizes the output point axis (ids in sorted_idx must be < n);
+    defaults to the table width."""
+    L, n_tbl = sorted_hash.shape
     t_iota = jnp.arange(L, dtype=jnp.int32)[:, None]
     return (
-        jnp.zeros((L, n), sorted_hash.dtype)
+        jnp.zeros((L, n or n_tbl), sorted_hash.dtype)
         .at[t_iota, sorted_idx]
         .set(sorted_hash)
     )
@@ -461,10 +483,6 @@ def build_index(
                 xn, n_clusters, metric
             )
     n_clusters = len(centers_idx)  # may shrink in the degenerate n <= k case
-    sizes = np.bincount(assignment, minlength=n_clusters)
-    starts = np.zeros(n_clusters + 1, dtype=np.int32)
-    np.cumsum(sizes, out=starts[1:])
-    brute = sizes < max(config.brute_force_threshold, config.k)
 
     # 3-4. hashing + sketching (shared functions across all clusters)
     key = jax.random.PRNGKey(config.seed)
@@ -490,10 +508,46 @@ def build_index(
         sketches = _hash_in_blocks(filterer.sketch, xj, hash_block)
         TRACER.enabled and jax.block_until_ready(sketches)
 
+    return _assemble_index(
+        xj, hashes.T, sketches, np.asarray(assignment),
+        np.asarray(centers_idx), np.asarray(radii), config, metric,
+        hash_params=source.params, sketch_params=filterer.params,
+        family=family,
+    )
+
+
+def _assemble_index(
+    xj,
+    hashes_T,
+    sketches,
+    assignment: np.ndarray,
+    centers_idx: np.ndarray,
+    radii: np.ndarray,
+    config: Config,
+    metric: str,
+    *,
+    hash_params,
+    sketch_params,
+    family=None,
+):
+    """Steps 5+ of the build: sorts, directories, derived layouts.
+
+    Shared by build_index and rebuild(): takes fully-hashed data
+    (hashes_T (L, n) uint32, sketches (n, S, W)) plus the cluster
+    geometry and assembles every derived structure."""
+    from clann_tpu.metrics.trace import TRACER
+
+    n = xj.shape[0]
+    n_clusters = len(centers_idx)
+    sizes = np.bincount(assignment, minlength=n_clusters)
+    starts = np.zeros(n_clusters + 1, dtype=np.int32)
+    np.cumsum(sizes, out=starts[1:])
+    brute = sizes < max(config.brute_force_threshold, config.k)
+
     # 5. per-table segmented sort
     with TRACER.span("build/table_sort"):
         sorted_hash, sorted_idx = sort_tables_segmented(
-            hashes.T, jnp.asarray(assignment, jnp.int32)
+            hashes_T, jnp.asarray(assignment, jnp.int32)
         )
         TRACER.enabled and jax.block_until_ready(sorted_hash)
 
@@ -512,7 +566,7 @@ def build_index(
     g_dir_iters = 0
     if config.lsh_engine in ("global", "both"):
         g_sorted_hash, g_records = make_global_tables(
-            hashes.T, sketches, jnp.asarray(assignment, jnp.int32),
+            hashes_T, sketches, jnp.asarray(assignment, jnp.int32),
             pad_to=config.gather_block,
         )
         gfull_iters = int(np.ceil(np.log2(max(2, n)))) + 1
@@ -541,6 +595,14 @@ def build_index(
     )
 
     # collision probability tables for the termination check
+    if family is None:
+        family = make_hash_family(
+            config.hash_family,
+            xj.shape[1],
+            num_rotations=config.num_rotations,
+            estimation_repetitions=config.estimation_repetitions,
+            estimation_eps=config.estimation_eps,
+        )
     probs, maxdiff = derive_probs_tables(family, config)
 
     return ClusteredIndex(
@@ -567,8 +629,8 @@ def build_index(
         radii=jnp.asarray(radii, jnp.float32),
         brute=jnp.asarray(brute),
         assignment=jnp.asarray(assignment, jnp.int32),
-        hash_params=source.params,
-        sketch_params=filterer.params,
+        hash_params=hash_params,
+        sketch_params=sketch_params,
         probs_table=jnp.asarray(probs.table),
         maxdiff_table=jnp.asarray(maxdiff),
         **(dense or {}),
@@ -579,6 +641,93 @@ def build_index(
         dir_bits=dir_bits,
         dir_iters=dir_iters,
         g_dir_iters=g_dir_iters,
+    )
+
+
+def insert(index: ClusteredIndex, points) -> ClusteredIndex:
+    """Append points to the index's dataset; searchable after rebuild().
+
+    TPU-native equivalent of Index::insert (reference:
+    collection.hpp:218-222 — insert appends to the Dataset only; points
+    enter the hash tables at the next rebuild). Beyond the reference: the
+    clustered geometry absorbs insertions too — each new point joins its
+    NEAREST existing cluster and the cluster's ball radius grows to cover
+    it, so the ball-overlap bound stays valid without re-clustering
+    (C=1 degenerates to the reference's flat PUFFINN insert). Centers are
+    never moved; heavy drift warrants a fresh build_index.
+
+    Until rebuild(), pending points are visible to the dense exact/approx
+    scan (which reads `vectors` directly, like the reference's search_bf
+    reads its Dataset) but not to the LSH walks or IVF probing.
+    """
+    x = np.asarray(points, dtype=np.float32)
+    if x.ndim == 1:
+        x = x[None, :]
+    if x.ndim != 2 or x.shape[0] == 0:
+        raise DataError("insert needs a non-empty (p, d) array")
+    if x.shape[1] != index.dims:
+        raise DataError(
+            f"point dimension {x.shape[1]} != index dimension {index.dims}"
+        )
+    if index.metric != "angular":
+        raise IndexCreationError("insert supports the angular metric")
+    xn_new = l2_normalize(jnp.asarray(x, jnp.float32))
+
+    # nearest existing center + ball growth (one matmul + scatter-max)
+    dots = jnp.einsum(
+        "pd,cd->pc", xn_new, index.centers,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    cdist = jnp.clip(1.0 - dots, 0.0, 2.0)
+    assign_new = jnp.argmin(cdist, axis=1).astype(jnp.int32)
+    dist_new = jnp.min(cdist, axis=1)
+    radii = index.radii.at[assign_new].max(dist_new)
+
+    return index.replace(
+        vectors=jnp.concatenate([index.vectors, xn_new], axis=0),
+        vectors_q8=(
+            jnp.concatenate(
+                [index.vectors_q8, quantize_q8(xn_new)], axis=0
+            )
+            if index.vectors_q8 is not None
+            else None
+        ),
+        assignment=jnp.concatenate([index.assignment, assign_new]),
+        radii=radii,
+        n_indexed=index.num_indexed,
+    )
+
+
+def rebuild(index: ClusteredIndex, hash_block: int = 8192) -> ClusteredIndex:
+    """Index pending points: hash ONLY them, then rebuild the tables.
+
+    TPU-native equivalent of Index::rebuild (reference:
+    collection.hpp:241-306): the reference hashes vectors inserted since
+    the last rebuild (collection.hpp:287-297 loops from last_rebuild) and
+    then fully rebuilds every PrefixMap (merge staging + radix sort over
+    ALL values, prefixmap.hpp:169-247) — likewise here only the pending
+    block is hashed/sketched (two batched matmul passes) while the
+    per-table segmented sort and the derived layouts cover everything.
+    Hash functions are the index's stored ones, so pre-existing points
+    keep their exact hashes (verified bit-identical in tests).
+    """
+    n = index.n
+    n_idx = index.num_indexed
+    if n_idx >= n:
+        return index
+    source, filterer = index.rebuild_objects()
+    new_x = index.vectors[n_idx:]
+    h_new = _hash_in_blocks(source.hash, new_x, hash_block)  # (p, L)
+    sk_new = _hash_in_blocks(filterer.sketch, new_x, hash_block)
+    old_T = unsort_hashes(index.sorted_hash, index.sorted_idx, n=n_idx)
+    hashes_T = jnp.concatenate([old_T, h_new.T], axis=1)
+    sketches = jnp.concatenate([index.sketches, sk_new], axis=0)
+    return _assemble_index(
+        index.vectors, hashes_T, sketches,
+        np.asarray(index.assignment), np.asarray(index.center_ids),
+        np.asarray(index.radii), index.config, index.metric,
+        hash_params=index.hash_params, sketch_params=index.sketch_params,
     )
 
 

@@ -82,6 +82,13 @@ def save_index(index, path: str) -> str:
             g.attrs["format_version"] = FORMAT_VERSION
             g.attrs["metric"] = index.metric
             g.attrs["sim_eps"] = index.sim_eps
+            # serialize-before-rebuild (reference:
+            # collection_test.hpp:367-380): tables cover the first
+            # n_indexed points; later rows of the caller's dataset are
+            # pending and get indexed by rebuild() after load
+            g.attrs["n_indexed"] = (
+                index.num_indexed if index.num_pending else -1
+            )
             g.create_dataset("sorted_hash", data=np.asarray(index.sorted_hash))
             g.create_dataset("sorted_idx", data=np.asarray(index.sorted_idx))
             g.create_dataset("sketches", data=np.asarray(index.sketches))
@@ -123,6 +130,7 @@ def load_index(data, path: str):
                     f"index format version {version} != {FORMAT_VERSION}"
                 )
             metric = str(g.attrs["metric"])
+            n_indexed = int(g.attrs.get("n_indexed", -1))
             arrays = {
                 name: np.asarray(g[name])
                 for name in (
@@ -240,6 +248,7 @@ def load_index(data, path: str):
         dir_bits=dir_bits,
         dir_iters=dir_iters,
         g_dir_iters=g_dir_iters,
+        n_indexed=n_indexed,
     )
 
 

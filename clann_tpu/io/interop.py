@@ -426,6 +426,11 @@ def save_reference_h5(index, path: str) -> str:
     from clann_tpu.io.refcodec import f32_to_q15, write_reference_stream
 
     cfg = index.config
+    if index.num_pending:
+        raise SerializeError(
+            "index has pending (un-rebuilt) insertions; call rebuild() "
+            "before exporting to the reference format"
+        )
     if cfg.hash_family not in ("simhash", "fht_cross_polytope"):
         raise SerializeError(
             "reference export supports hash_family 'simhash' and "

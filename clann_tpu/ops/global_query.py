@@ -137,7 +137,9 @@ def global_search_batch_impl(
     ball_floor = jnp.min(feas_bound, axis=1)  # (Q,) full-stop threshold
 
     zero = jnp.zeros((Q,), jnp.int32)
-    full_n = jnp.full((Q,), n, jnp.int32)
+    # table width, NOT len(vectors): with pending (un-rebuilt) insertions
+    # the tables cover only the first num_indexed points
+    full_n = jnp.full((Q,), index.g_sorted_hash.shape[1], jnp.int32)
     lo, hi = depth_bounds(
         index.g_sorted_hash, query_hashes, zero, full_n, D,
         index.g_dir_iters,
