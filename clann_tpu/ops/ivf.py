@@ -196,21 +196,24 @@ def scan_search(
             # pipeline asynchronously instead of syncing per batch
             outs_s.append(ts)
             outs_i.append(ti)
-    # ONE host pull: bitcast the int32 ids into the f32 result tensor so
+    # ONE host pull: bitcast the f32 sims into an INT32 result tensor so
     # sims and ids come back in a single transfer round trip (each
-    # separate np.asarray pays the relay's fixed latency)
+    # separate np.asarray pays the relay's fixed latency). The carrier
+    # must be int32, not f32: the TPU flushes denormal f32 to zero and
+    # canonicalizes NaN patterns in any copy/concat pass, so int32 ids
+    # < 2^23 bitcast into an f32 tensor come back as 0.
     packed = jnp.concatenate(
         [
             jnp.concatenate(
-                [ts, jax.lax.bitcast_convert_type(ti, jnp.float32)], axis=1
+                [jax.lax.bitcast_convert_type(ts, jnp.int32), ti], axis=1
             )
             for ts, ti in zip(outs_s, outs_i)
         ],
         axis=0,
     )
     flat = np.asarray(packed)
-    dots = flat[:, :k]
-    ids = np.ascontiguousarray(flat[:, k:]).view(np.int32)
+    dots = np.ascontiguousarray(flat[:, :k]).view(np.float32)
+    ids = flat[:, k:]
     dists = np.where(ids >= 0, np.clip(1.0 - dots, 0.0, 2.0), np.inf)
     Q = ids.shape[0]
     dc = np.full(Q, n, np.int32)

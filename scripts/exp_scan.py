@@ -75,10 +75,10 @@ def main():
                 k=k, rescore_m=rescore_m, num_bins=num_bins, block_n=bn,
                 q_tile=q_tile, normalize=True, biased=biased)
             packed = jnp.concatenate(
-                [s, jax.lax.bitcast_convert_type(i, jnp.float32)], axis=1)
+                [jax.lax.bitcast_convert_type(s, jnp.int32), i], axis=1)
             flat = np.asarray(packed)
-            return flat[:, :k], np.ascontiguousarray(
-                flat[:, k:]).view(np.int32)
+            return np.ascontiguousarray(
+                flat[:, :k]).view(np.float32), flat[:, k:]
         el, (dots, ids) = timed(call)
         dists = np.where(ids >= 0, np.clip(1.0 - dots, 0, 2), np.inf)
         r, _, _ = recall_values(gt_d, dists, count=k)

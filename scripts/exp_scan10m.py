@@ -60,9 +60,9 @@ def call():
         num_bins=num_bins, block_n=block_n, q_tile=q_tile,
         normalize=True, biased=True)
     packed = jnp.concatenate(
-        [s, jax.lax.bitcast_convert_type(i, jnp.float32)], axis=1)
+        [jax.lax.bitcast_convert_type(s, jnp.int32), i], axis=1)
     flat = np.asarray(packed)
-    return flat[:, :K], np.ascontiguousarray(flat[:, K:]).view(np.int32)
+    return np.ascontiguousarray(flat[:, :K]).view(np.float32), flat[:, K:]
 
 
 call()  # warm/compile
