@@ -96,7 +96,9 @@ class Clann:
         global engine when built with config.lsh_engine="global", else the
         reference-faithful clustered walk; force either with "lsh-global" /
         "lsh-clustered"), "dense" (IVF cluster probing, the MXU fast
-        path), or "auto" (config.search_mode; dense when the layout
+        path), "scan" (full fused/dense scan), "scan-block" (block-probed
+        fused scan — IVF economics at streaming cost, n_probe = blocks per
+        query), or "auto" (config.search_mode; dense when the layout
         exists). Returns (distances (Q, k) ascending, ids (Q, k), stats).
         """
         from clann_tpu.ops.global_query import global_search
@@ -117,6 +119,12 @@ class Clann:
             dists, ids, stats = dense_search(index, queries, k=k, n_probe=n_probe)
         elif mode == "scan":
             dists, ids, stats = scan_search(index, queries, k=k)
+        elif mode == "scan-block":
+            from clann_tpu.ops.pallas.block_scan import block_scan_search
+
+            dists, ids, stats = block_scan_search(
+                index, queries, k=k, n_probe=n_probe
+            )
         elif mode == "adaptive":
             dists, ids, stats = adaptive_dense_search(index, queries, k=k)
         elif mode == "lsh-global":
