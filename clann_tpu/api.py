@@ -98,8 +98,11 @@ class Clann:
         "lsh-clustered"), "dense" (IVF cluster probing, the MXU fast
         path), "scan" (full fused/dense scan), "scan-block" (block-probed
         fused scan — IVF economics at streaming cost, n_probe = blocks per
-        query), or "auto" (config.search_mode; dense when the layout
-        exists). Returns (distances (Q, k) ascending, ids (Q, k), stats).
+        query), "scan-block-adaptive" (certificate-driven probe budget:
+        doubles per-query until no skipped block can hide a better
+        neighbor; n_probe = starting budget), or "auto"
+        (config.search_mode; dense when the layout exists). Returns
+        (distances (Q, k) ascending, ids (Q, k), stats).
         """
         from clann_tpu.ops.global_query import global_search
         from clann_tpu.ops.ivf import adaptive_dense_search, dense_search, scan_search
@@ -125,6 +128,14 @@ class Clann:
             dists, ids, stats = block_scan_search(
                 index, queries, k=k, n_probe=n_probe
             )
+        elif mode == "scan-block-adaptive":
+            from clann_tpu.ops.pallas.block_scan import (
+                block_scan_search_adaptive,
+            )
+
+            dists, ids, stats = block_scan_search_adaptive(
+                index, queries, k=k, n_probe0=n_probe
+            )
         elif mode == "adaptive":
             dists, ids, stats = adaptive_dense_search(index, queries, k=k)
         elif mode == "lsh-global":
@@ -143,6 +154,31 @@ class Clann:
         self._last_stats = stats
         self._last_dists = dists
         return dists, ids, stats
+
+    def search_by_id(self, point_ids, k: Optional[int] = None,
+                     exclude_self: bool = True):
+        """k-NN of already-indexed points (reference:
+        collection.hpp:341-356 search_from_index; upstream python wrapper
+        Index.search_from_index). Returns (distances, ids, stats)."""
+        from clann_tpu.ops.query import search_by_id as _sbi
+
+        return _sbi(self._require_built(), point_ids, k=k,
+                    exclude_self=exclude_self)
+
+    def closest_pairs(self, k: int, delta: Optional[float] = None,
+                      mesh=None):
+        """k most similar indexed pairs (reference:
+        collection.hpp:390-504; upstream python wrapper
+        Index.closest_pairs). Returns (pairs (k, 2) i<j, sims desc).
+        Pass a mesh to shard the join's tables across devices."""
+        from clann_tpu.ops.join import closest_pairs as _cp
+        from clann_tpu.parallel.join import sharded_closest_pairs as _scp
+
+        index = self._require_built()
+        delta = self.config.delta if delta is None else delta
+        if mesh is not None:
+            return _scp(index, k, delta=delta, mesh=mesh)
+        return _cp(index, k, delta=delta)
 
     # -- incremental updates -------------------------------------------
 
@@ -186,6 +222,16 @@ class Clann:
         return handle
 
     # -- metrics --------------------------------------------------------
+
+    def reset_metrics(self) -> None:
+        """Start a new measured run: drop accumulated per-query metrics.
+
+        Search metrics accumulate across search_batch calls (the
+        reference's RunMetrics covers a whole run, mod.rs:22-34); call
+        this at a run boundary before the batch(es) you want recorded.
+        """
+        if self.metrics is not None:
+            self.metrics.reset_search()
 
     def save_metrics(
         self,

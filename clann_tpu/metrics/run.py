@@ -107,18 +107,58 @@ class RunMetrics:
 
     def ingest_search(self, stats, total_time_s: float) -> None:
         """Ingest a SearchStats batch (the TPU analog of the reference's
-        per-query new_query/log_* accumulation, mod.rs:36-114)."""
-        self.distance_computations = np.asarray(stats.distance_computations)
-        self.candidates = np.asarray(stats.candidates)
-        self.clusters_visited = np.asarray(stats.clusters_visited)
-        pc = getattr(stats, "probed_clusters", None)
-        self.probed_clusters = None if pc is None else np.asarray(pc)
-        pn = getattr(stats, "probed_counts", None)
-        self.probed_counts = None if pn is None else np.asarray(pn)
-        nq = len(self.distance_computations)
-        self.total_search_time_s = total_time_s
+        per-query new_query/log_* accumulation, mod.rs:36-114).
+
+        ACCUMULATES across calls like the reference run loop — a run made
+        of several search_batch calls records every query, not just the
+        last batch. reset_search() starts a fresh run.
+        """
+        dc = np.asarray(stats.distance_computations)
+        cand = np.asarray(stats.candidates)
+        cv = np.asarray(stats.clusters_visited)
+        # scalar fields (e.g. DenseSearchStats.dropped_probes) broadcast
+        nq = len(dc)
+        cand = np.broadcast_to(np.atleast_1d(cand), (nq,))
+        cv = np.broadcast_to(np.atleast_1d(cv), (nq,))
+        qt = np.full(nq, 1000.0 * total_time_s / max(nq, 1))
+
+        def cat(prev, new):
+            return new if prev is None else np.concatenate([prev, new])
+
+        self.distance_computations = cat(self.distance_computations, dc)
+        self.candidates = cat(self.candidates, cand)
+        self.clusters_visited = cat(self.clusters_visited, cv)
         # batch execution has no per-query wall time; attribute evenly
-        self.query_time_ms = np.full(nq, 1000.0 * total_time_s / max(nq, 1))
+        self.query_time_ms = cat(self.query_time_ms, qt)
+        self.total_search_time_s += total_time_s
+        # per-probe detail only concatenates across same-shape batches
+        # (same engine, same probe count); otherwise keep the last batch
+        pc = getattr(stats, "probed_clusters", None)
+        pn = getattr(stats, "probed_counts", None)
+        pc = None if pc is None else np.asarray(pc)
+        pn = None if pn is None else np.asarray(pn)
+        if (
+            pc is not None
+            and self.probed_clusters is not None
+            and self.probed_clusters.shape[1:] == pc.shape[1:]
+        ):
+            self.probed_clusters = np.concatenate([self.probed_clusters, pc])
+            self.probed_counts = np.concatenate([self.probed_counts, pn])
+        else:
+            self.probed_clusters = pc
+            self.probed_counts = pn
+
+    def reset_search(self) -> None:
+        """Drop accumulated search state (start a new measured run)."""
+        self.query_time_ms = None
+        self.distance_computations = None
+        self.candidates = None
+        self.clusters_visited = None
+        self.probed_clusters = None
+        self.probed_counts = None
+        self.total_search_time_s = 0.0
+        self.recall_mean = 0.0
+        self.recall_std = 0.0
 
     def compute_run_statistics(self, ground_truth_distances, run_distances) -> None:
         """Recall + QPS (reference: mod.rs:247-263)."""

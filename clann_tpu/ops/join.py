@@ -32,23 +32,23 @@ import numpy as np
 from clann_tpu.ops.distances import exact_dot
 
 
-@functools.partial(jax.jit, static_argnames=("k", "window"))
-def _windowed_pairs(vectors, sorted_idx, *, k: int, window: int):
-    """Top-k pairs from hash-adjacency in every table.
+def table_pairs(vectors, sorted_idx, *, k: int, window: int):
+    """Per-table windowed pair candidates.
 
-    vectors: (n, d) normalized; sorted_idx: (L, n) point id per sorted slot.
-    Returns (pair_sims desc (k,), pairs (k, 2) int32).
+    vectors: (n, d) normalized; sorted_idx: (L_local, n) point id per
+    sorted slot. Returns (sims, lo, hi), each (L_local, kk) with
+    kk = min(4k, n*window) and lo < hi the canonical pair ids.
+    Shared by the single-device and the table-sharded joins.
     """
-    L, n = sorted_idx.shape
-    d = vectors.shape[1]
+    n = sorted_idx.shape[-1]
 
     def one_table(order):
         # neighbors at sorted distance 1..window
         a = order  # (n,)
         va = vectors[a]  # (n, d)
-        best_sims = jnp.full((n, window), -1.0, jnp.float32)
         bs = []
-        ids = []
+        los = []
+        his = []
         for w in range(1, window + 1):
             b = jnp.roll(order, -w)  # (n,)
             valid = jnp.arange(n) < (n - w)
@@ -56,31 +56,89 @@ def _windowed_pairs(vectors, sorted_idx, *, k: int, window: int):
             sims = jnp.clip((sims + 1.0) * 0.5, 0.0, 1.0)
             sims = jnp.where(valid, sims, -1.0)
             bs.append(sims)
-            lo = jnp.minimum(a, b).astype(jnp.int64)
-            hi = jnp.maximum(a, b).astype(jnp.int64)
-            ids.append(lo * n + hi)
+            los.append(jnp.minimum(a, b).astype(jnp.int32))
+            his.append(jnp.maximum(a, b).astype(jnp.int32))
         sims = jnp.stack(bs, axis=1).reshape(-1)  # (n*window,)
-        keys = jnp.stack(ids, axis=1).reshape(-1)
+        lo = jnp.stack(los, axis=1).reshape(-1)
+        hi = jnp.stack(his, axis=1).reshape(-1)
         kk = min(k * 4, sims.shape[0])  # oversample for cross-table dedup
         top_s, sel = jax.lax.top_k(sims, kk)
-        return top_s, keys[sel]
+        return top_s, lo[sel], hi[sel]
 
-    sims_all, keys_all = jax.vmap(one_table)(sorted_idx)  # (L, kk)
-    sims_flat = sims_all.reshape(-1)
-    keys_flat = keys_all.reshape(-1)
-    # dedup identical pairs found in multiple tables: sort by key, mask dups
-    keys_sorted, sims_sorted = jax.lax.sort((keys_flat, sims_flat), num_keys=1)
-    dup = jnp.concatenate(
-        [jnp.zeros((1,), bool), keys_sorted[1:] == keys_sorted[:-1]]
+    return jax.vmap(one_table)(sorted_idx)  # (L_local, kk) each
+
+
+def dedup_topk_pairs(sims_flat, lo_flat, hi_flat, *, k: int):
+    """Global top-k over flattened (sims, canonical lo<hi pair) candidates.
+
+    Dedups identical pairs found in multiple tables: a 2-key sort on
+    (lo, hi) groups copies, then all but the first are masked (copies
+    carry identical sims — same vectors, same dot — so masking any is
+    exact). Two int32 key words instead of a packed lo*n+hi int64: the
+    packed form silently truncates to int32 under JAX's default x64=off
+    and corrupts pairs beyond n ~ 46k. Reference analog: MaxPairBuffer
+    canonical ordering + add_all merge (maxpairbuffer.hpp:64-88).
+    """
+    lo_s, hi_s, sims_s = jax.lax.sort(
+        (lo_flat, hi_flat, sims_flat), num_keys=2
     )
-    sims_sorted = jnp.where(dup, -1.0, sims_sorted)
-    top_s, sel = jax.lax.top_k(sims_sorted, k)
-    top_keys = keys_sorted[sel]
-    lo = (top_keys // n).astype(jnp.int32)
-    hi = (top_keys % n).astype(jnp.int32)
-    pairs = jnp.stack([lo, hi], axis=1)
+    dup = jnp.concatenate(
+        [
+            jnp.zeros((1,), bool),
+            (lo_s[1:] == lo_s[:-1]) & (hi_s[1:] == hi_s[:-1]),
+        ]
+    )
+    sims_s = jnp.where(dup, -1.0, sims_s)
+    top_s, sel = jax.lax.top_k(sims_s, k)
+    pairs = jnp.stack([lo_s[sel], hi_s[sel]], axis=1)
     pairs = jnp.where(top_s[:, None] >= 0, pairs, -1)
     return top_s, pairs
+
+
+@functools.partial(jax.jit, static_argnames=("k", "window"))
+def _windowed_pairs(vectors, sorted_idx, *, k: int, window: int):
+    """Top-k pairs from hash-adjacency in every table.
+
+    vectors: (n, d) normalized; sorted_idx: (L, n) point id per sorted slot.
+    Returns (pair_sims desc (k,), pairs (k, 2) int32).
+    """
+    sims_all, lo_all, hi_all = table_pairs(
+        vectors, sorted_idx, k=k, window=window
+    )
+    return dedup_topk_pairs(
+        sims_all.reshape(-1), lo_all.reshape(-1), hi_all.reshape(-1), k=k
+    )
+
+
+def window_sweep(
+    run, *, n: int, num_tables: int, max_hashbits: int, probs_table,
+    sim_eps: float, k: int, delta: float, max_window: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Adaptive window doubling with the delta-recall termination rule.
+
+    `run(window) -> (sims desc, pairs)` evaluates one window size (single
+    device or sharded); the sweep doubles the window until the failure
+    probability for the current k-th pair similarity passes
+    (independent.hpp:108-119 with tables = L at depth ~ log2(n / window))
+    or max_window is reached.
+    """
+    window = 4
+    while True:
+        window = min(window, max(1, n - 1))
+        sims, pairs = run(window)
+        sims_np = np.asarray(sims)
+        kth = float(sims_np[min(k, len(sims_np)) - 1])
+        # effective prefix depth: a window of w in a table of n points
+        # corresponds to sharing ~log2(n / w) hash bits
+        depth = int(
+            np.clip(np.log2(max(2, n / max(window, 1))), 1, max_hashbits)
+        )
+        bucket = int(np.clip(kth / sim_eps, 0, probs_table.shape[1] - 1))
+        p_d = probs_table[depth, bucket]
+        failure = float((1.0 - p_d) ** num_tables)
+        if failure <= 1.0 - delta or window >= min(max_window, n - 1):
+            return np.asarray(pairs), sims_np
+        window *= 2
 
 
 def closest_pairs(
@@ -94,28 +152,24 @@ def closest_pairs(
     termination rule passes or max_window is reached.
     """
     n = index.vectors.shape[0]
-    L = index.sorted_hash.shape[0]
-    D = index.config.max_hashbits
-    probs_table = np.asarray(index.probs_table)
-    sim_eps = index.sim_eps
 
-    window = 4
-    while True:
-        window = min(window, max(1, n - 1))
+    def run(window):
         sims, pairs = _windowed_pairs(
             index.vectors, index.sorted_idx, k=k, window=window
         )
-        sims_np = np.asarray(sims)
-        kth = float(sims_np[min(k, len(sims_np)) - 1])
-        # effective prefix depth: a window of w in a table of n points
-        # corresponds to sharing ~log2(n / w) hash bits
-        depth = int(np.clip(np.log2(max(2, n / max(window, 1))), 1, D))
-        bucket = int(np.clip(kth / sim_eps, 0, probs_table.shape[1] - 1))
-        p_d = probs_table[depth, bucket]
-        failure = float((1.0 - p_d) ** L)
-        if failure <= 1.0 - delta or window >= min(max_window, n - 1):
-            return np.asarray(pairs), sims_np
-        window *= 2
+        return sims, pairs
+
+    return window_sweep(
+        run,
+        n=n,
+        num_tables=index.sorted_hash.shape[0],
+        max_hashbits=index.config.max_hashbits,
+        probs_table=np.asarray(index.probs_table),
+        sim_eps=index.sim_eps,
+        k=k,
+        delta=delta,
+        max_window=max_window,
+    )
 
 
 def global_bf_join(index, k: int) -> Tuple[np.ndarray, np.ndarray]:

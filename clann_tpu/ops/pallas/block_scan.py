@@ -349,6 +349,75 @@ def get_block_layout(index, block_n: int) -> BlockLayout:
     return layout
 
 
+def block_scan_search_adaptive(
+    index,
+    queries,
+    k: Optional[int] = None,
+    n_probe0: Optional[int] = None,
+    batch_q: int = 4096,
+    interpret: Optional[bool] = None,
+    block_n: Optional[int] = None,
+):
+    """Certificate-driven block probing: no probe-budget tuning knob.
+
+    Rounds of block_scan_search with a doubling budget, re-running only
+    the queries whose block certificate failed (an unprobed block's sound
+    bound q . c + r exceeded their k-th similarity). Terminates when every
+    query is block-certified or the budget reaches all blocks (== the full
+    fused scan). Because each round's top-B block set contains the
+    previous round's, total streamed rows are at most ~2x the final
+    round's — easy queries stop at n_probe0, only the hard tail escalates.
+
+    This is the TPU-blocked analog of the reference's adaptive cluster
+    walk stop rule (index.rs:342-361: stop when no remaining ball can beat
+    the k-th best) — applied at kernel-block granularity with a geometric
+    schedule instead of a serial walk.
+
+    Returns (dists, ids, DenseSearchStats) like block_scan_search;
+    distance_computations accumulates every streamed row across rounds.
+    """
+    from clann_tpu.ops.ivf import DenseSearchStats, pallas_scan_plan
+
+    k = index.config.k if k is None else k
+    q = np.asarray(queries, np.float32)
+    if q.ndim == 1:
+        q = q[None, :]
+    Q = q.shape[0]
+    n = index.vectors.shape[0]
+    block_n = block_n or pallas_scan_plan(n, k)[0]
+    n_blocks = get_block_layout(index, block_n).n_blocks
+    B = min(n_blocks, n_probe0 or max(2, round(n_blocks / 16)))
+
+    dists = np.full((Q, k), np.inf, np.float32)
+    ids = np.full((Q, k), -1, np.int32)
+    dc = np.zeros(Q, np.int64)
+    visited = np.zeros(Q, np.int32)
+    unc = np.zeros(Q, np.int32)
+    remaining = np.arange(Q)
+    while len(remaining):
+        d_r, i_r, st = block_scan_search(
+            index, q[remaining], k=k, n_probe=B, batch_q=batch_q,
+            interpret=interpret,
+        )
+        dists[remaining] = d_r
+        ids[remaining] = i_r
+        dc[remaining] += np.asarray(st.distance_computations, np.int64)
+        visited[remaining] = B
+        unc[remaining] = np.asarray(st.uncertified)
+        bad = np.asarray(st.uncertified) > 0
+        if not bad.any() or B >= n_blocks:
+            break
+        remaining = remaining[bad]
+        B = min(n_blocks, 2 * B)
+    return dists, ids, DenseSearchStats(
+        distance_computations=dc,
+        candidates=dc,
+        clusters_visited=visited,
+        dropped_probes=np.int32(0),
+        uncertified=unc,
+    )
+
+
 def block_scan_search(
     index,
     queries,
@@ -356,13 +425,18 @@ def block_scan_search(
     n_probe: Optional[int] = None,
     batch_q: int = 4096,
     interpret: Optional[bool] = None,
+    block_n: Optional[int] = None,
 ):
     """Block-probed fused scan over a ClusteredIndex.
 
     Returns (dists ascending (Q, k), ids (Q, k), DenseSearchStats) like
     ivf.scan_search; dc counts the rows actually streamed per query and
     `uncertified` counts unprobed blocks whose centroid bound exceeded the
-    returned k-th similarity (0 == the result is provably exact).
+    returned k-th similarity. 0 is a BLOCK-level certificate: no skipped
+    block can hide a better neighbor. Within probed blocks the result
+    keeps the fused scan's bin-winner approximation (one winner per
+    per_bin rows before the exact rescore), so recall at full certification
+    equals the full fused scan's, not 1.0.
     """
     from clann_tpu.ops.ivf import DenseSearchStats, pallas_scan_plan
 
@@ -374,7 +448,9 @@ def block_scan_search(
     if qn.ndim == 1:
         qn = qn[None, :]
     n = index.vectors.shape[0]
-    block_n, num_bins, rescore_m, q_tile = pallas_scan_plan(n, k)
+    plan_bn, num_bins, rescore_m, q_tile = pallas_scan_plan(n, k)
+    block_n = block_n or plan_bn
+    num_bins = min(num_bins, block_n)  # overridden block_n may be smaller
     layout = get_block_layout(index, block_n)
     n_blocks = layout.n_blocks
     B = min(n_blocks, n_probe or auto_block_probe(n_blocks))

@@ -483,6 +483,37 @@ def _local_index(sharded: ShardedIndex, arrays: dict, repl: dict):
     )
 
 
+def _check_mesh(mesh, sharded: ShardedIndex, n_queries: int):
+    """Validate the mesh against the shard count; query-axis PartitionSpec.
+
+    1D (cluster) meshes return a replicated query spec; 2D
+    (query, cluster) meshes return P(QUERY_AXIS) so query blocks are
+    data-parallel across that axis.
+    """
+    from clann_tpu.parallel.mesh import QUERY_AXIS
+
+    shape = dict(mesh.shape)
+    if CLUSTER_AXIS not in shape:
+        raise ValueError(
+            f"mesh must carry a '{CLUSTER_AXIS}' axis; got {mesh.axis_names}"
+        )
+    if shape[CLUSTER_AXIS] != sharded.n_devices:
+        raise ValueError(
+            f"index has {sharded.n_devices} cluster shards but the mesh "
+            f"'{CLUSTER_AXIS}' axis is {shape[CLUSTER_AXIS]} wide"
+        )
+    if QUERY_AXIS in shape:
+        dq = shape[QUERY_AXIS]
+        if n_queries % dq:
+            raise ValueError(
+                f"query batch of {n_queries} does not divide over the "
+                f"{dq}-wide '{QUERY_AXIS}' axis; pad the batch "
+                "(sharded_search does this automatically)"
+            )
+        return P(QUERY_AXIS)
+    return P()
+
+
 def sharded_search_batch(
     sharded: ShardedIndex,
     queries_n: jnp.ndarray,
@@ -497,9 +528,15 @@ def sharded_search_batch(
 
     Returns replicated (sims desc (Q, k), GLOBAL ids (Q, k), stats summed
     over devices).
+
+    On a 2D (query, cluster) mesh (parallel/mesh.make_mesh_2d) the query
+    batch is additionally split along QUERY_AXIS — combined query-data-
+    parallelism x index-parallelism; the top-k merge collective then rides
+    only the cluster axis, and outputs come back query-sharded.
     """
     if mesh is None:
         mesh = make_mesh(sharded.n_devices)
+    qspec = _check_mesh(mesh, sharded, queries_n.shape[0])
     cfg = sharded.config
 
     sharded_arrays = {
@@ -518,8 +555,8 @@ def sharded_search_batch(
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(CLUSTER_AXIS), P(), P(), P(), P(), P()),
-        out_specs=(P(), P(), P()),
+        in_specs=(P(CLUSTER_AXIS), P(), qspec, qspec, qspec, P()),
+        out_specs=(qspec, qspec, qspec),
         # the adaptive while_loop carry mixes device-varying (local index)
         # and replicated (query) operands; skip the VMA replication check
         check_vma=False,
@@ -569,6 +606,8 @@ def sharded_global_search_batch(
     all_gather, exactly like the clustered path. Per-device k-th bests
     are never tighter than the global one, so per-shard termination is
     conservative: recall can only improve vs the single-chip engine.
+
+    Supports the same 2D (query, cluster) meshes as sharded_search_batch.
     """
     from clann_tpu.ops.global_query import global_search_batch_impl
 
@@ -579,6 +618,7 @@ def sharded_global_search_batch(
         )
     if mesh is None:
         mesh = make_mesh(sharded.n_devices)
+    qspec = _check_mesh(mesh, sharded, queries_n.shape[0])
     cfg = sharded.config
 
     sharded_arrays = {
@@ -598,8 +638,8 @@ def sharded_global_search_batch(
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(CLUSTER_AXIS), P(), P(), P(), P(), P()),
-        out_specs=(P(), P(), P()),
+        in_specs=(P(CLUSTER_AXIS), P(), qspec, qspec, qspec, P()),
+        out_specs=(qspec, qspec, qspec),
         check_vma=False,
     )
     def run(arrays, repl, qn, qh, qs, delta):
@@ -646,11 +686,13 @@ def sharded_global_search(
     source, filterer = ShardedIndex.rebuild_objects(sharded)
 
     qn = l2_normalize(jnp.asarray(np.asarray(queries, np.float32)))
+    qn, n_real = _pad_queries(qn, mesh)
     qh = source.hash(qn)
     qs = filterer.sketch(qn)
     sims, ids, stats = sharded_global_search_batch(
         sharded, qn, qh, qs, delta, k=k, mesh=mesh
     )
+    sims, ids, stats = _slice_queries(sims, ids, stats, n_real)
     dists = 2.0 * (1.0 - np.asarray(sims))
     dists = np.where(np.asarray(ids) < 0, np.inf, dists)
     return dists, np.asarray(ids), stats
@@ -675,14 +717,43 @@ def sharded_search(
     source, filterer = ShardedIndex.rebuild_objects(sharded)
 
     qn = l2_normalize(jnp.asarray(np.asarray(queries, np.float32)))
+    qn, n_real = _pad_queries(qn, mesh)
     qh = source.hash(qn)
     qs = filterer.sketch(qn)
     sims, ids, stats = sharded_search_batch(
         sharded, qn, qh, qs, delta, k=k, mesh=mesh
     )
+    sims, ids, stats = _slice_queries(sims, ids, stats, n_real)
     dists = 2.0 * (1.0 - np.asarray(sims))
     dists = np.where(np.asarray(ids) < 0, np.inf, dists)
     return dists, np.asarray(ids), stats
+
+
+def _pad_queries(qn: jnp.ndarray, mesh) -> Tuple[jnp.ndarray, int]:
+    """Pad the query batch to divide over a 2D mesh's query axis."""
+    from clann_tpu.parallel.mesh import QUERY_AXIS
+
+    n_real = qn.shape[0]
+    if mesh is None or QUERY_AXIS not in dict(mesh.shape):
+        return qn, n_real
+    dq = dict(mesh.shape)[QUERY_AXIS]
+    pad = (-n_real) % dq
+    if pad:
+        qn = jnp.concatenate(
+            [qn, jnp.broadcast_to(qn[:1], (pad,) + qn.shape[1:])]
+        )
+    return qn, n_real
+
+
+def _slice_queries(sims, ids, stats: SearchStats, n_real: int):
+    """Drop pad-query rows from batch outputs."""
+    if sims.shape[0] == n_real:
+        return sims, ids, stats
+    return (
+        sims[:n_real],
+        ids[:n_real],
+        SearchStats(*(f[:n_real] for f in stats)),
+    )
 
 
 def dryrun(n_devices: int) -> None:
@@ -734,6 +805,26 @@ def dryrun(n_devices: int) -> None:
     assert np.array_equal(i4, ids) and np.allclose(d4, dists, atol=1e-6)
     d5, i5, _ = sharded_global_search(direct, queries, mesh=mesh)
     assert d5.shape == (32, 5) and i5.max() < 512
+    # table-sharded closest-pairs join: identical to the single-device join
+    from clann_tpu.ops.join import closest_pairs
+    from clann_tpu.parallel.join import sharded_closest_pairs
+
+    pairs_1, sims_1 = closest_pairs(index, k=5, delta=0.8)
+    pairs_s, sims_s = sharded_closest_pairs(index, k=5, delta=0.8, mesh=mesh)
+    assert pairs_s.tolist() == pairs_1.tolist()
+    assert np.allclose(sims_s, sims_1, atol=1e-6)
+    # 2D (query, cluster) mesh: query-data-parallel on top of the cluster
+    # sharding, bit-identical results (pad-and-slice path via 31 queries)
+    if n_devices >= 4 and n_devices % 2 == 0:
+        from clann_tpu.parallel.mesh import make_mesh_2d
+
+        half = shard_index(index, n_devices // 2)
+        mesh2 = make_mesh_2d(2, n_devices // 2)
+        d1d, i1d, _ = sharded_search(
+            half, queries[:31], mesh=make_mesh(n_devices // 2)
+        )
+        d2d, i2d, _ = sharded_search(half, queries[:31], mesh=mesh2)
+        assert np.array_equal(i2d, i1d) and np.allclose(d2d, d1d, atol=1e-6)
 
 
 def sharded_scan_search(

@@ -106,6 +106,9 @@ class TestMetrics:
     def test_save_metrics_full_cycle(self, built, tmp_path):
         handle, ds = built
         db = str(tmp_path / "results.db")
+        # metrics accumulate across search_batch calls (one "run"); start
+        # a fresh run so earlier tests' queries don't leak into the rows
+        handle.metrics.reset_search()
         dists, ids, stats = handle.search_batch(ds.test)
         clann_tpu.save_metrics(
             handle,
@@ -209,3 +212,36 @@ class TestClusterGranularity:
         for qi, ci, cnt in rows:
             assert 0 <= ci < handle.index.n_clusters
             assert cnt > 0
+
+
+class TestMetricsAccumulation:
+    def test_batches_accumulate_until_reset(self, built):
+        handle, ds = built
+        handle.reset_metrics()
+        handle.search_batch(ds.test[:7])
+        handle.search_batch(ds.test[7:12])
+        m = handle.metrics
+        assert len(m.distance_computations) == 12
+        assert len(m.query_time_ms) == 12
+        assert m.total_search_time_s > 0
+        handle.reset_metrics()
+        assert m.distance_computations is None
+        assert m.total_search_time_s == 0.0
+
+
+class TestJoinAndByIdFacade:
+    def test_search_by_id(self, built):
+        handle, ds = built
+        d, i, st = handle.search_by_id([0, 1, 2], k=5)
+        assert i.shape == (3, 5)
+        # self excluded
+        assert 0 not in i[0].tolist()
+
+    def test_closest_pairs(self, built):
+        handle, _ = built
+        pairs, sims = handle.closest_pairs(k=5, delta=0.8)
+        assert pairs.shape == (5, 2)
+        assert np.all(np.diff(sims) <= 1e-6)
+        for a, b in pairs.tolist():
+            if a >= 0:
+                assert a < b

@@ -141,6 +141,9 @@ class TestSearch:
         dists, ids, stats = h.search_batch(q, k=5, mode="scan-block")
         assert ids.shape == (16, 5)
         assert stats.distance_computations.shape == (16,)
+        d2, i2, st2 = h.search_batch(q, k=5, mode="scan-block-adaptive")
+        assert i2.shape == (16, 5)
+        assert np.all((st2.uncertified == 0) | (st2.clusters_visited >= 1))
 
     def test_single_query_and_overshoot(self, small_world):
         data = clustered_unit_vectors(2048, 16, n_modes=8, seed=7)
@@ -156,3 +159,51 @@ def test_auto_block_probe():
     assert auto_block_probe(1) == 1
     assert 2 <= auto_block_probe(37) <= 37
     assert auto_block_probe(400) == 100
+
+
+class TestAdaptive:
+    @pytest.fixture(scope="class")
+    def built(self):
+        data = clustered_unit_vectors(6000, 32, n_modes=12, seed=3)
+        cfg = Config(num_tables=4, num_clusters_factor=0.5, k=10, seed=3)
+        return data, build_index(data, cfg)
+
+    def test_certified_or_full(self, built):
+        from clann_tpu.ops.pallas.block_scan import (
+            block_scan_search_adaptive,
+            get_block_layout,
+        )
+
+        data, index = built
+        q = clustered_unit_vectors(64, 32, n_modes=12, seed=4)
+        # block_n=512 -> 12 blocks (the auto plan uses one block at this n)
+        d, i, st = block_scan_search_adaptive(
+            index, q, k=10, n_probe0=2, block_n=512
+        )
+        nb = get_block_layout(index, 512).n_blocks
+        assert nb == 12
+        # every query either block-certified or escalated to all blocks
+        assert np.all((st.uncertified == 0) | (st.clusters_visited == nb))
+        # escalated queries paid extra rounds (dc superset accumulation)
+        esc = st.clusters_visited > 2
+        if esc.any() and (~esc).any():
+            assert (
+                st.distance_computations[esc].min()
+                > st.distance_computations[~esc].min()
+            )
+        # certified coverage translates into high exact recall
+        gt_d, gt_i = brute_force_topk(data, q, 10)
+        r = _recall(np.asarray(i).tolist(), np.asarray(gt_i))
+        assert r >= 0.9, r
+
+    def test_easy_queries_stop_early(self, built):
+        from clann_tpu.ops.pallas.block_scan import block_scan_search_adaptive
+
+        data, index = built
+        # self-queries on strongly clustered data certify at small budgets:
+        # a point's own block contains it at sim 1.0
+        d, i, st = block_scan_search_adaptive(
+            index, data[:32], k=1, n_probe0=2, block_n=512
+        )
+        assert (st.clusters_visited == 2).mean() >= 0.5
+        assert (np.asarray(i)[:, 0] == np.arange(32)).mean() >= 0.9

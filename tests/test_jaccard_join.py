@@ -195,3 +195,36 @@ class TestClosestPairs:
             assert (i, j) not in seen
             seen.add((i, j))
         assert np.all(np.diff(sims) <= 1e-6)
+
+
+class TestDedupTopkPairs:
+    def test_large_ids_no_overflow(self):
+        # the packed lo*n+hi int64 key silently truncated to int32 under
+        # x64=off and corrupted pairs beyond n ~ 46k; the 2-key sort form
+        # must rank and dedup exactly at any id magnitude
+        import jax.numpy as jnp
+
+        from clann_tpu.ops.join import dedup_topk_pairs
+
+        lo = jnp.asarray([70_000, 70_000, 1_000_000, 5, 70_000], jnp.int32)
+        hi = jnp.asarray([90_000, 90_000, 2_000_000, 9, 90_001], jnp.int32)
+        sims = jnp.asarray([0.9, 0.9, 0.8, 0.7, 0.6], jnp.float32)
+        top_s, pairs = dedup_topk_pairs(sims, lo, hi, k=4)
+        assert pairs.tolist() == [
+            [70_000, 90_000],
+            [1_000_000, 2_000_000],
+            [5, 9],
+            [70_000, 90_001],
+        ]
+        assert np.allclose(top_s, [0.9, 0.8, 0.7, 0.6])
+
+    def test_underfull_masks_missing(self):
+        import jax.numpy as jnp
+
+        from clann_tpu.ops.join import dedup_topk_pairs
+
+        lo = jnp.asarray([1, 1], jnp.int32)
+        hi = jnp.asarray([2, 2], jnp.int32)
+        sims = jnp.asarray([0.5, 0.5], jnp.float32)
+        top_s, pairs = dedup_topk_pairs(sims, lo, hi, k=2)
+        assert pairs.tolist() == [[1, 2], [-1, -1]]
