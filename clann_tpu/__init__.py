@@ -21,6 +21,7 @@ from clann_tpu.api import (
     serialize,
 )
 from clann_tpu.config import Config, MetricsGranularity, MetricsOutput
+from clann_tpu.parallel.capacity import CapacityPlan, plan_capacity
 from clann_tpu.errors import (
     ClusteredIndexError,
     ConfigError,
@@ -41,6 +42,8 @@ __all__ = [
     "Config",
     "MetricsGranularity",
     "MetricsOutput",
+    "CapacityPlan",
+    "plan_capacity",
     "init",
     "init_with_config",
     "init_from_file",

@@ -36,7 +36,14 @@ def main(argv=None) -> int:
     p.add_argument("--factor", type=float, default=0.4)
     p.add_argument("-k", type=int, default=10)
     p.add_argument("--delta", type=float, default=0.9)
-    p.add_argument("--mode", choices=["auto", "lsh", "dense"], default="auto")
+    p.add_argument(
+        "--mode",
+        choices=[
+            "auto", "lsh", "lsh-global", "lsh-clustered", "dense",
+            "scan", "scan-block", "scan-block-adaptive", "adaptive",
+        ],
+        default="auto",
+    )
     p.add_argument("--hash-family", default="fht_cross_polytope",
                    choices=["fht_cross_polytope", "cross_polytope", "simhash"])
     p.add_argument("--cache-dir", default="__index_cache__",
@@ -45,6 +52,9 @@ def main(argv=None) -> int:
     p.add_argument("--save", nargs="?", const="results.db", default=None,
                    help="save metrics to this SQLite db (main.rs:96-105)")
     p.add_argument("-v", "--verbose", action="store_true")
+    p.add_argument("--plan", action="store_true",
+                   help="print the HBM capacity plan for this build and exit "
+                        "(no allocation; parallel/capacity.py)")
     args = p.parse_args(argv)
 
     logging.basicConfig(
@@ -52,6 +62,13 @@ def main(argv=None) -> int:
         format="%(asctime)s %(levelname)s %(name)s: %(message)s",
     )
     log = logging.getLogger("clann_tpu.cli")
+
+    if os.environ.get("JAX_PLATFORMS"):
+        # the ambient TPU sitecustomize overrides the env var
+        # programmatically; honor the user's explicit choice here
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
     import clann_tpu
     from clann_tpu.io.h5 import index_file_name
@@ -61,6 +78,11 @@ def main(argv=None) -> int:
         from clann_tpu.data.hdf5 import load_hdf5_dataset
 
         ds = load_hdf5_dataset(args.dataset)
+        n_plan, d_plan = ds.train.shape
+    elif args.plan:
+        # capacity planning is analytic — no data, no devices needed
+        ds = None
+        n_plan, d_plan = args.synthetic_n, args.synthetic_d
     else:
         from clann_tpu.data.synthetic import make_synthetic_dataset
 
@@ -78,12 +100,27 @@ def main(argv=None) -> int:
         num_clusters_factor=args.factor,
         k=args.k,
         delta=args.delta,
-        dataset_name=ds.name,
+        dataset_name=ds.name if ds is not None else
+        f"synthetic-{n_plan}x{d_plan}",
         metrics_output=clann_tpu.MetricsOutput.DB if args.save else
         clann_tpu.MetricsOutput.NONE,
         hash_family=args.hash_family,
         search_mode=args.mode,
     )
+
+    if args.plan:
+        plan = clann_tpu.plan_capacity(n_plan, d_plan, cfg)
+        for name, b in sorted(
+            plan.per_structure.items(), key=lambda kv: -kv[1]
+        ):
+            print(f"  {name:<18} {b / 1e9:10.3f} GB")
+        print(f"  shardable  {plan.shardable_bytes / 1e9:.3f} GB | "
+              f"replicated {plan.replicated_bytes / 1e9:.3f} GB | "
+              f"usable/chip {plan.usable_bytes / 1e9:.3f} GB")
+        print(f"  fits one chip: {plan.fits_single_chip} | "
+              f"min devices: {plan.min_devices} | "
+              f"recommended: {plan.recommended_devices}")
+        return 0
 
     cache_path = os.path.join(args.cache_dir, index_file_name(cfg))
     handle = None

@@ -48,6 +48,16 @@ class JaccardIndex:
     sketch_params: object
     probs_table: jnp.ndarray  # (D+2, B)
     sketch_p1_table: jnp.ndarray  # (B,) 1-bit collision prob per sim bucket
+    # optional CLANN composition (build_jaccard_index(clustered=True)):
+    # Gonzalez clustering over Jaccard distance; queries drop candidates
+    # from balls that provably cannot beat the current k-th. The reference
+    # never wires Jaccard into its clustered layer (SURVEY §2.2) — and
+    # unlike cosine, 1 - J is a true metric, so the filter is EXACT here.
+    center_ids: Optional[jnp.ndarray] = None  # (C,) point id of center
+    center_bitmaps: Optional[jnp.ndarray] = None  # (C, Wu) uint32 multi-hot
+    center_sizes: Optional[jnp.ndarray] = None  # (C,) int32
+    radii: Optional[jnp.ndarray] = None  # (C,) f32 max member distance
+    assignment: Optional[jnp.ndarray] = None  # (n,) int32 cluster of point
     config: Config = flax.struct.field(pytree_node=False, default=None)
     universe: int = flax.struct.field(pytree_node=False, default=0)
     sim_eps: float = flax.struct.field(pytree_node=False, default=5e-3)
@@ -57,8 +67,74 @@ class JaccardIndex:
         return self.tokens.shape[0]
 
 
-def build_jaccard_index(data: JaccardData, config: Config) -> JaccardIndex:
-    """Build MinHash tables + 1-bit sketches over a set dataset."""
+@functools.partial(jax.jit, static_argnames=("k", "universe"))
+def _set_gmm_jit(tokens: jnp.ndarray, *, k: int, universe: int):
+    """Greedy min-max (Gonzalez) clustering over Jaccard distance.
+
+    Mirrors ops/gmm._gmm_jit (reference: src/core/gmm.rs:21-63) with
+    dist(a, b) = 1 - |a∩b|/|a∪b|. One center's distance column costs
+    (n, T) lookups into its (Wu,) bitmap — no (n, Wu) bitmap tensor is
+    materialized, so the universe size never enters the memory bill.
+    """
+    n, T = tokens.shape
+    words = -(-universe // 32)
+    sizes = jnp.sum(tokens >= 0, axis=1).astype(jnp.float32)
+    valid = tokens >= 0
+    t = jnp.clip(tokens, 0, universe - 1).astype(jnp.uint32)
+    word_all = (t >> jnp.uint32(5)).astype(jnp.int32)  # (n, T)
+    bit_all = t & jnp.uint32(31)
+
+    def dist_col(c):
+        row = tokens[c]
+        rv = row >= 0
+        rt = jnp.clip(row, 0, universe - 1).astype(jnp.uint32)
+        bm = jnp.zeros((words,), jnp.uint32).at[
+            (rt >> jnp.uint32(5)).astype(jnp.int32)
+        ].add(jnp.where(rv, jnp.uint32(1) << (rt & jnp.uint32(31)),
+                        jnp.uint32(0)))
+        member = ((bm[word_all] >> bit_all) & jnp.uint32(1)).astype(
+            jnp.float32
+        )
+        inter = jnp.sum(jnp.where(valid, member, 0.0), axis=1)
+        union = sizes + sizes[c] - inter
+        sim = jnp.where(union > 0, inter / union, 0.0)
+        return 1.0 - sim
+
+    centers0 = jnp.zeros((k,), jnp.int32)
+    dists0 = dist_col(0)
+    assignment0 = jnp.zeros((n,), jnp.int32)
+
+    def body(idx, state):
+        centers, dists, assignment = state
+        farthest = jnp.argmax(dists).astype(jnp.int32)
+        centers = centers.at[idx].set(farthest)
+        new_dists = dist_col(farthest)
+        closer = new_dists < dists
+        assignment = jnp.where(closer, idx, assignment)
+        dists = jnp.where(closer, new_dists, dists)
+        return centers, dists, assignment
+
+    centers, dists, assignment = jax.lax.fori_loop(
+        1, k, body, (centers0, dists0, assignment0)
+    )
+    radii = jnp.zeros((k,), jnp.float32).at[assignment].max(dists)
+    return centers, assignment, radii
+
+
+def build_jaccard_index(
+    data: JaccardData, config: Config, clustered: bool = False
+) -> JaccardIndex:
+    """Build MinHash tables + 1-bit sketches over a set dataset.
+
+    clustered=True additionally runs Gonzalez clustering over Jaccard
+    distance (factor*sqrt(n) clusters, reference index.rs:78-80 sizing)
+    and attaches ball geometry; searches then drop candidates from
+    clusters whose ball provably cannot beat the current k-th similarity
+    and stop when no ball can — CLANN's composition applied to the set
+    metric, which the reference never does (its FFI wires cosine only).
+    The tables themselves are unchanged: results are bit-identical to the
+    flat index, only the work is pruned (1 - J obeys the triangle
+    inequality, so the bound is exact)."""
     n = data.num_points()
     if n == 0:
         raise DataError("empty dataset")
@@ -91,7 +167,26 @@ def build_jaccard_index(data: JaccardData, config: Config) -> JaccardIndex:
     p1 = np.asarray(sketch_family.collision_probability(sims_grid, 1))
     maxdiff = np.round(config.sketch_bits * (1.0 - p1)).astype(np.int32)
 
+    geometry = {}
+    if clustered:
+        C = min(n, config.num_clusters(n))
+        center_ids, assignment, radii = _set_gmm_jit(
+            tokens, k=C, universe=data.universe
+        )
+        geometry = {
+            "center_ids": center_ids,
+            "center_bitmaps": _query_bitmaps(
+                tokens[center_ids], data.universe
+            ),
+            "center_sizes": jnp.sum(
+                tokens[center_ids] >= 0, axis=1
+            ).astype(jnp.int32),
+            "radii": radii,
+            "assignment": assignment,
+        }
+
     return JaccardIndex(
+        **geometry,
         tokens=tokens,
         set_sizes=jnp.sum(tokens >= 0, axis=1).astype(jnp.int32),
         sorted_hash=sorted_hash,
@@ -126,7 +221,9 @@ def _query_bitmaps(query_tokens: jnp.ndarray, universe: int) -> jnp.ndarray:
     return bm.at[rows, word].add(bit)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "chunk", "min_depth"))
+@functools.partial(
+    jax.jit, static_argnames=("k", "chunk", "min_depth", "filter_type")
+)
 def jaccard_search_batch(
     index: JaccardIndex,
     query_tokens: jnp.ndarray,
@@ -137,6 +234,7 @@ def jaccard_search_batch(
     k: int,
     chunk: int,
     min_depth: int = 1,
+    filter_type: str = "default",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, SearchStats]:
     """Adaptive delta-recall search over the set index.
 
@@ -161,6 +259,25 @@ def jaccard_search_batch(
 
     qbm = _query_bitmaps(query_tokens, index.universe)  # (Q, Wu)
     q_sizes = jnp.sum(query_tokens >= 0, axis=1).astype(jnp.float32)
+
+    # CLANN ball geometry (when built clustered): per-candidate drop +
+    # full stop, both exact under the Jaccard metric (module docstring)
+    use_balls = index.center_bitmaps is not None
+    if use_balls:
+        inter_c = jnp.sum(
+            jax.lax.population_count(
+                qbm[:, None, :] & index.center_bitmaps[None, :, :]
+            ),
+            axis=-1,
+        ).astype(jnp.float32)  # (Q, C)
+        union_c = (
+            q_sizes[:, None]
+            + index.center_sizes[None, :].astype(jnp.float32)
+            - inter_c
+        )
+        cdist = 1.0 - jnp.where(union_c > 0, inter_c / union_c, 0.0)
+        feas_bound = cdist - index.radii[None, :]  # (Q, C)
+        ball_floor = jnp.min(feas_bound, axis=1)  # (Q,)
 
     seg_lo = jnp.zeros((Q,), jnp.int32)
     seg_hi = jnp.full((Q,), n, jnp.int32)
@@ -229,7 +346,22 @@ def jaccard_search_batch(
         ham = jnp.sum(
             jax.lax.population_count(jnp.bitwise_xor(cand_sk, q_sk)), axis=-1
         ).astype(jnp.int32)
-        passes = valid & (ham <= maxdiff[:, None])
+        if filter_type == "none":
+            # FilterType::None (collection.hpp:543-601 dispatch): score
+            # every streamed candidate
+            passes = valid
+        else:
+            passes = valid & (ham <= maxdiff[:, None])
+        if use_balls:
+            # index.rs:342-361 per candidate: a ball that cannot reach the
+            # pre-merge k-th (conservative — the merge only tightens it)
+            full0 = topk_ids[:, k - 1] >= 0
+            kth_dist0 = jnp.where(full0, 1.0 - kth_sim, jnp.inf)
+            feas_ok = feas_bound <= kth_dist0[:, None]  # (Q, C)
+            cand_cluster = index.assignment[cand_ids]  # (Q, chunk)
+            passes = passes & jnp.take_along_axis(
+                feas_ok, cand_cluster, axis=1
+            )
 
         sims = rescore(cand_ids)
         masked = jnp.where(passes, cand_ids, n)
@@ -256,16 +388,31 @@ def jaccard_search_batch(
         )
         failure = jnp.power(1.0 - p_d, tables) * jnp.power(1.0 - p_d1, rest)
         qdone = qdone | (failure <= 1.0 - delta) | (off_new >= total)
+        if use_balls:
+            # full stop: even the closest remaining ball cannot beat the
+            # k-th (the reference's loop exit, index.rs:342-361)
+            full = topk_ids[:, k - 1] >= 0
+            kth_dist = jnp.where(full, 1.0 - kth_sim, jnp.inf)
+            qdone = qdone | (full & (ball_floor > kth_dist))
         return (topk_sims, topk_ids, qdone, off_new, dc, cand_ct)
 
     topk_sims, topk_ids, _, _, dc, cand_ct = jax.lax.while_loop(cond, body, init)
-    stats = SearchStats(dc, cand_ct, jnp.ones((Q,), jnp.int32))
+    if use_balls:
+        kth_dist = jnp.where(
+            topk_ids[:, k - 1] >= 0, 1.0 - topk_sims[:, k - 1], jnp.inf
+        )
+        visited = jnp.sum(
+            feas_bound <= kth_dist[:, None], axis=1, dtype=jnp.int32
+        )
+    else:
+        visited = jnp.ones((Q,), jnp.int32)
+    stats = SearchStats(dc, cand_ct, visited)
     return topk_sims, topk_ids, stats
 
 
 def jaccard_search(
     index: JaccardIndex, query_sets, k: Optional[int] = None,
-    delta: Optional[float] = None,
+    delta: Optional[float] = None, filter_type: str = "default",
 ) -> Tuple[np.ndarray, np.ndarray, SearchStats]:
     """Search with raw python/padded sets; returns (sims desc, ids, stats)."""
     from clann_tpu.data.setdata import pad_sets
@@ -292,5 +439,6 @@ def jaccard_search(
     sims, ids, stats = jaccard_search_batch(
         index, qt, qh, qsk, jnp.float32(delta),
         k=k, chunk=cfg.candidate_chunk, min_depth=cfg.min_depth,
+        filter_type=filter_type,
     )
     return np.asarray(sims), np.asarray(ids), stats

@@ -228,3 +228,107 @@ class TestDedupTopkPairs:
         sims = jnp.asarray([0.5, 0.5], jnp.float32)
         top_s, pairs = dedup_topk_pairs(sims, lo, hi, k=2)
         assert pairs.tolist() == [[1, 2], [-1, -1]]
+
+
+class TestClusteredJaccard:
+    """CLANN composition over the set metric (beyond the reference, which
+    wires only cosine into its clustered layer — SURVEY §2.2). 1 - J is a
+    true metric, so the ball filter must be EXACT: identical results to
+    the flat index, strictly less work on clusterable data."""
+
+    @pytest.fixture(scope="class")
+    def pair(self):
+        from clann_tpu.core.jaccard import build_jaccard_index
+        from clann_tpu.data.synthetic import clustered_sets
+
+        universe = 2000
+        # hub tokens put MinHash in the long-tail-collision regime the
+        # reference's clustering exists to cut (src/lib.rs:3-4): every set
+        # shares 10 stop-word tokens, so cross-mode candidates collide in
+        # the tables yet can never be true neighbors
+        sets = clustered_sets(
+            1000, universe, avg_size=20, n_modes=16, core_share=0.95,
+            pool_factor=1.1, hub_tokens=10, seed=11,
+        )
+        data = JaccardData(sets, universe)
+        cfg = Config(
+            num_tables=16, num_clusters_factor=1.5, k=5, delta=0.8,
+            candidate_chunk=32, max_hashbits=16, seed=13,
+        )
+        flat = build_jaccard_index(data, cfg)
+        clus = build_jaccard_index(data, cfg, clustered=True)
+        return data, flat, clus
+
+    def test_geometry(self, pair):
+        data, _, clus = pair
+        C = clus.center_ids.shape[0]
+        assert C == int(1.5 * np.sqrt(1000))
+        r = np.asarray(clus.radii)
+        assert np.all((r >= 0) & (r <= 1.0 + 1e-6))
+        a = np.asarray(clus.assignment)
+        assert a.shape == (1000,) and a.max() < C
+        # every point lies inside its assigned ball
+        from clann_tpu.data.setdata import jaccard_similarity_block
+
+        centers = np.asarray(clus.tokens)[np.asarray(clus.center_ids)]
+        for i in range(0, 1000, 97):
+            d = 1.0 - float(
+                np.asarray(
+                    jaccard_similarity_block(
+                        np.asarray(clus.tokens)[i : i + 1], centers[a[i] : a[i] + 1]
+                    )
+                )[0, 0]
+            )
+            assert d <= r[a[i]] + 1e-6
+
+    def test_exact_vs_flat(self, pair):
+        from clann_tpu.core.jaccard import jaccard_search
+
+        data, flat, clus = pair
+        queries = data.tokens[:48]
+        s_f, i_f, st_f = jaccard_search(flat, queries, k=5, delta=0.8)
+        s_c, i_c, st_c = jaccard_search(clus, queries, k=5, delta=0.8)
+        # the ball filter only drops provably non-improving candidates:
+        # returned similarity profiles must be identical
+        np.testing.assert_allclose(s_c, s_f, atol=1e-6)
+        # and the work must not grow (dc counts sketch+ball passers)
+        assert (
+            np.asarray(st_c.distance_computations).sum()
+            <= np.asarray(st_f.distance_computations).sum()
+        )
+        # clusters_visited reports the feasible-ball certificate; on this
+        # mode-separated data only a handful of balls stay feasible
+        C = clus.center_ids.shape[0]
+        assert np.asarray(st_c.clusters_visited).mean() < 0.25 * C
+
+    def test_balls_prune_when_sketches_off(self, pair):
+        # with the 1-bit sketch filter disabled (FilterType::None parity),
+        # the ball filter is the only dc protection against hub-token
+        # collisions — it must cut scored candidates substantially while
+        # returning identical results
+        from clann_tpu.core.jaccard import jaccard_search
+
+        data, flat, clus = pair
+        queries = data.tokens[:48]
+        s_f, _, st_f = jaccard_search(
+            flat, queries, k=5, delta=0.8, filter_type="none"
+        )
+        s_c, _, st_c = jaccard_search(
+            clus, queries, k=5, delta=0.8, filter_type="none"
+        )
+        np.testing.assert_allclose(s_c, s_f, atol=1e-6)
+        dc_f = np.asarray(st_f.distance_computations).mean()
+        dc_c = np.asarray(st_c.distance_computations).mean()
+        assert dc_c < 0.67 * dc_f, (dc_f, dc_c)
+
+    def test_recall_contract(self, pair):
+        from clann_tpu.core.jaccard import jaccard_search
+        from clann_tpu.data.setdata import brute_force_jaccard_topk
+
+        data, _, clus = pair
+        queries = data.tokens[:48]
+        gt_s, _ = brute_force_jaccard_topk(data, queries, k=5)
+        sims, _, _ = jaccard_search(clus, queries, k=5, delta=0.8)
+        kth = gt_s[:, 4]
+        recall = (sims >= kth[:, None] - 1e-6).sum(axis=1).mean() / 5
+        assert recall >= 0.8 * 0.8, recall
