@@ -61,6 +61,10 @@ class JaccardIndex:
     config: Config = flax.struct.field(pytree_node=False, default=None)
     universe: int = flax.struct.field(pytree_node=False, default=0)
     sim_eps: float = flax.struct.field(pytree_node=False, default=5e-3)
+    # table hash family: "minhash" (reference default) or "1bit_minhash"
+    # (upstream python wrapper option) — queries must hash with the same
+    # family the tables were built with
+    table_hash: str = flax.struct.field(pytree_node=False, default="minhash")
 
     @property
     def n(self) -> int:
@@ -122,9 +126,17 @@ def _set_gmm_jit(tokens: jnp.ndarray, *, k: int, universe: int):
 
 
 def build_jaccard_index(
-    data: JaccardData, config: Config, clustered: bool = False
+    data: JaccardData, config: Config, clustered: bool = False,
+    table_hash: str = "minhash",
 ) -> JaccardIndex:
     """Build MinHash tables + 1-bit sketches over a set dataset.
+
+    table_hash: "minhash" (default, as in the reference,
+    similarity_measure/jaccard.hpp defaults) or "1bit_minhash" — hash the
+    tables with the 1-bit MinHash family instead (upstream python wrapper
+    accepts both, python_wrapper.cpp:289-295; more bits of independence
+    per function matters less than collision sharpness, so this is a
+    parity option, not a recommendation).
 
     clustered=True additionally runs Gonzalez clustering over Jaccard
     distance (factor*sqrt(n) clusters, reference index.rs:78-80 sizing)
@@ -142,7 +154,15 @@ def build_jaccard_index(
     key = jax.random.PRNGKey(config.seed)
     k_hash, k_sketch = jax.random.split(key)
 
-    family = MinHash(data.universe)
+    if table_hash == "minhash":
+        family = MinHash(data.universe)
+    elif table_hash == "1bit_minhash":
+        family = MinHash1Bit(data.universe)
+    else:
+        raise DataError(
+            f"unknown table_hash {table_hash!r}; "
+            "expected 'minhash' or '1bit_minhash'"
+        )
     source = IndependentHashSource(
         family, config.num_tables, config.max_hashbits
     ).init(k_hash)
@@ -199,6 +219,7 @@ def build_jaccard_index(
         config=config,
         universe=data.universe,
         sim_eps=probs.sim_eps,
+        table_hash=table_hash,
     )
 
 
@@ -426,7 +447,11 @@ def jaccard_search(
         qt = pad_sets(query_sets, index.universe)
     qt = jnp.asarray(qt)
 
-    family = MinHash(index.universe)
+    family = (
+        MinHash1Bit(index.universe)
+        if index.table_hash == "1bit_minhash"
+        else MinHash(index.universe)
+    )
     source = IndependentHashSource(family, cfg.num_tables, cfg.max_hashbits)
     source.params = index.hash_params
     qh = source.hash(qt)  # (Q, L)

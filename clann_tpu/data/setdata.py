@@ -63,6 +63,29 @@ def jaccard_similarity_block(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(union > 0, inter / union, 0.0)
 
 
+def jaccard_similarity_rowwise(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """(m,) Jaccard similarity of row pairs a[i] vs b[i].
+
+    a, b: (m, t) sorted padded token tensors (pads are -1, appended after
+    the sorted tokens — pad_sets layout). Same sorted-merge semantics as
+    jaccard_similarity_block (jaccard.hpp:18-42) but elementwise over rows,
+    via a vmapped binary search instead of the (t, t) equality matrix —
+    the shape the pair join needs (m candidate pairs, not m x m)."""
+    a = jnp.asarray(a)
+    b = jnp.asarray(b)
+    t = a.shape[1]
+    big = jnp.int32(2**30)  # keeps rows sorted once -1 pads are replaced
+    av = jnp.where(a < 0, big, a)
+    bv = jnp.where(b < 0, big, b)
+    pos = jax.vmap(jnp.searchsorted)(bv, av)  # (m, t)
+    hit = jnp.take_along_axis(bv, jnp.clip(pos, 0, t - 1), axis=1) == av
+    inter = jnp.sum(hit & (av < big), axis=1)
+    sizes_a = jnp.sum(a >= 0, axis=1)
+    sizes_b = jnp.sum(b >= 0, axis=1)
+    union = sizes_a + sizes_b - inter
+    return jnp.where(union > 0, inter / union, 0.0)
+
+
 class JaccardData:
     """Metric dataset over token sets (distance = 1 - jaccard).
 

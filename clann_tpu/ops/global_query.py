@@ -348,13 +348,17 @@ def global_search(
     queries,
     k: int = None,
     delta: float = None,
-    batch_size: int = 1024,
+    batch_size: int = 256,
     filter_type: str = "default",
     sort_by_difficulty: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray, SearchStats]:
     """Full global-engine search: hash + sketch, one adaptive loop.
 
     Same contract as ops/query.search (distances ascending, ids, stats).
+    batch_size defaults to 256: batched adaptive while_loops over ~1k
+    queries at 1M-point scale have crashed the TPU worker ("kernel
+    fault"), and larger LSH batches buy little (the loop runs to the
+    slowest query of the batch anyway).
     """
     from clann_tpu.errors import DataError
 

@@ -186,3 +186,86 @@ def global_bf_join(index, k: int) -> Tuple[np.ndarray, np.ndarray]:
     order = np.argsort(-flat)[:k]
     pairs = np.stack([iu[0][order], iu[1][order]], axis=1).astype(np.int32)
     return pairs, np.clip(flat[order], 0.0, 1.0)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "window"))
+def _jaccard_windowed_pairs(tokens, sorted_idx, *, k: int, window: int):
+    """Top-k set pairs from MinHash-adjacency in every table.
+
+    Same windowed-join shape as _windowed_pairs, with the pair rescoring
+    swapped from a cosine dot to exact rowwise Jaccard over the padded
+    token tensors (the upstream SetIndex closest_pairs capability,
+    python_wrapper.cpp:565-567 over collection.hpp:390-504).
+    """
+    from clann_tpu.data.setdata import jaccard_similarity_rowwise
+
+    n = sorted_idx.shape[-1]
+
+    def one_table(order):
+        a = order  # (n,)
+        ta = tokens[a]  # (n, t)
+        sims_w, los, his = [], [], []
+        for w in range(1, window + 1):
+            b = jnp.roll(order, -w)
+            valid = jnp.arange(n) < (n - w)
+            sims = jaccard_similarity_rowwise(ta, tokens[b])
+            sims_w.append(jnp.where(valid, sims, -1.0))
+            los.append(jnp.minimum(a, b).astype(jnp.int32))
+            his.append(jnp.maximum(a, b).astype(jnp.int32))
+        sims = jnp.stack(sims_w, axis=1).reshape(-1)
+        lo = jnp.stack(los, axis=1).reshape(-1)
+        hi = jnp.stack(his, axis=1).reshape(-1)
+        kk = min(k * 4, sims.shape[0])
+        top_s, sel = jax.lax.top_k(sims, kk)
+        return top_s, lo[sel], hi[sel]
+
+    sims_all, lo_all, hi_all = jax.vmap(one_table)(sorted_idx)
+    return dedup_topk_pairs(
+        sims_all.reshape(-1), lo_all.reshape(-1), hi_all.reshape(-1), k=k
+    )
+
+
+def jaccard_closest_pairs(
+    index, k: int, delta: float = 0.9, max_window: int = 64
+) -> Tuple[np.ndarray, np.ndarray]:
+    """k most similar pairs in an indexed set dataset.
+
+    Jaccard analog of closest_pairs over a core.jaccard.JaccardIndex:
+    the window sweep reuses the MinHash collision-probability table for
+    the delta-recall termination rule. Returns (pairs (k, 2) int32 with
+    i < j, sims (k,) descending).
+    """
+    n = index.tokens.shape[0]
+
+    def run(window):
+        sims, pairs = _jaccard_windowed_pairs(
+            index.tokens, index.sorted_idx, k=k, window=window
+        )
+        return sims, pairs
+
+    return window_sweep(
+        run,
+        n=n,
+        num_tables=index.sorted_hash.shape[0],
+        max_hashbits=index.config.max_hashbits,
+        probs_table=np.asarray(index.probs_table),
+        sim_eps=index.sim_eps,
+        k=k,
+        delta=delta,
+        max_window=max_window,
+    )
+
+
+def jaccard_bf_join(data, k: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Exact brute-force top-k set-pair oracle (collection.hpp:506-521
+    for the Jaccard instantiation); O(n^2), for tests and small n."""
+    from clann_tpu.data.setdata import jaccard_similarity_block
+
+    tokens = np.asarray(data.tokens)
+    n = tokens.shape[0]
+    sims = np.asarray(jaccard_similarity_block(tokens, tokens))
+    iu = np.triu_indices(n, k=1)
+    flat = sims[iu]
+    order = np.argsort(-flat)[:k]
+    pairs = np.stack([iu[0][order], iu[1][order]], axis=1).astype(np.int32)
+    return pairs, flat[order].astype(np.float32)

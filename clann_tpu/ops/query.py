@@ -749,7 +749,7 @@ def search(
     queries,
     k: int = None,
     delta: float = None,
-    batch_size: int = 1024,
+    batch_size: int = 256,
     filter_type: str = "default",
 ) -> Tuple[np.ndarray, np.ndarray, SearchStats]:
     """Full search: hash + sketch queries, scan clusters, return k-NN.
