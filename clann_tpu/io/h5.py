@@ -252,6 +252,101 @@ def load_index(data, path: str):
     )
 
 
+_JACCARD_ARRAYS = (
+    "tokens", "sorted_hash", "sorted_idx", "sketches",
+    "probs_table", "sketch_p1_table",
+)
+_JACCARD_GEOMETRY = (
+    "center_ids", "center_bitmaps", "center_sizes", "radii", "assignment",
+)
+
+
+def save_jaccard_index(index, path: str) -> str:
+    """Write a core.jaccard.JaccardIndex to `path` (file or directory).
+
+    The set-index counterpart of save_index (upstream PUFFINN serializes
+    its Jaccard indexes too, via the python wrapper's pickle —
+    python_wrapper.cpp:570-572). Unlike the vector format, the file is
+    SELF-CONTAINED: token sets are the index's own storage (as in the
+    reference's Dataset-inside-the-blob layout), so loading needs no
+    caller-supplied dataset.
+    """
+    import h5py
+
+    if os.path.isdir(path):
+        path = os.path.join(path, index_file_name(index.config))
+    try:
+        with h5py.File(path, "w") as f:
+            f.create_dataset("config", data=index.config.to_json())
+            g = f.create_group("tpu_jaccard_index")
+            g.attrs["format_version"] = FORMAT_VERSION
+            g.attrs["universe"] = index.universe
+            g.attrs["sim_eps"] = index.sim_eps
+            g.attrs["table_hash"] = index.table_hash
+            for name in _JACCARD_ARRAYS:
+                g.create_dataset(name, data=np.asarray(getattr(index, name)))
+            if index.center_ids is not None:
+                geo = g.create_group("geometry")
+                for name in _JACCARD_GEOMETRY:
+                    geo.create_dataset(
+                        name, data=np.asarray(getattr(index, name))
+                    )
+            _save_pytree(g.create_group("hash_params"), index.hash_params)
+            _save_pytree(g.create_group("sketch_params"), index.sketch_params)
+    except OSError as e:
+        raise SerializeError(f"failed to write index to {path}: {e}") from e
+    return path
+
+
+def load_jaccard_index(path: str):
+    """Load a set index written by save_jaccard_index (self-contained)."""
+    import h5py
+
+    from clann_tpu.core.jaccard import JaccardIndex
+
+    if not os.path.exists(path):
+        raise SerializeError(f"index file {path} not found")
+    try:
+        with h5py.File(path, "r") as f:
+            config = Config.from_json(_as_str(f["config"][()]))
+            g = f["tpu_jaccard_index"]
+            version = int(g.attrs["format_version"])
+            if version != FORMAT_VERSION:
+                raise SerializeError(
+                    f"index format version {version} != {FORMAT_VERSION}"
+                )
+            arrays = {
+                name: jnp.asarray(np.asarray(g[name]))
+                for name in _JACCARD_ARRAYS
+            }
+            geometry = {}
+            if "geometry" in g:
+                geometry = {
+                    name: jnp.asarray(np.asarray(g["geometry"][name]))
+                    for name in _JACCARD_GEOMETRY
+                }
+            hash_params = _load_pytree(g["hash_params"])
+            sketch_params = _load_pytree(g["sketch_params"])
+            universe = int(g.attrs["universe"])
+            sim_eps = float(g.attrs["sim_eps"])
+            table_hash = str(g.attrs.get("table_hash", "minhash"))
+    except (OSError, KeyError) as e:
+        raise SerializeError(f"failed to read index from {path}: {e}") from e
+
+    tokens = arrays["tokens"]
+    return JaccardIndex(
+        **arrays,
+        **geometry,
+        set_sizes=jnp.sum(tokens >= 0, axis=1).astype(jnp.int32),
+        hash_params=hash_params,
+        sketch_params=sketch_params,
+        config=config,
+        universe=universe,
+        sim_eps=sim_eps,
+        table_hash=table_hash,
+    )
+
+
 def _as_str(v) -> str:
     if isinstance(v, bytes):
         return v.decode("utf-8")

@@ -332,3 +332,57 @@ class TestClusteredJaccard:
         kth = gt_s[:, 4]
         recall = (sims >= kth[:, None] - 1e-6).sum(axis=1).mean() / 5
         assert recall >= 0.8 * 0.8, recall
+
+
+class TestJaccardPersistence:
+    """Own-format H5 round trip for the set index (the upstream wrapper
+    serializes Jaccard indexes too, python_wrapper.cpp:570-572); the file
+    is self-contained (tokens are the index's own storage)."""
+
+    def test_roundtrip_flat_and_clustered(self, tmp_path):
+        from clann_tpu.core.jaccard import (
+            build_jaccard_index, jaccard_search,
+        )
+        from clann_tpu.data.synthetic import clustered_sets
+        from clann_tpu.io.h5 import load_jaccard_index, save_jaccard_index
+
+        sets = clustered_sets(300, 800, avg_size=12, n_modes=8, seed=4)
+        data = JaccardData(sets, 800)
+        cfg = Config(num_tables=8, k=3, delta=0.8, candidate_chunk=32,
+                     max_hashbits=16, dataset_name="sets")
+        for clustered in (False, True):
+            idx = build_jaccard_index(data, cfg, clustered=clustered)
+            p = save_jaccard_index(idx, str(tmp_path / f"j{clustered}.h5"))
+            idx2 = load_jaccard_index(p)
+            assert idx2.universe == 800
+            assert idx2.table_hash == "minhash"
+            s1, i1, _ = jaccard_search(idx, sets[:20], k=3, delta=0.8)
+            s2, i2, _ = jaccard_search(idx2, sets[:20], k=3, delta=0.8)
+            np.testing.assert_array_equal(i1, i2)
+            np.testing.assert_allclose(s1, s2)
+
+    def test_roundtrip_1bit_tables(self, tmp_path):
+        from clann_tpu.core.jaccard import (
+            build_jaccard_index, jaccard_search,
+        )
+        from clann_tpu.data.synthetic import clustered_sets
+        from clann_tpu.io.h5 import load_jaccard_index, save_jaccard_index
+
+        sets = clustered_sets(200, 400, avg_size=10, n_modes=6, seed=2)
+        data = JaccardData(sets, 400)
+        cfg = Config(num_tables=8, k=3, delta=0.8, candidate_chunk=32,
+                     max_hashbits=12, dataset_name="sets1b")
+        idx = build_jaccard_index(data, cfg, table_hash="1bit_minhash")
+        p = save_jaccard_index(idx, str(tmp_path))
+        idx2 = load_jaccard_index(p)
+        assert idx2.table_hash == "1bit_minhash"
+        s1, i1, _ = jaccard_search(idx, sets[:10], k=3, delta=0.8)
+        s2, i2, _ = jaccard_search(idx2, sets[:10], k=3, delta=0.8)
+        np.testing.assert_array_equal(i1, i2)
+
+    def test_missing_file(self):
+        from clann_tpu.errors import SerializeError
+        from clann_tpu.io.h5 import load_jaccard_index
+
+        with pytest.raises(SerializeError):
+            load_jaccard_index("/nonexistent/x.h5")
