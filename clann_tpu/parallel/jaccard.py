@@ -63,10 +63,18 @@ class ShardedJaccardIndex:
     config: Config = flax.struct.field(pytree_node=False, default=None)
     universe: int = flax.struct.field(pytree_node=False, default=0)
     sim_eps: float = flax.struct.field(pytree_node=False, default=5e-3)
+    table_hash: str = flax.struct.field(pytree_node=False, default="minhash")
 
     @property
     def n_devices(self) -> int:
         return self.tokens.shape[0]
+
+
+def _table_family(universe: int, table_hash: str):
+    return (
+        MinHash1Bit(universe) if table_hash == "1bit_minhash"
+        else MinHash(universe)
+    )
 
 
 def shard_jaccard_index(
@@ -97,7 +105,7 @@ def shard_jaccard_index(
     # padding rows: empty sets hashed/sketched with the same functions
     cfg = index.config
     empty = np.full((1, T), -1, np.int32)
-    family = MinHash(index.universe)
+    family = _table_family(index.universe, index.table_hash)
     source = IndependentHashSource(family, L, cfg.max_hashbits)
     source.params = index.hash_params
     empty_hash = np.asarray(source.hash(jnp.asarray(empty)))[0]  # (L,)
@@ -149,6 +157,7 @@ def shard_jaccard_index(
         config=index.config,
         universe=index.universe,
         sim_eps=index.sim_eps,
+        table_hash=index.table_hash,
     )
 
 
@@ -179,7 +188,7 @@ def sharded_jaccard_search(
         qt = pad_sets(query_sets, sh.universe)
     qt = jnp.asarray(qt)
 
-    family = MinHash(sh.universe)
+    family = _table_family(sh.universe, sh.table_hash)
     source = IndependentHashSource(family, cfg.num_tables, cfg.max_hashbits)
     source.params = sh.hash_params
     qh = source.hash(qt)
@@ -224,6 +233,7 @@ def sharded_jaccard_search(
             config=cfg,
             universe=sh.universe,
             sim_eps=sh.sim_eps,
+            table_hash=sh.table_hash,
         )
         sims, lids, stats = jaccard_search_batch(
             local, qt, qh, qsk, delta,
@@ -254,4 +264,111 @@ def sharded_jaccard_search(
         np.maximum(np.asarray(sims), 0.0),
         np.asarray(ids),
         SearchStats(*(np.asarray(s) for s in stats)),
+    )
+
+
+def build_jaccard_sharded(
+    sets,
+    universe: int,
+    config: Config,
+    mesh=None,
+    table_hash: str = "minhash",
+) -> ShardedJaccardIndex:
+    """End-to-end multi-chip set-index build.
+
+    The set analog of parallel/sharded.build_sharded: each device hashes,
+    sketches and table-sorts ITS OWN point shard in one shard_map program,
+    so no single-chip (L, n) structure is ever materialized. With the same
+    config/seed this produces byte-identical shards to
+    `shard_jaccard_index(build_jaccard_index(...))` — hashing is per-point
+    with shared (replicated) functions and the per-shard sorts see the
+    same rows (verified in tests). Host memory still holds the raw token
+    sets; device memory per chip is bounded by its shard.
+    """
+    from clann_tpu.data.setdata import JaccardData, pad_sets
+    from clann_tpu.errors import DataError
+    from clann_tpu.ops.collision import HashSourceProbs
+
+    if isinstance(sets, JaccardData):
+        tokens_np, universe = np.asarray(sets.tokens), sets.universe
+    elif isinstance(sets, np.ndarray) and sets.ndim == 2:
+        tokens_np = sets.astype(np.int32)
+    else:
+        tokens_np = np.asarray(pad_sets(sets, universe))
+    n, T = tokens_np.shape
+    if n == 0:
+        raise DataError("empty dataset")
+    if mesh is None:
+        mesh = make_mesh()
+    D = int(np.prod(list(mesh.shape.values())))
+    n_loc = -(-n // D)
+    cfg = config
+
+    # host-side shard assembly: -1 (empty-set) padding rows, global ids
+    tok_s = np.full((D, n_loc, T), -1, np.int32)
+    gid_s = np.full((D, n_loc), -1, np.int32)
+    for dev in range(D):
+        lo, hi = dev * n_loc, min(n, (dev + 1) * n_loc)
+        if hi > lo:
+            tok_s[dev, : hi - lo] = tokens_np[lo:hi]
+            gid_s[dev, : hi - lo] = np.arange(lo, hi, dtype=np.int32)
+
+    # shared (replicated) functions, sampled exactly as the flat build
+    # does (core/jaccard.build_jaccard_index): same seed -> same tables
+    key = jax.random.PRNGKey(cfg.seed)
+    k_hash, k_sketch = jax.random.split(key)
+    family = _table_family(universe, table_hash)
+    source = IndependentHashSource(
+        family, cfg.num_tables, cfg.max_hashbits
+    ).init(k_hash)
+    sketch_family = MinHash1Bit(universe)
+    sk_params = sketch_family.sample(
+        k_sketch, cfg.num_sketches * cfg.sketch_bits
+    )
+
+    probs = HashSourceProbs(family, cfg.max_hashbits, sim_eps=5e-3)
+    n_buckets = probs.table.shape[1]
+    sims_grid = np.arange(n_buckets, dtype=np.float32) * probs.sim_eps
+    p1 = np.asarray(sketch_family.collision_probability(sims_grid, 1))
+    maxdiff = np.round(cfg.sketch_bits * (1.0 - p1)).astype(np.int32)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(CLUSTER_AXIS), P(), P()),
+        out_specs=P(CLUSTER_AXIS),
+        check_vma=False,
+    )
+    def build_shard(tok, hparams, sparams):
+        tok = tok[0]  # (n_loc, T)
+        hashes = source.hash_with(hparams, tok)  # (n_loc, L)
+        bits = sketch_family.hash(sparams, tok)
+        sk = pack_bits_u32(
+            bits.reshape(tok.shape[0], cfg.num_sketches, cfg.sketch_bits)
+        )
+        sh, si = sort_tables_segmented(
+            hashes.T, jnp.zeros((tok.shape[0],), jnp.int32)
+        )
+        return jax.tree_util.tree_map(
+            lambda a: a[None], {"sorted_hash": sh, "sorted_idx": si,
+                                "sketches": sk}
+        )
+
+    built = build_shard(jnp.asarray(tok_s), source.params, sk_params)
+
+    return ShardedJaccardIndex(
+        tokens=jnp.asarray(tok_s),
+        set_sizes=jnp.sum(jnp.asarray(tok_s) >= 0, axis=2).astype(jnp.int32),
+        sorted_hash=built["sorted_hash"],
+        sorted_idx=built["sorted_idx"],
+        sketches=built["sketches"],
+        global_ids=jnp.asarray(gid_s),
+        hash_params=source.params,
+        sketch_params=sk_params,
+        probs_table=jnp.asarray(probs.table),
+        sketch_p1_table=jnp.asarray(maxdiff),
+        config=cfg,
+        universe=universe,
+        sim_eps=probs.sim_eps,
+        table_hash=table_hash,
     )

@@ -813,6 +813,20 @@ def dryrun(n_devices: int) -> None:
     pairs_s, sims_s = sharded_closest_pairs(index, k=5, delta=0.8, mesh=mesh)
     assert pairs_s.tolist() == pairs_1.tolist()
     assert np.allclose(sims_s, sims_1, atol=1e-6)
+    # point-sharded Jaccard: direct multi-chip build + adaptive search
+    from clann_tpu.data.synthetic import clustered_sets
+    from clann_tpu.parallel.jaccard import (
+        build_jaccard_sharded,
+        sharded_jaccard_search,
+    )
+
+    jcfg = Config(num_tables=4, k=3, delta=0.8, candidate_chunk=32,
+                  max_hashbits=12, seed=0)
+    jsets = clustered_sets(160, 300, avg_size=8, n_modes=8, seed=0)
+    jsh = build_jaccard_sharded(jsets, 300, jcfg, mesh=mesh)
+    js, ji, jst = sharded_jaccard_search(jsh, jsets[:8], k=3, delta=0.8)
+    assert js.shape == (8, 3) and ji.max() < 160
+    assert int(np.asarray(jst.distance_computations).sum()) > 0
     # 2D (query, cluster) mesh: query-data-parallel on top of the cluster
     # sharding, bit-identical results (pad-and-slice path via 31 queries)
     if n_devices >= 4 and n_devices % 2 == 0:

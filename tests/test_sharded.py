@@ -268,6 +268,47 @@ class TestShardedJaccard:
         found = (ids[:, 0] == np.arange(16)).mean()
         assert found >= 0.85
 
+    def test_direct_sharded_build_identical(self, jsetup):
+        # build_jaccard_sharded must produce byte-identical shards to
+        # shard_jaccard_index(build_jaccard_index(...)): same seed ->
+        # same functions -> same per-shard hashes and sorts
+        from clann_tpu.parallel.jaccard import (
+            build_jaccard_sharded,
+            shard_jaccard_index,
+        )
+        from clann_tpu.parallel.mesh import make_mesh
+
+        index, data = jsetup
+        via_flat = shard_jaccard_index(index, 8)
+        direct = build_jaccard_sharded(
+            data, data.universe, index.config, mesh=make_mesh(8)
+        )
+        for f in ("tokens", "set_sizes", "sorted_hash", "sorted_idx",
+                  "sketches", "global_ids", "probs_table",
+                  "sketch_p1_table"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(via_flat, f)),
+                np.asarray(getattr(direct, f)),
+                err_msg=f,
+            )
+        assert direct.table_hash == "minhash"
+
+    def test_direct_sharded_build_search(self, jsetup):
+        from clann_tpu.data.setdata import brute_force_jaccard_topk
+        from clann_tpu.parallel.jaccard import (
+            build_jaccard_sharded,
+            sharded_jaccard_search,
+        )
+
+        index, data = jsetup
+        direct = build_jaccard_sharded(data, data.universe, index.config)
+        queries = data.tokens[:24]
+        sims, ids, _ = sharded_jaccard_search(direct, queries, k=5,
+                                              delta=0.8)
+        gt_s, _ = brute_force_jaccard_topk(data, queries, k=5)
+        recall = (sims >= gt_s[:, 4][:, None] - 1e-6).sum(axis=1).mean() / 5
+        assert recall >= 0.8 * 0.8, recall
+
 
 class TestShardedClosestPairs:
     def test_matches_single_device(self, small_angular_dataset):
