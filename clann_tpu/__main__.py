@@ -74,7 +74,16 @@ def main(argv=None) -> int:
     from clann_tpu.io.h5 import index_file_name
     from clann_tpu.metrics.recall import recall_values
 
-    if args.dataset:
+    if args.dataset and args.plan:
+        # planning is analytic: read only the train shape from the HDF5
+        # header — pulling the full arrays of a 100M-point file into host
+        # RAM to answer "how many chips?" would defeat the point
+        import h5py
+
+        with h5py.File(args.dataset, "r") as f:
+            n_plan, d_plan = f["train"].shape
+        ds = None
+    elif args.dataset:
         from clann_tpu.data.hdf5 import load_hdf5_dataset
 
         ds = load_hdf5_dataset(args.dataset)
@@ -100,8 +109,12 @@ def main(argv=None) -> int:
         num_clusters_factor=args.factor,
         k=args.k,
         delta=args.delta,
-        dataset_name=ds.name if ds is not None else
-        f"synthetic-{n_plan}x{d_plan}",
+        dataset_name=(
+            ds.name if ds is not None
+            else os.path.splitext(os.path.basename(args.dataset))[0]
+            if args.dataset
+            else f"synthetic-{n_plan}x{d_plan}"
+        ),
         metrics_output=clann_tpu.MetricsOutput.DB if args.save else
         clann_tpu.MetricsOutput.NONE,
         hash_family=args.hash_family,

@@ -59,6 +59,10 @@ class Config:
     # Hash source: "independent" (reference default, collection.hpp:130-131),
     # "pool", or "tensor".
     hash_source: str = "independent"
+    # Pool size for hash_source="pool" (reference: HashPoolArgs pool_size,
+    # upstream python wrapper source_args {"pool_size"}); 0 = the
+    # 3*sqrt(L*fph) heuristic in ops/sources.PooledHashSource.
+    pool_size: int = 0
     # Maximum concatenated hash length in bits (reference: typedefs.hpp:9).
     max_hashbits: int = 24
     # Sketch configuration (reference: filterer.hpp:16, typedefs.hpp:12-15).

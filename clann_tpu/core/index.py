@@ -217,7 +217,8 @@ class ClusteredIndex:
             estimation_eps=cfg.estimation_eps,
         )
         source = make_hash_source(
-            cfg.hash_source, family, cfg.num_tables, cfg.max_hashbits
+            cfg.hash_source, family, cfg.num_tables, cfg.max_hashbits,
+            pool_size=cfg.pool_size,
         )
         source.params = self.hash_params
         filterer = SketchFilterer(self.dims, cfg.num_sketches, cfg.sketch_bits)
@@ -495,7 +496,8 @@ def build_index(
         estimation_eps=config.estimation_eps,
     )
     source = make_hash_source(
-        config.hash_source, family, config.num_tables, config.max_hashbits
+        config.hash_source, family, config.num_tables, config.max_hashbits,
+        pool_size=config.pool_size,
     ).init(k_hash)
     filterer = SketchFilterer(d, config.num_sketches, config.sketch_bits).init(k_sketch)
 

@@ -54,8 +54,6 @@ class JaccardIndex:
     # never wires Jaccard into its clustered layer (SURVEY §2.2) — and
     # unlike cosine, 1 - J is a true metric, so the filter is EXACT here.
     center_ids: Optional[jnp.ndarray] = None  # (C,) point id of center
-    center_bitmaps: Optional[jnp.ndarray] = None  # (C, Wu) uint32 multi-hot
-    center_sizes: Optional[jnp.ndarray] = None  # (C,) int32
     radii: Optional[jnp.ndarray] = None  # (C,) f32 max member distance
     assignment: Optional[jnp.ndarray] = None  # (n,) int32 cluster of point
     config: Config = flax.struct.field(pytree_node=False, default=None)
@@ -195,12 +193,6 @@ def build_jaccard_index(
         )
         geometry = {
             "center_ids": center_ids,
-            "center_bitmaps": _query_bitmaps(
-                tokens[center_ids], data.universe
-            ),
-            "center_sizes": jnp.sum(
-                tokens[center_ids] >= 0, axis=1
-            ).astype(jnp.int32),
             "radii": radii,
             "assignment": assignment,
         }
@@ -282,20 +274,26 @@ def jaccard_search_batch(
     q_sizes = jnp.sum(query_tokens >= 0, axis=1).astype(jnp.float32)
 
     # CLANN ball geometry (when built clustered): per-candidate drop +
-    # full stop, both exact under the Jaccard metric (module docstring)
-    use_balls = index.center_bitmaps is not None
+    # full stop, both exact under the Jaccard metric (module docstring).
+    # Center intersections gather each center's (T,) tokens against the
+    # query bitmaps — a (Q, C, T) intermediate, NOT (Q, C, Wu): the
+    # universe size never enters the memory bill (same rule as
+    # _set_gmm_jit; with bitmaps a 1M-token universe cost ~128GB here).
+    use_balls = index.center_ids is not None
     if use_balls:
+        ct = index.tokens[index.center_ids]  # (C, T)
+        cvalid = ct >= 0
+        ctok = jnp.clip(ct, 0, index.universe - 1).astype(jnp.uint32)
+        cword = (ctok >> jnp.uint32(5)).astype(jnp.int32)
+        cbit = ctok & jnp.uint32(31)
+        member = (
+            (qbm[:, cword] >> cbit[None]) & jnp.uint32(1)
+        ).astype(jnp.float32)  # (Q, C, T)
         inter_c = jnp.sum(
-            jax.lax.population_count(
-                qbm[:, None, :] & index.center_bitmaps[None, :, :]
-            ),
-            axis=-1,
-        ).astype(jnp.float32)  # (Q, C)
-        union_c = (
-            q_sizes[:, None]
-            + index.center_sizes[None, :].astype(jnp.float32)
-            - inter_c
-        )
+            jnp.where(cvalid[None], member, 0.0), axis=-1
+        )  # (Q, C)
+        c_sizes = index.set_sizes[index.center_ids].astype(jnp.float32)
+        union_c = q_sizes[:, None] + c_sizes[None, :] - inter_c
         cdist = 1.0 - jnp.where(union_c > 0, inter_c / union_c, 0.0)
         feas_bound = cdist - index.radii[None, :]  # (Q, C)
         ball_floor = jnp.min(feas_bound, axis=1)  # (Q,)

@@ -256,9 +256,7 @@ _JACCARD_ARRAYS = (
     "tokens", "sorted_hash", "sorted_idx", "sketches",
     "probs_table", "sketch_p1_table",
 )
-_JACCARD_GEOMETRY = (
-    "center_ids", "center_bitmaps", "center_sizes", "radii", "assignment",
-)
+_JACCARD_GEOMETRY = ("center_ids", "radii", "assignment")
 
 
 def save_jaccard_index(index, path: str) -> str:
@@ -274,7 +272,11 @@ def save_jaccard_index(index, path: str) -> str:
     import h5py
 
     if os.path.isdir(path):
-        path = os.path.join(path, index_file_name(index.config))
+        # "jaccard_" infix: the same config/dataset_name would otherwise
+        # produce the exact vector-index file name and the two formats
+        # would silently clobber each other in a shared cache directory
+        name = index_file_name(index.config)
+        path = os.path.join(path, name.replace("index_", "index_jaccard_", 1))
     try:
         with h5py.File(path, "w") as f:
             f.create_dataset("config", data=index.config.to_json())

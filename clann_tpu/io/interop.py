@@ -341,7 +341,8 @@ def _load_faithful(clusters, parsed_blobs, cfg: Config, vectors, family_name):
     key = jax.random.PRNGKey(cfg.seed)
     k_hash, k_sketch = jax.random.split(key)
     source = make_hash_source(
-        cfg.hash_source, family, L, cfg.max_hashbits
+        cfg.hash_source, family, L, cfg.max_hashbits,
+        pool_size=cfg.pool_size,
     ).init(k_hash)
     filterer = SketchFilterer(
         d, cfg.num_sketches, cfg.sketch_bits

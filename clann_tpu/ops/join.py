@@ -32,29 +32,36 @@ import numpy as np
 from clann_tpu.ops.distances import exact_dot
 
 
-def table_pairs(vectors, sorted_idx, *, k: int, window: int):
+def _cosine_rowwise(va, vb):
+    sims = jnp.sum(va * vb, axis=1)
+    return jnp.clip((sims + 1.0) * 0.5, 0.0, 1.0)
+
+
+def table_pairs(data, sorted_idx, *, k: int, window: int, sim_fn=None):
     """Per-table windowed pair candidates.
 
-    vectors: (n, d) normalized; sorted_idx: (L_local, n) point id per
-    sorted slot. Returns (sims, lo, hi), each (L_local, kk) with
-    kk = min(4k, n*window) and lo < hi the canonical pair ids.
-    Shared by the single-device and the table-sharded joins.
+    data: (n, ...) point storage, row-indexable; sorted_idx: (L_local, n)
+    point id per sorted slot; sim_fn(rows_a, rows_b) -> (n,) similarities
+    in [0, 1] (default: cosine over normalized vectors — the Jaccard join
+    passes jaccard_similarity_rowwise over token rows). Returns
+    (sims, lo, hi), each (L_local, kk) with kk = min(4k, n*window) and
+    lo < hi the canonical pair ids. Shared by the single-device,
+    table-sharded and Jaccard joins.
     """
     n = sorted_idx.shape[-1]
+    sim_fn = sim_fn or _cosine_rowwise
 
     def one_table(order):
         # neighbors at sorted distance 1..window
         a = order  # (n,)
-        va = vectors[a]  # (n, d)
+        va = data[a]
         bs = []
         los = []
         his = []
         for w in range(1, window + 1):
             b = jnp.roll(order, -w)  # (n,)
             valid = jnp.arange(n) < (n - w)
-            sims = jnp.sum(va * vectors[b], axis=1)
-            sims = jnp.clip((sims + 1.0) * 0.5, 0.0, 1.0)
-            sims = jnp.where(valid, sims, -1.0)
+            sims = jnp.where(valid, sim_fn(va, data[b]), -1.0)
             bs.append(sims)
             los.append(jnp.minimum(a, b).astype(jnp.int32))
             his.append(jnp.maximum(a, b).astype(jnp.int32))
@@ -192,34 +199,17 @@ def global_bf_join(index, k: int) -> Tuple[np.ndarray, np.ndarray]:
 def _jaccard_windowed_pairs(tokens, sorted_idx, *, k: int, window: int):
     """Top-k set pairs from MinHash-adjacency in every table.
 
-    Same windowed-join shape as _windowed_pairs, with the pair rescoring
-    swapped from a cosine dot to exact rowwise Jaccard over the padded
-    token tensors (the upstream SetIndex closest_pairs capability,
-    python_wrapper.cpp:565-567 over collection.hpp:390-504).
+    table_pairs with the pair rescoring swapped from a cosine dot to
+    exact rowwise Jaccard over the padded token tensors (the upstream
+    SetIndex closest_pairs capability, python_wrapper.cpp:565-567 over
+    collection.hpp:390-504).
     """
     from clann_tpu.data.setdata import jaccard_similarity_rowwise
 
-    n = sorted_idx.shape[-1]
-
-    def one_table(order):
-        a = order  # (n,)
-        ta = tokens[a]  # (n, t)
-        sims_w, los, his = [], [], []
-        for w in range(1, window + 1):
-            b = jnp.roll(order, -w)
-            valid = jnp.arange(n) < (n - w)
-            sims = jaccard_similarity_rowwise(ta, tokens[b])
-            sims_w.append(jnp.where(valid, sims, -1.0))
-            los.append(jnp.minimum(a, b).astype(jnp.int32))
-            his.append(jnp.maximum(a, b).astype(jnp.int32))
-        sims = jnp.stack(sims_w, axis=1).reshape(-1)
-        lo = jnp.stack(los, axis=1).reshape(-1)
-        hi = jnp.stack(his, axis=1).reshape(-1)
-        kk = min(k * 4, sims.shape[0])
-        top_s, sel = jax.lax.top_k(sims, kk)
-        return top_s, lo[sel], hi[sel]
-
-    sims_all, lo_all, hi_all = jax.vmap(one_table)(sorted_idx)
+    sims_all, lo_all, hi_all = table_pairs(
+        tokens, sorted_idx, k=k, window=window,
+        sim_fn=jaccard_similarity_rowwise,
+    )
     return dedup_topk_pairs(
         sims_all.reshape(-1), lo_all.reshape(-1), hi_all.reshape(-1), k=k
     )

@@ -97,13 +97,19 @@ class PooledHashSource:
             need = self.num_hashers * self.functions_per_hasher
             self.pool_size = max(self.functions_per_hasher, int(3 * np.sqrt(need)) + 1)
         self.params = None
-        self.pool_indices = None
         self.probs = HashSourceProbs(self.family, self.num_bits)
 
     def init(self, key: jax.Array) -> "PooledHashSource":
         k1, k2 = jax.random.split(key)
-        self.params = self.family.sample(k1, self.pool_size)
-        self.pool_indices = jax.random.randint(
+        # pool_indices live INSIDE params: they are as much sampled state
+        # as the pool functions themselves, and every restore path
+        # (ClusteredIndex.rebuild_objects, io/h5 load) round-trips only
+        # `params`. Keeping them outside silently re-broadcast the pool
+        # via `pool[:, None]` after a restore — query hashes stopped
+        # matching the tables. Families read only their own keys, so the
+        # extra key is inert to family.hash.
+        self.params = dict(self.family.sample(k1, self.pool_size))
+        self.params["pool_indices"] = jax.random.randint(
             k2,
             (self.num_hashers, self.functions_per_hasher),
             0,
@@ -113,8 +119,13 @@ class PooledHashSource:
         return self
 
     def hash(self, x: jnp.ndarray) -> jnp.ndarray:
-        pool = self.family.hash(self.params, x)  # (n, pool_size)
-        h = pool[:, self.pool_indices]  # (n, L, fph)
+        return self.hash_with(self.params, x)
+
+    def hash_with(self, params, x: jnp.ndarray) -> jnp.ndarray:
+        """hash() with explicit parameters (restore paths pass the stored
+        params; must include "pool_indices")."""
+        pool = self.family.hash(params, x)  # (n, pool_size)
+        h = pool[:, params["pool_indices"]]  # (n, L, fph)
         return _combine_bits(
             h, self.functions_per_hasher, self.family.bits_per_function, self.bits_to_cut
         )
@@ -184,11 +195,13 @@ class TensoredHashSource:
         return (inter_l << np.uint32(1)) | inter_r
 
 
-def make_hash_source(name: str, family, num_hashers: int, num_bits: int):
+def make_hash_source(
+    name: str, family, num_hashers: int, num_bits: int, pool_size: int = 0
+):
     if name == "independent":
         return IndependentHashSource(family, num_hashers, num_bits)
     if name == "pool":
-        return PooledHashSource(family, num_hashers, num_bits)
+        return PooledHashSource(family, num_hashers, num_bits, pool_size)
     if name == "tensor":
         return TensoredHashSource(family, num_hashers, num_bits)
     raise ValueError(f"unknown hash source {name!r}")

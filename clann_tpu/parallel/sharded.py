@@ -351,7 +351,8 @@ def build_sharded(
         estimation_eps=cfg.estimation_eps,
     )
     source = make_hash_source(
-        cfg.hash_source, family, cfg.num_tables, cfg.max_hashbits
+        cfg.hash_source, family, cfg.num_tables, cfg.max_hashbits,
+        pool_size=cfg.pool_size,
     ).init(k_hash)
     filterer = SketchFilterer(d, cfg.num_sketches, cfg.sketch_bits).init(
         k_sketch

@@ -114,6 +114,14 @@ class Index:
         hash_source = kwargs.get("hash_source", "independent")
         if hash_source not in _SOURCES:
             raise ValueError(f"hash_source {hash_source!r}")
+        if metric == "jaccard" and hash_source != "independent":
+            # the set index hardcodes the independent source (the
+            # reference default, collection.hpp:130-131); silently
+            # running with different collision statistics than the user
+            # asked for would corrupt their recall contract
+            raise NotImplementedError(
+                "jaccard supports hash_source='independent' only"
+            )
         hash_args = dict(kwargs.get("hash_args") or {})
         _check_kwargs(
             hash_args,
@@ -184,16 +192,19 @@ class Index:
     def _derive_num_tables(self, n: int) -> int:
         """Tables that fit the byte budget at the current point count.
 
-        Upstream semantics (rebuild sizes L to the memory budget) with
-        this framework's byte model: fixed cost = stored data + sketches;
-        per-table cost = sorted (hash, id) pairs + packed global-engine
-        records + prefix directory.
+        Upstream semantics (rebuild sizes L to the memory budget). The
+        angular byte model is parallel/capacity.plan_capacity evaluated
+        on the ACTUAL build config — total bytes are linear in L, so two
+        plan evaluations give the fixed and per-table costs and nothing
+        here can drift from the planner's (single) structure model.
         """
         if self.metric == "angular":
-            fixed = n * self.dimensions * 4 + n * _SKETCH_BYTES_PER_POINT
-            # sorted hash+idx (8B) + global hash copy (4B) + packed
-            # [id, sketch x2, cluster] records (16B) per point per table
-            per_table = n * 28 + ((1 << 13) + 1) * 4
+            from clann_tpu.parallel.capacity import plan_capacity
+
+            t1 = plan_capacity(n, self.dimensions, self._config(1)).total_bytes
+            t2 = plan_capacity(n, self.dimensions, self._config(2)).total_bytes
+            per_table = max(1, t2 - t1)
+            fixed = t1 - per_table
         else:
             t_max = max((p.size for p in self._points), default=1)
             fixed = n * t_max * 4 + n * _SKETCH_BYTES_PER_POINT
@@ -221,7 +232,28 @@ class Index:
                       "num_rotations"):
                 if k in self.hash_args:
                     extra[k] = self.hash_args[k]
+            if "pool_size" in self.source_args:
+                extra["pool_size"] = int(self.source_args["pool_size"])
         return Config(num_tables=num_tables, seed=self.seed, **extra)
+
+    def _build(self, n: int) -> None:
+        """Build tables over the first n buffered points."""
+        L = self._derive_num_tables(n)
+        cfg = self._config(L)
+        if self.metric == "angular":
+            from clann_tpu.core.index import build_lsh_index
+
+            self._index = build_lsh_index(np.stack(self._points[:n]), cfg)
+        else:
+            from clann_tpu.core.jaccard import build_jaccard_index
+            from clann_tpu.data.setdata import JaccardData
+
+            data = JaccardData(
+                [p.tolist() for p in self._points[:n]], self.dimensions
+            )
+            self._index = build_jaccard_index(
+                data, cfg, table_hash=self.hash_function
+            )
 
     def rebuild(self) -> None:
         """(Re)hash every inserted point into the tables
@@ -229,27 +261,19 @@ class Index:
         n = len(self._points)
         if n == 0:
             raise DataError("empty dataset")
-        L = self._derive_num_tables(n)
-        cfg = self._config(L)
-        if self.metric == "angular":
-            from clann_tpu.core.index import build_lsh_index
-
-            self._index = build_lsh_index(np.stack(self._points), cfg)
-        else:
-            from clann_tpu.core.jaccard import build_jaccard_index
-            from clann_tpu.data.setdata import JaccardData
-
-            data = JaccardData(
-                [p.tolist() for p in self._points], self.dimensions
-            )
-            self._index = build_jaccard_index(
-                data, cfg, table_hash=self.hash_function
-            )
+        self._build(n)
         self._built_count = n
 
     def _require_built(self):
         if self._index is None:
-            self.rebuild()  # also restores a pickled handle lazily
+            if self._built_count > 0:
+                # pickled handle: restore EXACTLY the state that was
+                # serialized — tables over the first _built_count points,
+                # later inserts stay pending (collection.hpp:218-222
+                # contract; the explicit seed makes this deterministic)
+                self._build(self._built_count)
+            else:
+                self.rebuild()
         return self._index
 
     # -- queries ----------------------------------------------------------

@@ -166,6 +166,53 @@ class TestHashSources:
             bit = (h >> b) & 1
             assert 0 < bit.mean() < 1, f"{name}: bit {b} constant"
 
+    def test_pool_params_roundtrip(self):
+        # regression: pool_indices must live INSIDE params — restore
+        # paths (rebuild_objects, io/h5) round-trip only params, and a
+        # fresh source with externally-assigned params used to hash with
+        # pool[:, None] (silent garbage: query hashes stopped matching
+        # the tables)
+        d = 16
+        fam = SimHash(d)
+        src = make_hash_source("pool", fam, num_hashers=6, num_bits=10).init(
+            jax.random.PRNGKey(5)
+        )
+        assert "pool_indices" in src.params
+        x = np.asarray(random_unit_vectors(200, d, seed=6))
+        h1 = np.asarray(src.hash(x))
+        restored = make_hash_source("pool", fam, num_hashers=6, num_bits=10)
+        restored.params = src.params
+        np.testing.assert_array_equal(np.asarray(restored.hash(x)), h1)
+
+    def test_pool_size_override(self):
+        fam = SimHash(16)
+        src = make_hash_source(
+            "pool", fam, num_hashers=6, num_bits=10, pool_size=17
+        ).init(jax.random.PRNGKey(5))
+        assert src.pool_size == 17
+        assert src.params["dirs"].shape[0] == 17
+
+    def test_pool_index_query_self_hit(self):
+        # end-to-end: a pool-source index must find every indexed point
+        # as its own nearest neighbor (this was 0.56 under the params bug)
+        from clann_tpu.config import Config
+        from clann_tpu.core.index import build_lsh_index
+        from clann_tpu.ops.query import search
+
+        x = np.asarray(random_unit_vectors(400, 16, seed=7))
+        cfg = Config(num_tables=8, hash_family="simhash",
+                     hash_source="pool", k=5, candidate_chunk=64,
+                     brute_force_threshold=8)
+        idx = build_lsh_index(x, cfg)
+        src, _ = idx.rebuild_objects()
+        from clann_tpu.core.index import unsort_hashes
+
+        qh = np.asarray(src.hash(idx.vectors))
+        bh = np.asarray(unsort_hashes(idx.sorted_hash, idx.sorted_idx)).T
+        np.testing.assert_array_equal(qh, bh)
+        _, ids, _ = search(idx, x[:16], k=5, delta=0.9)
+        assert (ids[:, 0] == np.arange(16)).mean() == 1.0
+
     def test_independent_with_cp_family(self):
         d = 25
         fam = FHTCrossPolytope(d)

@@ -147,6 +147,30 @@ class TestAngular:
         assert len(idx) == 601
         res = idx.search(x[0], 5, 0.9)
         assert all(r < 600 for r in res)
+        # regression: pickling with pending inserts must restore EXACTLY
+        # the serialized state — the pending point stays pending (the
+        # lazy restore used to rebuild over ALL buffered points, making
+        # it searchable and changing the derived table count)
+        idx2 = pickle.loads(pickle.dumps(idx))
+        res2 = idx2.search(x[0], 5, 0.9)
+        assert res2 == res
+        assert idx2._built_count == 600 and len(idx2) == 601
+
+    def test_source_args_pool_size(self):
+        x = unit_vectors(200, 16, seed=4)
+        idx = puffinn.Index("angular", 16, MEM, hash_function="simhash",
+                            hash_source="pool",
+                            source_args={"pool_size": 19})
+        for v in x:
+            idx.insert(v)
+        idx.rebuild()
+        assert idx._index.config.pool_size == 19
+        res = idx.search(x[3], 5, 0.9)
+        assert res[0] == 3
+
+    def test_jaccard_rejects_non_independent_source(self):
+        with pytest.raises(NotImplementedError):
+            puffinn.Index("jaccard", 100, MEM, hash_source="pool")
 
 
 class TestMemoryDerivedTables:
