@@ -284,6 +284,16 @@ def derive_probs_tables(family, config: Config):
     so the tuning constants stay in one place.
     """
     probs = HashSourceProbs(family, config.max_hashbits, sim_eps=5e-3)
+    if config.hash_source == "tensor":
+        # tensored tables are correlated: swap in the effective per-table
+        # probabilities so the independent-form termination checks match
+        # the reference's bespoke tensor failure model
+        # (ops/collision.tensored_effective_table)
+        from clann_tpu.ops.collision import tensored_effective_table
+
+        probs.table = tensored_effective_table(
+            probs.table, config.num_tables
+        )
     n_buckets = probs.table.shape[1]
     sims = np.arange(n_buckets, dtype=np.float32) * probs.sim_eps
     maxdiff = np.round(

@@ -164,3 +164,39 @@ class HashSourceProbs:
         max_tables = jnp.asarray(max_tables, jnp.float32)
         rest = jnp.maximum(max_tables - tables, 0.0)
         return jnp.power(1.0 - p_d, tables) * jnp.power(1.0 - p_d1, rest)
+
+
+def tensored_effective_table(table: np.ndarray, num_tables: int) -> np.ndarray:
+    """Effective per-depth collision probabilities for a TENSORED source.
+
+    Tensored tables are built from ~2*sqrt(L) half-hashes, so they are
+    strongly correlated: treating them as independent (the raw table fed
+    to (1-P(d))^L) underestimates the failure probability badly at
+    moderate similarities — e.g. half-collision p=0.5, m=3 halves per
+    side: true P(no table collides) = (1-(1-(1-0.5)^3)^2) ≈ 0.23 while
+    the independent model claims 0.075 — and the adaptive loop then
+    terminates ~3x too early (measured: the recall contract failed for
+    every tensored family before this transform).
+
+    The reference derives a bespoke four-term failure probability
+    (hash_source/tensor.hpp:127-163). Its per-depth core is
+    F_d = 1 - A_d * B_d with A_d = 1-(1-P(ceil(d/2)))^m,
+    B_d = 1-(1-P(floor(d/2)))^m, m = floor(sqrt(L)) — the probability
+    that NO table collides on both its halves at depth d. This transform
+    folds that into an effective per-table probability
+    p_eff(d) = 1 - F_d^(1/L), so every existing consumer of the table —
+    both query engines' (1-p_d)^t (1-p_{d+1})^(L-t) checks and the join's
+    window sweep — computes F_d^(t/L) * F_{d+1}^(1-t/L): exact at depth
+    boundaries (up to the reference's extra cross-depth factor, which
+    only makes ours larger) and >= the reference's value in between,
+    i.e. conservative — the loop can only stop later, never earlier.
+    """
+    num_tables = max(1, int(num_tables))
+    m = max(1, int(np.floor(np.sqrt(num_tables))))
+    d = np.arange(table.shape[0])
+    left = table[(d + 1) // 2]  # (D+2, B)
+    right = table[d // 2]
+    a = 1.0 - (1.0 - left) ** m
+    b = 1.0 - (1.0 - right) ** m
+    f = np.clip(1.0 - a * b, 1e-30, 1.0)
+    return (1.0 - f ** (1.0 / num_tables)).astype(np.float32)

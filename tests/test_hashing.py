@@ -226,6 +226,35 @@ class TestHashSources:
         h = np.asarray(src.hash(np.asarray(x)))
         assert h.max() < (1 << 24)
 
+    def test_tensored_effective_table(self):
+        # ops/collision.tensored_effective_table: (1-p_eff(d))^L must equal
+        # the reference's per-depth tensor core F_d = 1 - A_d*B_d
+        # (hash_source/tensor.hpp:127-163), and p_eff >= the raw table's p
+        # is NOT required — what matters is failure >= independent model's
+        # claim at moderate similarity (the correlated-tables correction)
+        from clann_tpu.ops.collision import (
+            HashSourceProbs,
+            tensored_effective_table,
+        )
+
+        fam = SimHash(16)
+        probs = HashSourceProbs(fam, 12)
+        raw = probs.table.copy()
+        L = 12
+        eff = tensored_effective_table(raw, L)
+        m = int(np.floor(np.sqrt(L)))
+        for d in (2, 5, 9):
+            for b in (40, 120, 180):
+                a_ = 1 - (1 - raw[(d + 1) // 2, b]) ** m
+                b_ = 1 - (1 - raw[d // 2, b]) ** m
+                f = 1 - a_ * b_
+                assert (1 - eff[d, b]) ** L == pytest.approx(f, rel=1e-4)
+        # conservative vs the independent model at mid similarity: the
+        # claimed failure (1-p)^L must be LARGER with the transform
+        mid = 120
+        d = 8
+        assert (1 - eff[d, mid]) ** L >= (1 - raw[d, mid]) ** L
+
     def test_failure_probability_shape(self):
         # reference: independent.hpp:108-119
         fam = SimHash(16)
