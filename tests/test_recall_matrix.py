@@ -54,3 +54,33 @@ def test_recall_contract(data, family, source):
         family, source, correct / (K * Q),
     )
     assert int(np.asarray(stats.distance_computations).sum()) > 0
+
+
+@pytest.mark.parametrize(
+    "family,source",
+    [("simhash", "pool"), ("fht_cross_polytope", "tensor"),
+     ("cross_polytope", "independent")],
+)
+def test_recall_contract_global_engine(data, family, source):
+    # the ball-filtered global engine shares the probs table with the
+    # clustered walk; spot-check the correlated-source correction and
+    # the pooled restore through it too
+    from clann_tpu.ops.global_query import global_search
+
+    x, q, sims, kth = data
+    cfg = Config(
+        num_tables=L, k=K, delta=DELTA, hash_family=family,
+        hash_source=source, candidate_chunk=64, seed=3,
+        brute_force_threshold=8, estimation_repetitions=200,
+        lsh_engine="global",
+    )
+    index = build_lsh_index(x, cfg)
+    d, ids, stats = global_search(index, q, k=K, delta=DELTA)
+    correct = 0
+    for qi in range(Q):
+        correct += sum(
+            sims[qi, r] >= kth[qi] - 1e-6 for r in ids[qi] if r >= 0
+        )
+    assert correct >= 0.8 * DELTA * K * Q, (
+        family, source, correct / (K * Q),
+    )
