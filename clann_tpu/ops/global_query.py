@@ -128,6 +128,11 @@ def global_search_batch_impl(
 
         queries_q8 = quantize_q8(queries_n)
         kk = 2 * k
+    # int8 kth overestimation margin — see ops/query.py q8_margin: an
+    # inflated kth would irreversibly prune feasible balls/candidates
+    q8_margin = (
+        float(np.sqrt(d)) / 127.0 if index.vectors_q8 is not None else 0.0
+    )
 
     # cluster geometry for the feasibility filter (one matmul)
     center_dist = jnp.clip(
@@ -181,7 +186,7 @@ def global_search_batch_impl(
             feas_bound.shape[1] - 1,
         )
 
-        kth_sim = topk_sims[:, k - 1]
+        kth_sim = topk_sims[:, k - 1] - q8_margin
         full = topk_ids[:, k - 1] >= 0
         kth_dist = jnp.where(full, 2.0 * (1.0 - kth_sim), jnp.inf)
 
@@ -260,7 +265,7 @@ def global_search_batch_impl(
         depth_cur = jnp.maximum(d_entry - r_star // L, min_depth)
         tables_consumed = (r_star % L).astype(jnp.float32)
 
-        kth_sim = topk_sims[:, k - 1]
+        kth_sim = topk_sims[:, k - 1] - q8_margin
         full = topk_ids[:, k - 1] >= 0
         kth_dist = jnp.where(full, 2.0 * (1.0 - kth_sim), jnp.inf)
         p_d = probs_lookup(index, depth_cur, kth_sim)
@@ -324,7 +329,11 @@ def _difficulty_jit(index, query_hashes, *, d_entry, min_depth):
     Sorting the query set by this total before batching groups queries of
     similar depth, cutting total batch iterations several-fold.
     """
-    n = index.vectors.shape[0]
+    # table width, NOT len(vectors), and the same entry cap as the
+    # engine (global_search_batch_impl) — the estimate must measure the
+    # stream the engine actually walks, or the sorted batching it feeds
+    # groups queries by a wrong cost
+    n = index.g_sorted_hash.shape[1]
     Q = query_hashes.shape[0]
     zero = jnp.zeros((Q,), jnp.int32)
     full_n = jnp.full((Q,), n, jnp.int32)
@@ -392,6 +401,9 @@ def global_search(
             np.ceil(np.log2(max(2, n))) + 2, cfg.min_depth,
             cfg.max_hashbits,
         ))
+        if cfg.global_entry_cap > 0:  # mirror the engine's entry depth
+            d_entry = int(max(cfg.min_depth,
+                              min(d_entry, cfg.global_entry_cap)))
         tot = _difficulty_jit(
             index, source.hash(qn), d_entry=d_entry, min_depth=cfg.min_depth
         )

@@ -107,7 +107,10 @@ def batched_query_driver(qn, batch_size, run_block):
         pad = 0
         if block.shape[0] < batch_size and qn.shape[0] > batch_size:
             pad = batch_size - block.shape[0]
-            block = jnp.pad(block, ((0, pad), (0, 0)))
+            # repeat the last real query: a zero pad row behaves as a
+            # worst-case query (never ball-stops, slowest delta check)
+            # and the batch while_loops run to the SLOWEST lane
+            block = jnp.pad(block, ((0, pad), (0, 0)), mode="edge")
         sims, ids, stats = run_block(block)
         if pad:
             sims, ids = sims[:-pad], ids[:-pad]
@@ -250,7 +253,6 @@ def search_batch_impl(
     k: int,
     chunk: int,
     min_depth: int = 1,
-    with_stats: bool = True,
     filter_type: str = "default",
     filter_expand: int = 8,
     group_ranks: int = 8,
@@ -366,16 +368,33 @@ def search_batch_impl(
 
         queries_q8 = quantize_q8(queries_n)
         kk = 2 * k
+    # int8 ranking can OVERESTIMATE the k-th similarity by the
+    # quantization dot-error bound (~sqrt(d)/127 on unit vectors), and an
+    # inflated kth irreversibly prunes balls/candidates that beat the
+    # true k-th — the 2k buffer and the f32 final rescore cannot recover
+    # a candidate that was never gathered. Every consumer of kth_sim
+    # (ball bounds, sketch threshold, failure check) subtracts this
+    # margin, keeping pruning and termination conservative.
+    q8_margin = (
+        float(np.sqrt(d)) / 127.0 if index.vectors_q8 is not None else 0.0
+    )
 
     use_dir = have_dir
     # f32 directory selects the one-hot MXU lookup path inside
-    # depth_bounds (dtype dispatch); converted ONCE per batch — positions
-    # are ints < 2^24, exact in f32
+    # depth_bounds (dtype dispatch); converted ONCE per batch. Exactness
+    # precondition: directory entries are SLOT POSITIONS up to the table
+    # width, and f32 represents integers exactly only below 2^24 — past
+    # that the rounded bounds silently corrupt every range search, so the
+    # one-hot path is disabled (the int32 gather path is exact at any n).
+    dir_onehot = (
+        index.config.dir_onehot
+        and index.sorted_hash.shape[1] < (1 << 24)
+    )
     pdir = None
     if use_dir:
         pdir = (
             index.prefix_dir.astype(jnp.float32)
-            if index.config.dir_onehot
+            if dir_onehot
             else index.prefix_dir
         )
     blk_iota = jnp.arange(WB, dtype=jnp.int32)
@@ -414,7 +433,7 @@ def search_batch_impl(
             # one dynamic window of LC levels, all bounds direct directory
             # answers (ops/prefixmap.chunk_stream_direct)
             mflat = members.reshape(-1)
-            if index.config.dir_onehot:
+            if dir_onehot:
                 st_f, sz_f = chunk_stream_direct(
                     qh_flat, d_top, entry_chunk, LC, D, index.dir_bits,
                     min_depth, d_entry,
@@ -479,7 +498,11 @@ def search_batch_impl(
         # ENTERED in the entry window only — deeper windows revisit them,
         # so the check (and its dc/visited accounting) is gated on it.
         full0 = topk_ids[:, k - 1] >= 0
-        kth0 = jnp.where(full0, 2.0 * (1.0 - topk_sims[:, k - 1]), jnp.inf)
+        kth0 = jnp.where(
+            full0,
+            2.0 * (1.0 - (topk_sims[:, k - 1] - q8_margin)),
+            jnp.inf,
+        )
         stopped0 = s.stopped | (
             entry_chunk & full0 & (minpos_g[:, 0] > kth0)
         )
@@ -528,7 +551,7 @@ def search_batch_impl(
                 cand_ids = index.sorted_idx[t_sel, slot]  # G=1: WL == WB
                 cand_sk = index.sketches[cand_ids, sk_idx, :]
 
-            kth_sim = topk_sims[:, k - 1]
+            kth_sim = topk_sims[:, k - 1] - q8_margin
             maxdiff = index.maxdiff_table[
                 jnp.clip(
                     (kth_sim / index.sim_eps).astype(jnp.int32),
@@ -610,7 +633,7 @@ def search_batch_impl(
             depth_cur = jnp.maximum(d_top - local_r // L, min_depth)
             tables_consumed = (local_r % L).astype(jnp.float32)
 
-            kth_sim = topk_sims[:, k - 1]
+            kth_sim = topk_sims[:, k - 1] - q8_margin
             p_d = probs_lookup(index, depth_cur, kth_sim)
             p_d1 = probs_lookup(index, depth_cur + 1, kth_sim)
             # At the first (entry) depth the not-yet-consumed tables carry
@@ -738,7 +761,7 @@ def search_batch_impl(
 search_batch_jit = functools.partial(
     jax.jit,
     static_argnames=(
-        "k", "chunk", "min_depth", "with_stats", "filter_type",
+        "k", "chunk", "min_depth", "filter_type",
         "filter_expand", "group_ranks",
     ),
 )(search_batch_impl)

@@ -56,6 +56,31 @@ def test_recall_contract(data, family, source):
     assert int(np.asarray(stats.distance_computations).sum()) > 0
 
 
+@pytest.mark.parametrize("engine", ["clustered", "global"])
+def test_recall_contract_int8_rescore(data, engine):
+    # int8 ranking overestimates the k-th similarity by quantization
+    # noise; without the q8_margin correction that inflated kth
+    # irreversibly pruned feasible balls/candidates
+    from clann_tpu.ops.global_query import global_search
+
+    x, q, sims, kth = data
+    cfg = Config(
+        num_tables=L, k=K, delta=DELTA, hash_family="simhash",
+        candidate_chunk=64, seed=3, brute_force_threshold=8,
+        rescore_dtype="int8", lsh_engine=engine,
+    )
+    index = build_lsh_index(x, cfg)
+    if engine == "global":
+        d, ids, _ = global_search(index, q, k=K, delta=DELTA)
+    else:
+        d, ids, _ = search(index, q, k=K, delta=DELTA)
+    correct = sum(
+        sims[qi, r] >= kth[qi] - 1e-6
+        for qi in range(Q) for r in ids[qi] if r >= 0
+    )
+    assert correct >= 0.8 * DELTA * K * Q, correct / (K * Q)
+
+
 @pytest.mark.parametrize(
     "family,source",
     [("simhash", "pool"), ("fht_cross_polytope", "tensor"),
