@@ -153,6 +153,18 @@ def scan_search(
     if qn.ndim == 1:
         qn = qn[None, :]
     n = index.vectors.shape[0]
+    if qn.shape[0] == 0:
+        return (
+            np.zeros((0, k), np.float32),
+            np.zeros((0, k), np.int32),
+            DenseSearchStats(
+                distance_computations=np.zeros(0, np.int32),
+                candidates=np.zeros(0, np.int32),
+                clusters_visited=np.zeros(0, np.int32),
+                dropped_probes=np.int32(0),
+                uncertified=np.zeros(0, np.int32),
+            ),
+        )
 
     if use_pallas:
         from clann_tpu.ops.pallas.scan_topk import fused_scan_topk_e2e
@@ -165,6 +177,9 @@ def scan_search(
         # through the ~40ms relay diluted the kernel win to nothing
         block_n, num_bins, rescore_m, q_tile = pallas_scan_plan(n, k)
         base_p = _pallas_base(index, block_n)
+        # Mosaic kernels need real TPU hardware; off-TPU (CI, tests) run
+        # the same kernel interpreted, like every other Pallas entry point
+        interp = jax.default_backend() != "tpu"
         outs_s, outs_i = [], []
         for s in range(0, qn.shape[0], batch_q):
             blk = qn[s : s + batch_q]
@@ -172,7 +187,7 @@ def scan_search(
                 base_p, index.vectors, blk,
                 n_real=n, k=k, rescore_m=rescore_m,
                 num_bins=num_bins, block_n=block_n, q_tile=q_tile,
-                normalize=True, biased=True,
+                normalize=True, biased=True, interpret=interp,
             )
             outs_s.append(ts)
             outs_i.append(ti)
@@ -225,6 +240,29 @@ def scan_search(
         uncertified=np.zeros(Q, np.int32),
     )
     return dists, ids, stats
+
+
+def _dedup_topk_np(cat_s: np.ndarray, cat_i: np.ndarray, k: int):
+    """Host-side per-row top-k with id dedup (best sim per id kept).
+
+    cat_s/cat_i: (Q, M) candidate sims/ids, -1 = empty. Used by the
+    adaptive wave merge, where re-probed rows (last-wave padding) can
+    surface the same id twice."""
+    o = np.argsort(-cat_s, axis=1, kind="stable")
+    s = np.take_along_axis(cat_s, o, axis=1)
+    i = np.take_along_axis(cat_i, o, axis=1)
+    # group equal ids (stable keeps sim-desc order within a group), mask
+    # every occurrence after the first, then restore sim order
+    o2 = np.argsort(i, axis=1, kind="stable")
+    i2 = np.take_along_axis(i, o2, axis=1)
+    dup2 = np.zeros_like(i2, bool)
+    dup2[:, 1:] = (i2[:, 1:] == i2[:, :-1]) & (i2[:, 1:] >= 0)
+    dup = np.zeros_like(dup2)
+    np.put_along_axis(dup, o2, dup2, axis=1)
+    s = np.where(dup, -1.0, s)
+    i = np.where(dup, -1, i)
+    o3 = np.argsort(-s, axis=1, kind="stable")[:, :k]
+    return np.take_along_axis(s, o3, axis=1), np.take_along_axis(i, o3, axis=1)
 
 
 def auto_probe_cap(n_queries: int, n_probe: int, n_clusters: int) -> int:
@@ -360,8 +398,12 @@ def ivf_search_batch_impl(
     final_s = jnp.maximum(final_s, 0.0)
 
     # stats + ball-overlap certificate (index.rs:342-361 post-hoc,
-    # evaluated per segment row with the owner cluster's radius)
-    probed_sizes = seg_sizes[probe]  # (Q, P)
+    # evaluated per segment row with the owner cluster's radius).
+    # probed_ok: which (query, probe-slot) pairs were ACTUALLY scanned —
+    # slots beyond a cluster's capacity were dropped, and counting them as
+    # probed would certify results that never saw their best cluster.
+    probed_ok = jnp.zeros((Q + 1, P), bool).at[qidx, pidx].set(True)[:Q]
+    probed_sizes = seg_sizes[probe] * probed_ok  # (Q, P)
     dc = jnp.sum(probed_sizes, axis=1).astype(jnp.int32)
     kth_dist = jnp.where(
         final_i[:, k - 1] >= 0, 2.0 * (1.0 - final_s[:, k - 1]), jnp.inf
@@ -370,7 +412,7 @@ def ivf_search_batch_impl(
     overlapping = min_possible <= kth_dist[:, None]  # (Q, C)
     is_probed = jnp.zeros((Q, C), bool).at[
         jnp.arange(Q)[:, None], probe
-    ].set(True)
+    ].max(probed_ok)
     uncertified = jnp.sum(
         overlapping & ~is_probed & (seg_sizes[None, :] > 0), axis=1
     ).astype(jnp.int32)
@@ -378,7 +420,7 @@ def ivf_search_batch_impl(
     stats = DenseSearchStats(
         distance_computations=dc,
         candidates=dc,
-        clusters_visited=jnp.full((Q,), P, jnp.int32),
+        clusters_visited=jnp.sum(probed_ok, axis=1).astype(jnp.int32),
         dropped_probes=dropped.astype(jnp.int32),
         uncertified=uncertified,
         probed_clusters=index.seg_cluster[probe],
@@ -424,6 +466,9 @@ def adaptive_dense_search(
     cfg = index.config
     k = cfg.k if k is None else k
     R = int(index.seg_centers.shape[0])
+    # a wave never needs to exceed the row count; this also keeps the
+    # last-wave padding (drawn from wave 0) disjoint from the wave itself
+    wave = min(wave, R)
     max_waves = max_waves or -(-R // wave)
 
     q = queries if isinstance(queries, jnp.ndarray) else jnp.asarray(
@@ -452,23 +497,41 @@ def adaptive_dense_search(
         lo = w * wave
         hi = min(lo + wave, R)
         probe_w = order[:, lo:hi]
-        if probe_w.shape[1] < wave:
-            probe_w = np.pad(probe_w, ((0, 0), (0, wave - probe_w.shape[1])),
-                             mode="edge")
-        sims, ids, _ = _probe_wave(
-            index, qn, jnp.asarray(probe_w), k=k, probe_cap=cap
-        )
+        n_real_w = probe_w.shape[1]
+        if n_real_w < wave:
+            # pad the last partial wave with DISTINCT already-probed rows
+            # (wave 0 is always full): edge-repeating a row would put the
+            # same (query, row) probe in several slots — inflating that
+            # cluster's load beyond Q (the capacity-retry ceiling) and
+            # returning duplicate ids; re-probing old rows is idempotent
+            # under the id-dedup merge
+            probe_w = np.concatenate(
+                [probe_w, order[:, : wave - n_real_w]], axis=1
+            )
+        # a wave with capacity overflow silently drops (query, row) probes
+        # that are never revisited — rerun the whole wave with doubled
+        # capacity until nothing drops (cap == Q can never drop), so the
+        # 'run to completion this is exact' contract actually holds
+        cap_w = cap
+        while True:
+            sims, ids, wst = _probe_wave(
+                index, qn, jnp.asarray(probe_w), k=k, probe_cap=cap_w
+            )
+            if cap_w >= Q or int(wst.dropped_probes) == 0:
+                break
+            cap_w = min(Q, 2 * cap_w)
         sims, ids = np.asarray(sims), np.asarray(ids)
         waves_run += 1
         active = ~done
-        # merge wave results for active queries (rows are disjoint across
-        # waves, so a concatenate + top-k merge needs no dedup)
+        # merge wave results for active queries. Waves probe disjoint
+        # rows, but the last wave's edge padding duplicates a row within
+        # the wave — merge through an id-dedup to keep the top-k distinct.
         cat_s = np.concatenate([top_s, np.where(active[:, None], sims, -1)], 1)
         cat_i = np.concatenate([top_i, np.where(active[:, None], ids, -1)], 1)
-        sel = np.argsort(-cat_s, axis=1, kind="stable")[:, :k]
-        top_s = np.take_along_axis(cat_s, sel, axis=1)
-        top_i = np.take_along_axis(cat_i, sel, axis=1)
-        dc += np.where(active, seg_sizes[probe_w].sum(axis=1), 0)
+        top_s, top_i = _dedup_topk_np(cat_s, cat_i, k)
+        dc += np.where(
+            active, seg_sizes[probe_w[:, :n_real_w]].sum(axis=1), 0
+        )
         visited += np.where(active, hi - lo, 0)
         # certificate: can the next unvisited row improve the k-th?
         if hi >= R:
@@ -530,7 +593,10 @@ def dense_search(
         pad = 0
         if block.shape[0] < batch_size and qn.shape[0] > batch_size:
             pad = batch_size - block.shape[0]
-            block = jnp.pad(block, ((0, pad), (0, 0)))
+            # repeat the last real query: zero pad rows are equidistant
+            # to every center and pile max-contention probes onto the
+            # first rows, inflating dropped_probes and burning MXU work
+            block = jnp.pad(block, ((0, pad), (0, 0)), mode="edge")
         cap = probe_cap or cfg.probe_cap or auto_probe_cap(
             block.shape[0], min(n_probe, C), C
         )

@@ -142,13 +142,20 @@ def shard_index(index, n_devices: int) -> ShardedIndex:
         "global_ids": np.full((n_devices, n_max), -1, np.int32),
     }
 
+    # one O(n log n) pass gives every cluster's member list (the
+    # per-cluster np.where scan was O(C*n) — minutes of host time at 10M)
+    member_order = np.argsort(g_assign, kind="stable").astype(np.int32)
+    member_bounds = np.searchsorted(
+        g_assign[member_order], np.arange(C + 1)
+    )
+
     for dev, g in enumerate(groups):
         # local point ids ordered by (cluster, original id)
         inv = np.full(n_global, -1, np.int32)
         local_starts = [0]
         gids_parts = []
         for c in g:
-            members = np.where(g_assign == c)[0].astype(np.int32)
+            members = member_order[member_bounds[c]:member_bounds[c + 1]]
             gids_parts.append(members)
             local_starts.append(local_starts[-1] + len(members))
         gids = (
@@ -320,11 +327,16 @@ def build_sharded(
     center_ids = np.full((D, C_max), -1, np.int32)
     radii_arr = np.full((D, C_max), PAD_RADIUS, np.float32)
     brute_arr = np.zeros((D, C_max), bool)
+    # single argsort instead of O(C*n) per-cluster scans (see shard_index)
+    member_order = np.argsort(assignment, kind="stable").astype(np.int32)
+    member_bounds = np.searchsorted(
+        assignment[member_order], np.arange(C + 1)
+    )
     for dev, g in enumerate(groups):
         local_starts = [0]
         parts = []
         for ci, c in enumerate(g):
-            members = np.where(assignment == c)[0].astype(np.int32)
+            members = member_order[member_bounds[c]:member_bounds[c + 1]]
             parts.append(members)
             local_starts.append(local_starts[-1] + len(members))
             centers_arr[dev, ci] = xn_host[centers_idx[c]]
@@ -842,6 +854,74 @@ def dryrun(n_devices: int) -> None:
         assert np.array_equal(i2d, i1d) and np.allclose(d2d, d1d, atol=1e-6)
 
 
+# (id(vectors), block_n) -> (bp (D, n_pad, dpad) bf16, vperm, gperm);
+# same id-pinned pattern as ops/ivf._PALLAS_BASE_CACHE
+_SHARD_BASE_CACHE: dict = {}
+
+
+def _shard_pallas_base(sharded: ShardedIndex, block_n: int, mesh):
+    """Per-shard padded bf16 base for the fused scan kernel, cached.
+
+    Three fixes over building it inline per call:
+    - rows are SHUFFLED within each shard (real rows permuted, pads kept
+      at the end): shard layouts are cluster-major, and the kernel's
+      contiguous bins would otherwise hold one cluster each — a query's
+      true neighbors then share 1-2 bins and all but the bin winners are
+      lost (the measured recall collapse that ops/pallas/block_scan.py:112
+      documents and fixes the same way);
+    - the bias column is 1.0 on REAL rows only: a pad row with bias scores
+      dot+3.0 = 3.0 and would displace real candidates with negative
+      similarity inside the kernel's top-m selection; without bias it
+      decodes below every real score and is only selected when fewer than
+      m real bin winners exist;
+    - built once per (shard set, plan) and cached — rebuilding a
+      multi-GB padded copy per search call costs a full-shard HBM
+      materialization each time (ops/ivf caches the same way).
+
+    Returns (bp (D, n_pad, dpad), vperm (D, n_local, d) f32 permuted
+    vectors for the exact rescore, gperm (D, n_local) permuted global
+    ids). Candidate ids from the kernel index the PERMUTED layout, so
+    callers map ids through gperm.
+    """
+    key = (id(sharded.vectors), block_n)
+    hit = _SHARD_BASE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    D, n_local, d = sharded.vectors.shape
+    n_pad = ((n_local + block_n - 1) // block_n) * block_n
+    dpad = ((d + 1 + 127) // 128) * 128  # spare dim for the bias column
+    gids = np.asarray(sharded.global_ids)
+    rng = np.random.default_rng(0)
+    perm = np.empty((D, n_local), np.int32)
+    for dev in range(D):
+        n_real = int((gids[dev] >= 0).sum())
+        perm[dev, :n_real] = rng.permutation(n_real).astype(np.int32)
+        perm[dev, n_real:] = np.arange(n_real, n_local, dtype=np.int32)
+    perm_j = jnp.asarray(perm)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(CLUSTER_AXIS), P(CLUSTER_AXIS), P(CLUSTER_AXIS)),
+        out_specs=(P(CLUSTER_AXIS), P(CLUSTER_AXIS), P(CLUSTER_AXIS)),
+        check_vma=False,
+    )
+    def prep(vec_shard, gid_shard, perm_shard):
+        v = vec_shard[0][perm_shard[0]]  # (n_local, d) shuffled
+        g = gid_shard[0][perm_shard[0]]
+        bp = jnp.zeros((n_pad, dpad), jnp.bfloat16)
+        bp = bp.at[:n_local, :d].set(v.astype(jnp.bfloat16))
+        bp = bp.at[:n_local, d].set(
+            jnp.where(g >= 0, jnp.bfloat16(1.0), jnp.bfloat16(0.0))
+        )
+        return bp[None], v[None], g[None]
+
+    out = prep(sharded.vectors, sharded.global_ids, perm_j)
+    _SHARD_BASE_CACHE.clear()  # hold exactly one shard set (like ivf's)
+    _SHARD_BASE_CACHE[key] = out
+    return out
+
+
 def sharded_scan_search(
     sharded: ShardedIndex,
     queries,
@@ -876,31 +956,34 @@ def sharded_scan_search(
         from clann_tpu.ops.ivf import pallas_scan_plan
 
         block_n, num_bins, rescore_m, q_tile = pallas_scan_plan(n_local, k)
-        n_pad = ((n_local + block_n - 1) // block_n) * block_n
-        dpad = ((d + 1 + 127) // 128) * 128  # spare dim for the bias column
         # Mosaic kernels need real TPU hardware; the virtual CPU mesh
         # (tests, dryrun) runs the same kernel interpreted
         interpret = jax.devices()[0].platform != "tpu"
+        bp_all, vperm_all, gperm_all = _shard_pallas_base(
+            sharded, block_n, mesh
+        )
+        vec_in, gid_in = vperm_all, gperm_all
+    else:
+        bp_all = sharded.vectors  # unused placeholder with the right spec
+        vec_in, gid_in = sharded.vectors, sharded.global_ids
 
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(CLUSTER_AXIS), P(CLUSTER_AXIS), P()),
+        in_specs=(P(CLUSTER_AXIS), P(CLUSTER_AXIS), P(CLUSTER_AXIS), P()),
         out_specs=(P(), P()),
         check_vma=False,
     )
-    def run(vec_shard, gid_shard, qn):
+    def run(bp_shard, vec_shard, gid_shard, qn):
         vecs = vec_shard[0]  # (n_local, d)
         gids = gid_shard[0]  # (n_local,)
         # padded rows (gid < 0) are zero vectors; mask via global ids
         if use_pallas:
             from clann_tpu.ops.pallas.scan_topk import fused_scan_topk_e2e
 
-            bp = jnp.zeros((n_pad, dpad), jnp.bfloat16)
-            bp = bp.at[:n_local, :d].set(vecs.astype(jnp.bfloat16))
-            bp = bp.at[:n_local, d].set(jnp.bfloat16(1.0))
             sims, lids = fused_scan_topk_e2e(
-                bp, vecs, qn, n_real=n_local, k=k, rescore_m=rescore_m,
+                bp_shard[0], vecs, qn, n_real=n_local, k=k,
+                rescore_m=rescore_m,
                 num_bins=num_bins, block_n=block_n, q_tile=q_tile,
                 biased=True, interpret=interpret,
             )
@@ -921,7 +1004,7 @@ def sharded_scan_search(
         ts, sel = jax.lax.top_k(fs, k)
         return ts, jnp.take_along_axis(fi, sel, axis=1)
 
-    sims, ids = run(sharded.vectors, sharded.global_ids, qn)
+    sims, ids = run(bp_all, vec_in, gid_in, qn)
     sims_np = np.asarray(sims)
     ids_np = np.asarray(ids)
     dists = np.where(ids_np >= 0, np.clip(1.0 - sims_np, 0.0, 2.0), np.inf)
