@@ -119,6 +119,16 @@ def load_library() -> ctypes.CDLL:
     ]
     lib.clann_ref_source_info.argtypes = [
         ctypes.c_void_p] + [ctypes.POINTER(ctypes.c_uint32)] * 4
+    lib.clann_ref_est_info.restype = ctypes.c_uint32
+    lib.clann_ref_est_info.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint32),
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint32),
+        ctypes.POINTER(ctypes.c_uint32),
+    ]
+    lib.clann_ref_est_data.restype = ctypes.POINTER(ctypes.c_float)
+    lib.clann_ref_est_data.argtypes = [ctypes.c_void_p]
+    lib.clann_ref_num_rotations.restype = ctypes.c_int32
+    lib.clann_ref_num_rotations.argtypes = [ctypes.c_void_p]
 
     lib.clann_ref_write_simhash.restype = ctypes.c_void_p
     lib.clann_ref_write_simhash.argtypes = [
@@ -178,6 +188,14 @@ class ReferenceIndexData:
         self.sketch_planes: Optional[np.ndarray] = None  # (F, storage_len) i16
         self.hash_planes: Optional[np.ndarray] = None  # (F, storage_len) i16
         self.fht_signs: Optional[np.ndarray] = None  # (F, R, 2^log_dims) i8
+        # FHT-CP Monte-Carlo collision table as stored in the stream
+        # (CrossPolytopeCollisionEstimates, crosspolytope.hpp:10-119) —
+        # kept so re-exports can pass the reference's own tabulation back
+        # through byte-identically
+        self.estimates: Optional[np.ndarray] = None  # (rows, cols) f32
+        self.est_reps = 0
+        self.est_eps = 0.0
+        self.num_rotations = 3
         self.num_hashers = 0
         self.functions_per_hasher = 0
         self.bits_to_cut = 0
@@ -280,6 +298,20 @@ def parse_reference_stream(
                     ).copy()
                 )
             out.fht_signs = np.stack(rows) if rows else None
+            reps = ctypes.c_uint32()
+            eps = ctypes.c_float()
+            er = ctypes.c_uint32()
+            ec = ctypes.c_uint32()
+            if lib.clann_ref_est_info(
+                h, ctypes.byref(reps), ctypes.byref(eps), ctypes.byref(er),
+                ctypes.byref(ec),
+            ):
+                out.est_reps = reps.value
+                out.est_eps = eps.value
+                out.estimates = np.ctypeslib.as_array(
+                    lib.clann_ref_est_data(h), shape=(er.value, ec.value)
+                ).copy()
+            out.num_rotations = lib.clann_ref_num_rotations(h)
         nh = ctypes.c_uint32()
         fph = ctypes.c_uint32()
         bpf = ctypes.c_uint32()

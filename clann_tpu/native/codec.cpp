@@ -426,6 +426,31 @@ const int8_t* clann_ref_hash_fn_signs(void* h, uint32_t i, int32_t* log_dims,
   *rotations = f.rotations;
   return f.signs.data();
 }
+// Parsed FHT-CP Monte-Carlo collision estimates (crosspolytope.hpp:10-119),
+// exposed so a faithful re-export can pass the reference's own table back
+// through instead of re-tabulating (which could never be byte-identical —
+// the reference samples them from its clock-seeded RNG). Returns 1 and the
+// (rows, cols) shape when present and rectangular; 0 otherwise.
+uint32_t clann_ref_est_info(void* h, uint32_t* reps, float* eps,
+                            uint32_t* rows, uint32_t* cols) {
+  auto* ix = static_cast<ParsedIndex*>(h);
+  if (ix->est_row_len.empty()) return 0;
+  uint64_t c = ix->est_row_len[0];
+  for (uint64_t len : ix->est_row_len) {
+    if (len != c) return 0;
+  }
+  *reps = ix->est_reps;
+  *eps = ix->est_eps;
+  *rows = static_cast<uint32_t>(ix->est_row_len.size());
+  *cols = static_cast<uint32_t>(c);
+  return 1;
+}
+const float* clann_ref_est_data(void* h) {
+  return static_cast<ParsedIndex*>(h)->estimates.data();
+}
+int32_t clann_ref_num_rotations(void* h) {
+  return static_cast<ParsedIndex*>(h)->num_rotations;
+}
 void clann_ref_source_info(void* h, uint32_t* num_hashers, uint32_t* fph,
                            uint32_t* bits_per_fn, uint32_t* bits_to_cut) {
   auto& s = static_cast<ParsedIndex*>(h)->hash_source;
@@ -471,7 +496,12 @@ void* clann_ref_write_simhash(
   out->set<uint32_t>(sketch_hashers);
   out->set<uint32_t>(sketch_fph);
   out->set<uint8_t>(1);  // SimHash bits_per_function
-  out->set<uint32_t>(num_sketch_fns);  // next_function (all used)
+  // next_function: dead state in the reference (initialized 0 at
+  // independent.hpp:15, serialized at :66, never incremented anywhere) —
+  // genuine reference streams always carry 0, so 0 keeps re-emission
+  // byte-identical (validated against real C++ bytes in
+  // tests/test_reference_cross.py)
+  out->set<uint32_t>(0);
   out->set<uint32_t>(sketch_cut);
   out->set<uint64_t>(num_sketch_words);
   out->put(sketches, num_sketch_words * 8);
@@ -490,7 +520,7 @@ void* clann_ref_write_simhash(
   out->set<uint32_t>(num_hashers);
   out->set<uint32_t>(fph);
   out->set<uint8_t>(1);
-  out->set<uint32_t>(num_hash_fns);
+  out->set<uint32_t>(0);  // next_function: always 0 in reference streams
   out->set<uint32_t>(bits_to_cut);
   // maps (sentinel + directory injection in write_map); with use_chunks the
   // maps are omitted here and emitted via clann_ref_write_chunk instead
@@ -543,7 +573,7 @@ void* clann_ref_write_fhtcp(
   out->set<uint32_t>(sketch_hashers);
   out->set<uint32_t>(sketch_fph);
   out->set<uint8_t>(1);
-  out->set<uint32_t>(num_sketch_fns);
+  out->set<uint32_t>(0);  // next_function: always 0 in reference streams
   out->set<uint32_t>(sketch_cut);
   out->set<uint64_t>(num_sketch_words);
   out->put(sketches, num_sketch_words * 8);
@@ -578,7 +608,7 @@ void* clann_ref_write_fhtcp(
   out->set<uint32_t>(num_hashers);
   out->set<uint32_t>(fph);
   out->set<uint8_t>(static_cast<uint8_t>(log_dims + 1));
-  out->set<uint32_t>(num_hash_fns);
+  out->set<uint32_t>(0);  // next_function: always 0 in reference streams
   out->set<uint32_t>(bits_to_cut);
   // maps (same sentinel + directory injection as the simhash writer)
   out->set<uint64_t>(num_maps);
