@@ -9,11 +9,15 @@ glove-100-angular shape (1,183,514 train x 100 dims, 10,000 queries, k=10,
 delta=0.9 — BASELINE.md target config) and exact ground truth computed on
 device. The dataset+GT are cached under ~/.cache/clann_tpu.
 
-Baseline: the reference publishes no numbers (BASELINE.md). `vs_baseline`
-uses a generous 2,000 QPS estimate for the Rust/OpenMP reference
-(single-threaded query loop, SURVEY.md §2.5; PUFFINN ESA'19 reports
-10^2-10^3 QPS/core at recall 0.9 on glove-100) — see baseline_note in the
-output.
+Baseline: the reference publishes no numbers (BASELINE.md). When
+BASELINE_MEASURED.json exists (written by `python -m scripts.ref_baseline`,
+which runs the GENUINE vendored PUFFINN C++ engine on the identical dataset
+bytes), `vs_baseline` divides by that measured QPS; otherwise it falls back
+to a generous 2,000 QPS literature estimate (PUFFINN ESA'19 reports
+10^2-10^3 QPS/core at recall 0.9 on glove-100). The reference query loop is
+single-threaded BY DESIGN (collection.hpp:106-112), so the measured number
+is per-process, not an artifact of this 1-core host. See baseline_note in
+the output.
 
 Protocol: build the clustered index, sweep n_probe to the smallest value
 with recall@10 >= 0.9, then time repeated full query sweeps (warm,
@@ -36,6 +40,33 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
 BASELINE_QPS_ESTIMATE = 2000.0
+BASELINE_MEASURED = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BASELINE_MEASURED.json"
+)
+
+
+def baseline_qps():
+    """Measured reference QPS when available (scripts/ref_baseline.py runs
+    the genuine vendored PUFFINN engine on this dataset — its query loop is
+    single-threaded by design, collection.hpp:106-112), else the generous
+    2000-QPS literature estimate."""
+    try:
+        with open(BASELINE_MEASURED) as f:
+            m = json.load(f)
+        return float(m["qps"]), (
+            f"measured reference engine (tools/ref_cross.cpp bench, "
+            f"{m['engine']}): {m['qps']:.1f} QPS at recall "
+            f"{m['recall_mean']:.3f}, build {m['build_seconds']:.0f}s on "
+            f"{m['build_cores']} core(s), same dataset bytes, L="
+            f"{m['num_tables']} delta={m['delta']}; reference query loop "
+            f"is single-threaded by design (collection.hpp:106-112)"
+        )
+    except (OSError, KeyError, ValueError):
+        return BASELINE_QPS_ESTIMATE, (
+            "reference publishes no numbers (BASELINE.md); vs_baseline "
+            "uses a 2000 QPS estimate for the Rust/OpenMP reference on "
+            "glove-100 at recall 0.9"
+        )
 
 N_TRAIN = int(os.environ.get("BENCH_N", 1_183_514))
 DIMS = int(os.environ.get("BENCH_D", 100))
@@ -345,6 +376,7 @@ def main():
     except Exception as e:  # secondary metric must not sink the bench
         log(f"lsh path failed: {e}")
 
+    base_qps, base_note = baseline_qps()
     print(
         json.dumps(
             {
@@ -354,7 +386,7 @@ def main():
                 ),
                 "value": round(qps, 1),
                 "unit": "queries/s",
-                "vs_baseline": round(qps / BASELINE_QPS_ESTIMATE, 2),
+                "vs_baseline": round(qps / base_qps, 2),
                 "recall_at_10": round(float(full_recall), 4),
                 "mode": mode_name,
                 "id_recall_at_10": round(float(idr), 4),
@@ -369,11 +401,7 @@ def main():
                 "index_bytes": build_mem,
                 "lsh_qps": round(lsh_qps, 1),
                 "lsh_recall": round(float(lsh_recall), 4),
-                "baseline_note": (
-                    "reference publishes no numbers (BASELINE.md); "
-                    "vs_baseline uses a 2000 QPS estimate for the "
-                    "Rust/OpenMP reference on glove-100 at recall 0.9"
-                ),
+                "baseline_note": base_note,
             }
         )
     )

@@ -1,0 +1,168 @@
+"""Measure the GENUINE reference engine on bench.py's exact dataset.
+
+The reference publishes no numbers (BASELINE.md), so the honest baseline is
+a measurement of the reference's own C++ engine on the same data, queries,
+and config as bench.py's headline. This drives tools/ref_cross.cpp (compiled
+against the read-only vendored PUFFINN headers, /root/reference/libpuffinn)
+in `bench` mode:
+
+  - build: insert + rebuild(L) — the reference's monolithic-PUFFINN
+    comparison baseline (benches/distance_benches.rs:93-203). Build is
+    OpenMP-parallel in the reference, so the build time recorded here is
+    tagged with the core count.
+  - search: the reference query loop is single-threaded BY DESIGN
+    (collection.hpp:106-112 — shared query buffers are documented
+    non-thread-safe), so QPS measured on one core IS the reference's
+    per-process number, not an artifact of this host.
+
+Recall is computed from the returned ids with the reference's own
+definition (returned distance <= ground-truth k-th distance + 1e-3,
+src/utils/mod.rs:59-95) against bench.py's cached exact ground truth.
+
+Writes BASELINE_MEASURED.json at the repo root; bench.py uses it for
+vs_baseline when present.
+
+Usage: python -m scripts.ref_baseline [--nq 1000] [--reps 1] [--n N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF_INCLUDE = "/root/reference/libpuffinn/include"
+HARNESS_SRC = os.path.join(REPO, "tools", "ref_cross.cpp")
+OUT_JSON = os.path.join(REPO, "BASELINE_MEASURED.json")
+
+K = 10
+DELTA = 0.9
+NUM_TABLES = 50  # bench.py's BENCH_L default (benches/configs.json L=50)
+
+
+def log(msg):
+    print(f"[ref-baseline] {msg}", file=sys.stderr, flush=True)
+
+
+def compile_harness(workdir: str) -> str:
+    exe = os.path.join(workdir, "ref_cross_bench")
+    if os.path.exists(exe) and os.path.getmtime(exe) >= os.path.getmtime(
+        HARNESS_SRC
+    ):
+        return exe
+    log("compiling reference harness (-O3 -march=native -fopenmp, the "
+        "reference's own release flags, build.rs:40)")
+    r = subprocess.run(
+        ["g++", "-std=c++14", "-O3", "-march=native", "-fopenmp",
+         "-I", REF_INCLUDE, "-o", exe, HARNESS_SRC],
+        capture_output=True, text=True,
+    )
+    if r.returncode != 0:
+        sys.exit(f"compile failed:\n{r.stderr[-2000:]}")
+    return exe
+
+
+def reference_recall(train, queries, gt_d, ids, k):
+    """The reference's recall definition (src/utils/mod.rs:59-95):
+    fraction of returned points whose distance <= gt k-th distance + 1e-3."""
+    nq = ids.shape[0]
+    recalls = np.empty(nq)
+    for i in range(nq):
+        valid = ids[i][ids[i] != 0xFFFFFFFF]
+        if valid.size == 0:
+            recalls[i] = 0.0
+            continue
+        rows = train[valid.astype(np.int64)]
+        # angular distance 1 - cos; train rows are unit vectors
+        d = 1.0 - rows @ queries[i]
+        thresh = gt_d[i, k - 1] + 1e-3
+        recalls[i] = float((d <= thresh).sum()) / k
+    return float(recalls.mean()), float(recalls.std())
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nq", type=int, default=1000,
+                    help="queries to time (subset of bench.py's 10k)")
+    ap.add_argument("--reps", type=int, default=1)
+    ap.add_argument("--L", type=int, default=NUM_TABLES)
+    ap.add_argument("--family", default="fhtcp",
+                    help="fhtcp (the reference cosine default) or simhash")
+    args = ap.parse_args()
+
+    cache = os.path.join(os.path.expanduser("~"), ".cache", "clann_tpu",
+                         "bench_1183514x100_q10000.npz")
+    if not os.path.exists(cache):
+        sys.exit("bench dataset cache missing — run bench.py once first")
+    z = np.load(cache)
+    train, test, gt_d, gt_i = z["train"], z["test"], z["gt_d"], z["gt_i"]
+    test = test[: args.nq]
+    gt_d = gt_d[: args.nq]
+
+    workdir = os.path.join(os.path.expanduser("~"), ".cache", "clann_tpu")
+    exe = compile_harness(workdir)
+
+    train_bin = os.path.join(workdir, "ref_train.f32")
+    test_bin = os.path.join(workdir, "ref_test.f32")
+    ids_bin = os.path.join(workdir, "ref_ids.u32")
+    if not os.path.exists(train_bin):
+        train.astype(np.float32).tofile(train_bin)
+    test.astype(np.float32).tofile(test_bin)
+
+    n, d = train.shape
+    cores = os.cpu_count() or 1
+    log(f"running reference bench: n={n} d={d} L={args.L} nq={len(test)} "
+        f"k={K} delta={DELTA} reps={args.reps} family={args.family} "
+        f"(build uses {cores} core(s); query loop single-threaded by design)")
+    t0 = time.time()
+    r = subprocess.run(
+        [exe, "bench", args.family, train_bin, str(n), str(d), str(args.L),
+         test_bin, str(len(test)), str(K), str(DELTA), str(args.reps),
+         ids_bin],
+        capture_output=True, text=True,
+    )
+    log(f"harness finished in {time.time()-t0:.0f}s")
+    if r.returncode != 0:
+        sys.exit(f"harness failed:\n{r.stderr[-2000:]}")
+    bench = json.loads(r.stdout.strip().splitlines()[-1])
+
+    ids = np.fromfile(ids_bin, dtype=np.uint32).reshape(len(test), K)
+    rec_mean, rec_std = reference_recall(train, test, gt_d, ids, K)
+
+    result = {
+        "engine": "reference PUFFINN C++ (vendored, CLANN-modified API)",
+        "harness": "tools/ref_cross.cpp bench mode",
+        "dataset": f"synthetic glove-100-angular-shaped {n}x{d} "
+                   "(bench.py cache, identical bytes)",
+        "family": args.family,
+        "num_tables": args.L,
+        "k": K,
+        "delta": DELTA,
+        "nq": len(test),
+        "reps": args.reps,
+        "build_seconds": bench["build_s"],
+        "build_cores": cores,
+        "qps": bench["qps"],
+        "warm_qps": bench["warm_qps"],
+        "recall_mean": rec_mean,
+        "recall_std": rec_std,
+        "query_threading": "single-threaded by design "
+                           "(collection.hpp:106-112)",
+        "host": os.uname().nodename,
+        "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+    }
+    with open(OUT_JSON, "w") as f:
+        json.dump(result, f, indent=2)
+        f.write("\n")
+    log(f"wrote {OUT_JSON}")
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

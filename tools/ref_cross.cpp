@@ -117,6 +117,7 @@ int run_bench(int argc, char** argv) {
     unsigned k = std::stoul(argv[9]);
     float recall = std::stof(argv[10]);
     int reps = std::stoi(argv[11]);
+    const char* ids_out = argc > 12 ? argv[12] : nullptr;
 
     auto data = read_f32(data_path, n * d);
     auto queries = read_f32(q_path, nq * d);
@@ -136,9 +137,19 @@ int run_bench(int argc, char** argv) {
     // single-threaded by design, collection.hpp:106-112)
     std::vector<float> q(d);
     size_t found = 0;
+    std::vector<uint32_t> ids_buf(nq * k, 0xFFFFFFFFu);
     for (size_t i = 0; i < nq; i++) {
         std::memcpy(q.data(), queries.data() + i * d, d * sizeof(float));
-        found += index.search(q, k, recall, 0.0f).size();
+        auto ids = index.search(q, k, recall, 0.0f);
+        found += ids.size();
+        for (size_t j = 0; j < ids.size() && j < k; j++) {
+            ids_buf[i * k + j] = ids[j];
+        }
+    }
+    if (ids_out) {
+        std::ofstream out(ids_out, std::ios::binary);
+        out.write(reinterpret_cast<char*>(ids_buf.data()),
+                  ids_buf.size() * sizeof(uint32_t));
     }
     auto t2 = std::chrono::steady_clock::now();
     for (int r = 0; r < reps; r++) {
