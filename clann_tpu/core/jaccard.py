@@ -123,6 +123,31 @@ def _set_gmm_jit(tokens: jnp.ndarray, *, k: int, universe: int):
     return centers, assignment, radii
 
 
+def _map_point_blocks(fn, tokens: jnp.ndarray, num_functions: int,
+                      budget_bytes: int = 1 << 30) -> jnp.ndarray:
+    """Apply a per-point hash fn over row blocks of the token tensor.
+
+    MinHash materializes an (n, T, F) rank tensor (ops/minhash.py:79);
+    hashing all points at once is fine at test sizes but OOMs at benchmark
+    scale (200k x T=90 x F=2048 = 9 GB just for the sketch bits). Blocks
+    are sized so that intermediate stays under budget_bytes, the tail is
+    padded to keep ONE compiled shape, and fn is jitted once."""
+    n, t = tokens.shape
+    block = max(8, int(budget_bytes // (max(1, t * num_functions) * 4)))
+    if block >= n:
+        return fn(tokens)
+    jfn = jax.jit(fn)
+    outs = []
+    for s in range(0, n, block):
+        e = min(n, s + block)
+        blk = tokens[s:e]
+        if e - s < block:
+            blk = jnp.pad(blk, ((0, block - (e - s)), (0, 0)),
+                          constant_values=-1)
+        outs.append(jfn(blk)[: e - s])
+    return jnp.concatenate(outs, axis=0)
+
+
 def build_jaccard_index(
     data: JaccardData, config: Config, clustered: bool = False,
     table_hash: str = "minhash",
@@ -164,13 +189,17 @@ def build_jaccard_index(
     source = IndependentHashSource(
         family, config.num_tables, config.max_hashbits
     ).init(k_hash)
-    hashes = source.hash(tokens)  # (n, L)
+    hashes = _map_point_blocks(
+        source.hash, tokens,
+        source.num_hashers * source.functions_per_hasher,
+    )  # (n, L)
 
     sketch_family = MinHash1Bit(data.universe)
-    sk_params = sketch_family.sample(
-        k_sketch, config.num_sketches * config.sketch_bits
-    )
-    bits = sketch_family.hash(sk_params, tokens)  # (n, S*B) of {0,1}
+    n_sketch_fns = config.num_sketches * config.sketch_bits
+    sk_params = sketch_family.sample(k_sketch, n_sketch_fns)
+    bits = _map_point_blocks(
+        lambda tk: sketch_family.hash(sk_params, tk), tokens, n_sketch_fns
+    )  # (n, S*B) of {0,1}
     sketches = pack_bits_u32(
         bits.reshape(n, config.num_sketches, config.sketch_bits)
     )
@@ -463,5 +492,112 @@ def jaccard_search(
         index, qt, qh, qsk, jnp.float32(delta),
         k=k, chunk=cfg.candidate_chunk, min_depth=cfg.min_depth,
         filter_type=filter_type,
+    )
+    return np.asarray(sims), np.asarray(ids), stats
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "block", "universe", "n_real")
+)
+def _jaccard_scan_impl(
+    tokens: jnp.ndarray, qmh: jnp.ndarray, q_sizes: jnp.ndarray,
+    *, k: int, block: int, universe: int, n_real: int,
+):
+    """Dense exact Jaccard top-k: fori_loop over point blocks, each block
+    scattered into an exact 0/1 bf16 multi-hot and contracted against the
+    query multi-hot on the MXU (integer counts are exact in f32
+    accumulation). tokens is pre-padded to a block multiple; pad rows have
+    size 0 and score -1."""
+    n, _ = tokens.shape
+    Q = qmh.shape[0]
+    nb = n // block
+    row_iota = jnp.arange(block)[:, None]
+
+    def body(b, carry):
+        best_s, best_i = carry
+        blk = jax.lax.dynamic_slice_in_dim(tokens, b * block, block, 0)
+        valid = blk >= 0
+        sz = jnp.sum(valid, axis=1).astype(jnp.float32)  # (B,)
+        tok = jnp.where(valid, blk, universe)  # pads -> dump column
+        rows = jnp.broadcast_to(row_iota, blk.shape)
+        dmh = jnp.zeros((block, universe + 1), jnp.bfloat16)
+        dmh = dmh.at[rows, tok].add(jnp.bfloat16(1.0))
+        inter = jnp.dot(
+            qmh, dmh[:, :universe].T, preferred_element_type=jnp.float32
+        )  # (Q, B)
+        union = q_sizes[:, None] + sz[None, :] - inter
+        sims = jnp.where((union > 0) & (sz[None, :] > 0),
+                         inter / union, -1.0)
+        s_blk, i_blk = jax.lax.top_k(sims, k)
+        cat_s = jnp.concatenate([best_s, s_blk], axis=1)
+        cat_i = jnp.concatenate([best_i, i_blk + b * block], axis=1)
+        s2, pos = jax.lax.top_k(cat_s, k)
+        return s2, jnp.take_along_axis(cat_i, pos, axis=1)
+
+    init = (
+        jnp.full((Q, k), -jnp.inf, jnp.float32),
+        jnp.full((Q, k), -1, jnp.int32),
+    )
+    sims, ids = jax.lax.fori_loop(0, nb, body, init)
+    return sims, jnp.where(ids >= n_real, -1, ids)
+
+
+def jaccard_scan(
+    index: JaccardIndex, query_sets, k: Optional[int] = None,
+    block: int = 0,
+) -> Tuple[np.ndarray, np.ndarray, SearchStats]:
+    """EXACT dense Jaccard top-k over the whole set corpus — the TPU-native
+    fast path for sets, mirroring the cosine scan headline (PERFORMANCE.md
+    "Why the dense paths ARE the TPU-native CLANN"): on this chip, an MXU
+    multi-hot contraction over every point beats candidate-at-a-time LSH
+    probing until the corpus outgrows the chip. Recall is 1.0 by
+    construction; the delta-recall LSH path (jaccard_search) remains for
+    the guarantee-contract and for universes too large to one-hot.
+
+    Memory: the per-block multi-hot is (block, universe) bf16, so block
+    auto-shrinks with the universe; practical for universes up to ~1M
+    (block 128 -> 256 MB/block). The sorted-merge semantics match
+    jaccard.hpp:18-42 exactly.
+
+    Returns (sims desc (Q, k), ids (Q, k), stats with dc = n per query).
+    """
+    from clann_tpu.data.setdata import pad_sets
+
+    cfg = index.config
+    k = cfg.k if k is None else k
+    if isinstance(query_sets, np.ndarray) and query_sets.ndim == 2:
+        qt = query_sets.astype(np.int32)
+    else:
+        qt = pad_sets(query_sets, index.universe)
+    qt = jnp.asarray(qt)
+    universe = index.universe
+    if block <= 0:
+        # keep the block multi-hot near ~256 MB, lane-aligned
+        block = int(np.clip((128 << 20) // (2 * (universe + 1)), 128, 4096))
+        block = max(128, (block // 128) * 128)
+    n = index.n
+    tokens = index.tokens
+    pad = (-n) % block
+    if pad:
+        tokens = jnp.pad(tokens, ((0, pad), (0, 0)), constant_values=-1)
+    valid_q = qt >= 0
+    from clann_tpu.data.setdata import _multi_hot
+
+    qmh = _multi_hot(qt, universe)
+    q_sizes = jnp.sum(valid_q, axis=1).astype(jnp.float32)
+    k_eff = min(k, n)
+    sims, ids = _jaccard_scan_impl(
+        tokens, qmh, q_sizes, k=k_eff, block=block, universe=universe,
+        n_real=n,
+    )
+    if k_eff < k:
+        sims = jnp.pad(sims, ((0, 0), (0, k - k_eff)),
+                       constant_values=-jnp.inf)
+        ids = jnp.pad(ids, ((0, 0), (0, k - k_eff)), constant_values=-1)
+    Q = qt.shape[0]
+    stats = SearchStats(
+        jnp.full((Q,), n, jnp.int32),
+        jnp.full((Q,), n, jnp.int32),
+        jnp.ones((Q,), jnp.int32),
     )
     return np.asarray(sims), np.asarray(ids), stats

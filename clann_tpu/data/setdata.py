@@ -14,6 +14,7 @@ reduction on the VPU instead of a scalar sorted-merge loop.
 
 from __future__ import annotations
 
+import functools
 from typing import List, Sequence
 
 import jax
@@ -127,12 +128,61 @@ class JaccardData:
         return JaccardData(self.tokens[np.asarray(indices)], self.universe)
 
 
-def brute_force_jaccard_topk(data: JaccardData, query_sets: np.ndarray, k: int):
+@functools.partial(jax.jit, static_argnames=("universe",))
+def _multi_hot(tokens: jnp.ndarray, universe: int) -> jnp.ndarray:
+    """(m, universe) exact 0/1 bf16 membership matrix of padded sets.
+
+    pad_sets guarantees unique tokens per row, so a scatter-add of ones is
+    a scatter-or; 0/1 is exact in bf16 (the one-hot-einsum rule from
+    PERFORMANCE.md)."""
+    m, t = tokens.shape
+    valid = tokens >= 0
+    tok = jnp.where(valid, tokens, universe)  # pads land in a dump column
+    rows = jnp.broadcast_to(jnp.arange(m)[:, None], (m, t))
+    mh = jnp.zeros((m, universe + 1), jnp.bfloat16)
+    mh = mh.at[rows, tok].add(jnp.bfloat16(1.0))
+    return mh[:, :universe]
+
+
+@functools.partial(jax.jit, static_argnames=("universe",))
+def _block_jaccard_sims(
+    tokens_blk: jnp.ndarray, qmh: jnp.ndarray, q_sizes: jnp.ndarray,
+    universe: int,
+) -> jnp.ndarray:
+    """(Q, B) exact Jaccard of one data block against all queries.
+
+    |A ∩ B| as an MXU matmul of exact 0/1 multi-hot matrices (integer
+    counts are exact in f32 accumulation) — the scalable form of the
+    reference's sorted-merge loop (jaccard.hpp:18-42)."""
+    dmh = _multi_hot(tokens_blk, universe)  # (B, U)
+    sizes_blk = jnp.sum(tokens_blk >= 0, axis=1).astype(jnp.float32)
+    inter = jnp.dot(qmh, dmh.T, preferred_element_type=jnp.float32)  # (Q, B)
+    union = q_sizes[:, None] + sizes_blk[None, :] - inter
+    return jnp.where(union > 0, inter / union, 0.0)
+
+
+def brute_force_jaccard_topk(
+    data: JaccardData, query_sets: np.ndarray, k: int, block: int = 2048
+):
     """Exact top-k by Jaccard similarity (oracle; the set analog of
-    collection.hpp:524-541 search_bf)."""
-    sims = jaccard_similarity_block(data.tokens, jnp.asarray(query_sets))  # (n, q)
-    sims = np.asarray(sims).T  # (q, n)
-    k = min(k, data.num_points())
+    collection.hpp:524-541 search_bf). Blockwise over the dataset so it
+    scales to benchmark sizes (the (na, nb, t, t) equality tensor of
+    jaccard_similarity_block OOMs past toy shapes)."""
+    n = data.num_points()
+    qt = jnp.asarray(query_sets)
+    qmh = _multi_hot(qt, data.universe)
+    q_sizes = jnp.sum(qt >= 0, axis=1).astype(jnp.float32)
+    tokens = jnp.asarray(data.tokens)
+    sims = np.empty((qt.shape[0], n), np.float32)
+    for s in range(0, n, block):
+        e = min(n, s + block)
+        blk = tokens[s:e]
+        if e - s < block:  # keep one compiled shape
+            blk = jnp.pad(blk, ((0, block - (e - s)), (0, 0)),
+                          constant_values=-1)
+        out = _block_jaccard_sims(blk, qmh, q_sizes, data.universe)
+        sims[:, s:e] = np.asarray(out)[:, : e - s]
+    k = min(k, n)
     idx = np.argsort(-sims, axis=1, kind="stable")[:, :k]
     vals = np.take_along_axis(sims, idx, axis=1)
     return vals, idx.astype(np.int32)

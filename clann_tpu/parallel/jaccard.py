@@ -273,6 +273,7 @@ def build_jaccard_sharded(
     config: Config,
     mesh=None,
     table_hash: str = "minhash",
+    hash_budget_bytes: int = 1 << 30,
 ) -> ShardedJaccardIndex:
     """End-to-end multi-chip set-index build.
 
@@ -332,6 +333,26 @@ def build_jaccard_sharded(
     p1 = np.asarray(sketch_family.collision_probability(sims_grid, 1))
     maxdiff = np.round(cfg.sketch_bits * (1.0 - p1)).astype(np.int32)
 
+    # block the per-shard hashing: MinHash materializes (rows, T, F) rank
+    # tensors (ops/minhash.py:79), so hashing a whole large shard at once
+    # OOMs (same fix as core/jaccard._map_point_blocks, but with lax.map
+    # over static blocks because shapes inside shard_map must be static).
+    n_sk_fns = cfg.num_sketches * cfg.sketch_bits
+    n_tab_fns = source.num_hashers * source.functions_per_hasher
+    blk = max(
+        8,
+        int(hash_budget_bytes // (max(1, T * max(n_sk_fns, n_tab_fns)) * 4)),
+    )
+    pad_loc = (-n_loc) % blk if n_loc > blk else 0
+
+    def _blocked(fn, tok):
+        rows = tok.shape[0]
+        if rows <= blk:
+            return fn(tok)
+        tok = jnp.pad(tok, ((0, pad_loc), (0, 0)), constant_values=-1)
+        out = jax.lax.map(fn, tok.reshape(-1, blk, tok.shape[1]))
+        return out.reshape(-1, *out.shape[2:])[:rows]
+
     @functools.partial(
         shard_map,
         mesh=mesh,
@@ -341,8 +362,10 @@ def build_jaccard_sharded(
     )
     def build_shard(tok, hparams, sparams):
         tok = tok[0]  # (n_loc, T)
-        hashes = source.hash_with(hparams, tok)  # (n_loc, L)
-        bits = sketch_family.hash(sparams, tok)
+        hashes = _blocked(
+            lambda t: source.hash_with(hparams, t), tok
+        )  # (n_loc, L)
+        bits = _blocked(lambda t: sketch_family.hash(sparams, t), tok)
         sk = pack_bits_u32(
             bits.reshape(tok.shape[0], cfg.num_sketches, cfg.sketch_bits)
         )

@@ -94,12 +94,36 @@ def main():
     ap.add_argument("--L", type=int, default=NUM_TABLES)
     ap.add_argument("--family", default="fhtcp",
                     help="fhtcp (the reference cosine default) or simhash")
+    ap.add_argument("--n", type=int, default=1_183_514,
+                    help="train size (bench.py's BENCH_N default)")
+    ap.add_argument("--d", type=int, default=100,
+                    help="dimensions (25 = the reference's canonical "
+                         "glove-25-angular demo shape, main.rs:22-29)")
+    ap.add_argument("--q-cache", type=int, default=10_000,
+                    help="query count in the cached dataset")
+    ap.add_argument("--out", default=OUT_JSON)
     args = ap.parse_args()
 
-    cache = os.path.join(os.path.expanduser("~"), ".cache", "clann_tpu",
-                         "bench_1183514x100_q10000.npz")
+    cache = os.path.join(
+        os.path.expanduser("~"), ".cache", "clann_tpu",
+        f"bench_{args.n}x{args.d}_q{args.q_cache}.npz",
+    )
     if not os.path.exists(cache):
-        sys.exit("bench dataset cache missing — run bench.py once first")
+        # build it exactly as bench.py's get_dataset does (same generator,
+        # same seeds, same cache name — bench.py will reuse it)
+        log(f"cache {cache} missing; generating (GT on device)")
+        from clann_tpu.data.synthetic import clustered_unit_vectors
+        from clann_tpu.ops.distances import brute_force_topk
+
+        train = clustered_unit_vectors(args.n, args.d, n_modes=1024,
+                                       spread=0.7, seed=0)
+        test = clustered_unit_vectors(args.q_cache, args.d, n_modes=1024,
+                                      spread=0.7, seed=1)
+        gt_d, gt_i = brute_force_topk(train, test, k=max(K, 10),
+                                      metric="angular", block_q=512)
+        gt_d, gt_i = np.asarray(gt_d), np.asarray(gt_i)
+        os.makedirs(os.path.dirname(cache), exist_ok=True)
+        np.savez(cache, train=train, test=test, gt_d=gt_d, gt_i=gt_i)
     z = np.load(cache)
     train, test, gt_d, gt_i = z["train"], z["test"], z["gt_d"], z["gt_i"]
     test = test[: args.nq]
@@ -108,8 +132,9 @@ def main():
     workdir = os.path.join(os.path.expanduser("~"), ".cache", "clann_tpu")
     exe = compile_harness(workdir)
 
-    train_bin = os.path.join(workdir, "ref_train.f32")
-    test_bin = os.path.join(workdir, "ref_test.f32")
+    shape_tag = f"{args.n}x{args.d}"
+    train_bin = os.path.join(workdir, f"ref_train_{shape_tag}.f32")
+    test_bin = os.path.join(workdir, f"ref_test_{shape_tag}.f32")
     ids_bin = os.path.join(workdir, "ref_ids.u32")
     if not os.path.exists(train_bin):
         train.astype(np.float32).tofile(train_bin)
@@ -138,8 +163,8 @@ def main():
     result = {
         "engine": "reference PUFFINN C++ (vendored, CLANN-modified API)",
         "harness": "tools/ref_cross.cpp bench mode",
-        "dataset": f"synthetic glove-100-angular-shaped {n}x{d} "
-                   "(bench.py cache, identical bytes)",
+        "dataset": f"synthetic angular clustered {n}x{d} "
+                   "(bench.py cache layout, identical bytes)",
         "family": args.family,
         "num_tables": args.L,
         "k": K,
@@ -157,10 +182,10 @@ def main():
         "host": os.uname().nodename,
         "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }
-    with open(OUT_JSON, "w") as f:
+    with open(args.out, "w") as f:
         json.dump(result, f, indent=2)
         f.write("\n")
-    log(f"wrote {OUT_JSON}")
+    log(f"wrote {args.out}")
     print(json.dumps(result))
 
 

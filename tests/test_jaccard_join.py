@@ -152,6 +152,53 @@ class TestJaccardIndex:
         sims, ids, _ = jaccard_search(index, data.tokens[:20], k=1, delta=0.9)
         assert (sims[:, 0] >= 1.0 - 1e-6).mean() >= 0.9
 
+    def test_dense_scan_exact(self, built):
+        """jaccard_scan is the exact oracle: identical similarities and
+        threshold-equivalent ids (ties may reorder) at every k, including
+        a block size that forces the fori_loop path + tail padding."""
+        from clann_tpu.core.jaccard import jaccard_scan
+
+        index, data = built
+        queries = data.tokens[40:72]
+        for k in (1, 5):
+            gt_s, gt_i = brute_force_jaccard_topk(data, queries, k=k)
+            sims, ids, stats = jaccard_scan(index, queries, k=k, block=128)
+            np.testing.assert_allclose(sims, gt_s, rtol=0, atol=1e-6)
+            # every returned id must be at least as similar as gt kth
+            assert np.all(sims >= gt_s[:, -1:] - 1e-6)
+            assert np.all(ids >= 0)
+            assert int(stats.distance_computations[0]) == data.num_points()
+
+    def test_blocked_hashing_identical(self, built):
+        """_map_point_blocks (the large-n OOM guard for the (n, T, F)
+        MinHash rank tensor) is bit-identical to one-shot hashing,
+        including the padded tail block."""
+        from clann_tpu.core.jaccard import _map_point_blocks
+        from clann_tpu.ops.minhash import MinHash
+
+        index, data = built
+        import jax.numpy as jnp
+
+        fam = MinHash(data.universe)
+        params = fam.sample(jax.random.PRNGKey(3), 40)
+        tokens = jnp.asarray(data.tokens[:333])
+        one_shot = fam.hash(params, tokens)
+        blocked = _map_point_blocks(
+            lambda tk: fam.hash(params, tk), tokens, 40,
+            budget_bytes=40 * data.tokens.shape[1] * 4 * 64,  # 64-row blocks
+        )
+        np.testing.assert_array_equal(
+            np.asarray(one_shot), np.asarray(blocked)
+        )
+
+    def test_dense_scan_k_exceeds_n(self, built):
+        from clann_tpu.core.jaccard import jaccard_scan
+
+        index, data = built
+        sims, ids, _ = jaccard_scan(index, data.tokens[:4], k=1000)
+        assert sims.shape == (4, 1000)
+        assert np.all(ids[:, data.num_points():] == -1)
+
 
 class TestClosestPairs:
     def test_matches_brute_force_join(self, small_angular_dataset):

@@ -293,6 +293,28 @@ class TestShardedJaccard:
             )
         assert direct.table_hash == "minhash"
 
+    def test_direct_sharded_build_blocked_hashing_identical(self, jsetup):
+        # a tiny hash budget forces the lax.map blocked-hashing path
+        # (the large-shard OOM guard); results must be bit-identical to
+        # the single-shot build
+        from clann_tpu.parallel.jaccard import build_jaccard_sharded
+        from clann_tpu.parallel.mesh import make_mesh
+
+        index, data = jsetup
+        one_shot = build_jaccard_sharded(
+            data, data.universe, index.config, mesh=make_mesh(8)
+        )
+        blocked = build_jaccard_sharded(
+            data, data.universe, index.config, mesh=make_mesh(8),
+            hash_budget_bytes=1 << 16,
+        )
+        for f in ("sorted_hash", "sorted_idx", "sketches"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(one_shot, f)),
+                np.asarray(getattr(blocked, f)),
+                err_msg=f,
+            )
+
     def test_direct_sharded_build_search(self, jsetup):
         from clann_tpu.data.setdata import brute_force_jaccard_topk
         from clann_tpu.parallel.jaccard import (

@@ -170,6 +170,86 @@ int run_bench(int argc, char** argv) {
     return 0;
 }
 
+std::vector<std::vector<uint32_t>> read_sets(const char* tok_path,
+                                             const char* off_path, size_t n) {
+    std::ifstream off_in(off_path, std::ios::binary);
+    if (!off_in) { std::fprintf(stderr, "cannot open %s\n", off_path); std::exit(2); }
+    std::vector<uint32_t> offsets(n + 1);
+    off_in.read(reinterpret_cast<char*>(offsets.data()),
+                (n + 1) * sizeof(uint32_t));
+    if (!off_in) { std::fprintf(stderr, "short read %s\n", off_path); std::exit(2); }
+    std::ifstream tok_in(tok_path, std::ios::binary);
+    if (!tok_in) { std::fprintf(stderr, "cannot open %s\n", tok_path); std::exit(2); }
+    std::vector<uint32_t> tokens(offsets[n]);
+    tok_in.read(reinterpret_cast<char*>(tokens.data()),
+                offsets[n] * sizeof(uint32_t));
+    if (!tok_in) { std::fprintf(stderr, "short read %s\n", tok_path); std::exit(2); }
+    std::vector<std::vector<uint32_t>> sets(n);
+    for (size_t i = 0; i < n; i++) {
+        sets[i].assign(tokens.begin() + offsets[i], tokens.begin() + offsets[i + 1]);
+    }
+    return sets;
+}
+
+// bench_jaccard <tokens.u32> <offsets.u32> <n> <universe> <L>
+//               <q_tokens.u32> <q_offsets.u32> <nq> <k> <recall> <reps> [ids.u32]
+// Same protocol as run_bench but over the reference's Jaccard
+// instantiation (Index<JaccardSimilarity> = MinHash tables + MinHash1Bit
+// sketches, similarity_measure/jaccard.hpp:13-46; the c_binder exposes
+// this family by the "jaccard" dispatch string, c_binder.cpp:39-50).
+int run_bench_jaccard(int argc, char** argv) {
+    if (argc < 13) { std::fprintf(stderr, "bench_jaccard: bad args\n"); return 2; }
+    size_t n = std::stoull(argv[4]);
+    unsigned universe = std::stoul(argv[5]);
+    unsigned L = std::stoul(argv[6]);
+    size_t nq = std::stoull(argv[9]);
+    unsigned k = std::stoul(argv[10]);
+    float recall = std::stof(argv[11]);
+    int reps = std::stoi(argv[12]);
+    const char* ids_out = argc > 13 ? argv[13] : nullptr;
+
+    auto sets = read_sets(argv[2], argv[3], n);
+    auto queries = read_sets(argv[7], argv[8], nq);
+
+    auto t0 = std::chrono::steady_clock::now();
+    puffinn::Index<puffinn::JaccardSimilarity> index(universe);
+    for (auto& s : sets) index.insert(s);
+    index.rebuild(L);
+    auto t1 = std::chrono::steady_clock::now();
+    double build_s = std::chrono::duration<double>(t1 - t0).count();
+
+    size_t found = 0;
+    std::vector<uint32_t> ids_buf(nq * k, 0xFFFFFFFFu);
+    for (size_t i = 0; i < nq; i++) {
+        auto ids = index.search(queries[i], k, recall, 0.0f);
+        found += ids.size();
+        for (size_t j = 0; j < ids.size() && j < k; j++) {
+            ids_buf[i * k + j] = ids[j];
+        }
+    }
+    if (ids_out) {
+        std::ofstream out(ids_out, std::ios::binary);
+        out.write(reinterpret_cast<char*>(ids_buf.data()),
+                  ids_buf.size() * sizeof(uint32_t));
+    }
+    auto t2 = std::chrono::steady_clock::now();
+    for (int r = 0; r < reps; r++) {
+        for (size_t i = 0; i < nq; i++) {
+            found += index.search(queries[i], k, recall, 0.0f).size();
+        }
+    }
+    auto t3 = std::chrono::steady_clock::now();
+    double search_s = std::chrono::duration<double>(t3 - t2).count();
+    std::printf(
+        "{\"mode\":\"bench_jaccard\",\"n\":%zu,\"universe\":%u,\"L\":%u,"
+        "\"nq\":%zu,\"k\":%u,\"recall_target\":%.3f,\"build_s\":%.3f,"
+        "\"qps\":%.2f,\"warm_qps\":%.2f,\"found\":%zu}\n",
+        n, universe, L, nq, k, recall, build_s,
+        (double)(nq * reps) / search_s,
+        (double)nq / std::chrono::duration<double>(t2 - t1).count(), found);
+    return 0;
+}
+
 template <typename THash>
 int dispatch(const std::string& mode, int argc, char** argv) {
     if (mode == "build") return run_build<THash>(argc, argv);
@@ -188,6 +268,7 @@ int main(int argc, char** argv) {
         return 2;
     }
     std::string mode = argv[1];
+    if (mode == "bench_jaccard") return run_bench_jaccard(argc, argv);
     std::string family = argv[2];
     if (family == "simhash") {
         return dispatch<puffinn::SimHash>(mode, argc, argv);
