@@ -78,6 +78,10 @@ def pallas_scan_plan(n: int, k: int) -> Tuple[int, int, int, int]:
     q_tile is sized so block_n * q_tile * 4B stays ~<= 70MB of VMEM:
     512-query tiles measured ~12% faster than 256 at 32k blocks (fewer
     dataset streams), but 64k x 512 f32 scores would not fit.
+    rescore_m swept at the bench scale (scripts/tune_rescore.py):
+    {64..16} identical QPS within relay noise and identical recall; the
+    exact-rescore row gathers overlap the kernel's HBM streaming, so m
+    is NOT a speed knob — 32 keeps id_recall margin (m=10 degrades it).
     """
     if n >= 4_000_000:
         block_n = 65536
