@@ -53,6 +53,15 @@ constexpr uint32_t kPrefixIndexLen = (1u << 13) + 1;  // prefixmap.hpp:70,86
 enum FamilyKind : int32_t {
   kFamilySimHash = 0,
   kFamilyFhtCrossPolytope = 1,
+  kFamilyCrossPolytope = 2,    // vanilla CP (crosspolytope.hpp:313-469)
+  kFamilyMinHash = 3,          // Jaccard tables (minhash.hpp:97-220)
+  kFamilyMinHash1Bit = 4,      // Jaccard sketches (minhash.hpp:223-283)
+};
+
+enum SourceKind : int32_t {    // HashSourceType (hash_source.hpp:6-10)
+  kSourceIndependent = 0,
+  kSourcePool = 1,
+  kSourceTensor = 2,
 };
 
 struct Reader {
@@ -102,26 +111,79 @@ struct SourceInfo {
   uint32_t bits_to_cut = 0;
 };
 
-struct ParsedIndex {
-  // dataset
+struct CpFn {  // crosspolytope.hpp:338-354
   uint32_t dims = 0;
-  uint32_t storage_len = 0;
-  uint32_t n = 0;
-  std::vector<int16_t> data;  // n * storage_len Q15
-  // sketches
-  std::vector<uint64_t> sketches;  // n * NUM_SKETCHES
-  SourceInfo sketch_source;
-  std::vector<SimHashFn> sketch_fns;
-  // table hash machinery
+  uint32_t padded_dims = 0;
+  std::vector<int16_t> matrix;  // (1 << ceil_log(dims)) * padded_dims Q15
+};
+
+struct MinHashFn {  // minhash.hpp:105-113 = TabulationHash + BitPermutation
+  std::vector<uint64_t> tabs;   // 4 x 256 (minhash.hpp:27-38)
+  uint32_t perm_bits = 0;       // BitPermutation.num_bits
+  std::vector<uint32_t> perm;   // (minhash.hpp:66-83)
+};
+
+// HashArgs record: type tag + family-specific args (+ pool_size for Pool)
+// as read/written at the filterer and index HashArgs positions
+// (deserialize.hpp:10-23).
+struct ArgsRecord {
+  int32_t source_kind = kSourceIndependent;
+  int32_t num_rotations = 3;    // FHT-CP only (crosspolytope.hpp:225-240)
+  uint32_t est_reps = 0;        // CP family args
+  float est_eps = 0.f;
+  uint32_t mh_rand_bits = 0;    // MinHashArgs (minhash.hpp:146-152)
+  uint32_t pool_size = 0;       // HashPoolArgs (pool.hpp:199-220)
+};
+
+// One parsed hash source of any (family x kind) combination, retaining
+// every stream field so re-emission is byte-identical.
+struct SourceBlock {
   int32_t family = kFamilySimHash;
+  int32_t kind = kSourceIndependent;
+  // family header (serialized at the start of the source stream)
+  uint32_t fam_dims = 0, fam_storage_len = 0;  // DatasetDescription
   int32_t num_rotations = 3;
   uint32_t est_reps = 0;
   float est_eps = 0.f;
-  std::vector<float> estimates;      // flattened rows
-  std::vector<uint64_t> est_row_len; // d2 per row
-  SourceInfo hash_source;
-  std::vector<SimHashFn> hash_simhash_fns;
-  std::vector<FhtFn> hash_fht_fns;
+  std::vector<float> estimates;
+  std::vector<uint64_t> est_row_len;
+  uint32_t mh_rand_bits = 0, mh_set_size = 0;  // MinHash family
+  // functions (one vector used, per family)
+  std::vector<SimHashFn> sim_fns;
+  std::vector<FhtFn> fht_fns;
+  std::vector<CpFn> cp_fns;
+  std::vector<MinHashFn> mh_fns;
+  // independent tail (also the embedded source of a tensor)
+  SourceInfo info;
+  // pool tail (pool.hpp:57-85)
+  std::vector<std::vector<uint32_t>> pool_indices;
+  uint32_t pool_num_tables = 0, pool_bits_per_hasher = 0;
+  uint32_t pool_sampling_rep = 0, pool_bits_to_cut = 0;
+  uint8_t pool_bits_per_function = 0;
+  // tensor tail (tensor.hpp:64-78)
+  uint32_t tens_num_hashers = 0, tens_next_idx = 0, tens_num_bits = 0;
+
+  size_t num_fns() const {
+    return sim_fns.size() + fht_fns.size() + cp_fns.size() + mh_fns.size();
+  }
+};
+
+struct ParsedIndex {
+  // dataset (UnitVectorFormat, or SetFormat for MinHash-family indexes)
+  uint32_t dims = 0;         // dims (cosine) or universe size (jaccard)
+  uint32_t storage_len = 0;  // padded dims (cosine) or 1 (jaccard)
+  uint32_t n = 0;
+  std::vector<int16_t> data;      // n * storage_len Q15 (cosine)
+  std::vector<uint64_t> set_lens; // per-point token counts (jaccard)
+  std::vector<uint32_t> set_tokens;  // concatenated sorted tokens (jaccard)
+  // sketches
+  std::vector<uint64_t> sketches;  // n * NUM_SKETCHES
+  ArgsRecord sketch_args;
+  SourceBlock sketch_src;
+  // table hash machinery
+  int32_t family = kFamilySimHash;
+  ArgsRecord hash_args;
+  SourceBlock hash_src;
   bool has_hash_source = false;
   // tables
   std::vector<std::vector<uint32_t>> map_indices;
@@ -137,93 +199,222 @@ struct ParsedIndex {
   std::string error;
 };
 
+// sketch family implied by the table family: SimHash for cosine indexes
+// (cosine.hpp:17), MinHash1Bit for jaccard (jaccard.hpp defaults).
+int32_t sketch_family_for(int32_t family) {
+  return family == kFamilyMinHash ? kFamilyMinHash1Bit : kFamilySimHash;
+}
+
 bool read_dataset(Reader& r, ParsedIndex& ix) {
-  ix.dims = r.get<uint32_t>();         // UnitVectorFormat::Args
+  ix.dims = r.get<uint32_t>();         // Format::Args (dims / universe)
   ix.storage_len = r.get<uint32_t>();
   ix.n = r.get<uint32_t>();
-  ix.data.resize(size_t(ix.n) * ix.storage_len);
-  if (!ix.data.empty()) r.take(ix.data.data(), ix.data.size() * 2);
-  return r.ok;
-}
-
-bool read_simhash_family(Reader& r) {
-  r.get<uint32_t>();  // DatasetDescription.args (dims)
-  r.get<uint32_t>();  // DatasetDescription.storage_len
-  return r.ok;
-}
-
-bool read_source_simhash(Reader& r, SourceInfo& info,
-                         std::vector<SimHashFn>& fns) {
-  if (!read_simhash_family(r)) return false;
-  uint64_t len = r.get<uint64_t>();
-  fns.clear();
-  for (uint64_t i = 0; i < len && r.ok; i++) {
-    SimHashFn f;
-    uint32_t d = r.get<uint32_t>();
-    f.plane.resize(d);
-    if (d) r.take(f.plane.data(), size_t(d) * 2);
-    fns.push_back(std::move(f));
+  if (ix.family == kFamilyMinHash) {
+    // SetFormat: per point len:u64 tokens:u32[len] (set.hpp:70-99,
+    // dataset.hpp:79-86); storage_len is 1
+    ix.set_lens.reserve(ix.n);
+    for (uint32_t i = 0; i < ix.n && r.ok; i++) {
+      uint64_t len = r.get<uint64_t>();
+      ix.set_lens.push_back(len);
+      size_t off = ix.set_tokens.size();
+      ix.set_tokens.resize(off + len);
+      if (len) r.take(ix.set_tokens.data() + off, size_t(len) * 4);
+    }
+  } else {
+    ix.data.resize(size_t(ix.n) * ix.storage_len);
+    if (!ix.data.empty()) r.take(ix.data.data(), ix.data.size() * 2);
   }
-  info.num_hashers = r.get<uint32_t>();
-  info.functions_per_hasher = r.get<uint32_t>();
-  info.bits_per_function = r.get<uint8_t>();
-  info.next_function = r.get<uint32_t>();
-  info.bits_to_cut = r.get<uint32_t>();
   return r.ok;
 }
 
-bool read_fht_family(Reader& r, ParsedIndex& ix) {
-  r.get<uint32_t>();  // desc args
-  r.get<uint32_t>();  // desc storage_len
-  ix.num_rotations = r.get<int32_t>();
-  ix.est_reps = r.get<uint32_t>();
-  ix.est_eps = r.get<float>();
+// Monte-Carlo estimate table shared by both CP families
+// (CrossPolytopeCollisionEstimates, crosspolytope.hpp:91-115).
+bool read_estimates(Reader& r, SourceBlock& s) {
   uint64_t d1 = r.get<uint64_t>();
-  ix.estimates.clear();
-  ix.est_row_len.clear();
+  s.estimates.clear();
+  s.est_row_len.clear();
   for (uint64_t i = 0; i < d1 && r.ok; i++) {
     uint64_t d2 = r.get<uint64_t>();
-    ix.est_row_len.push_back(d2);
-    size_t off = ix.estimates.size();
-    ix.estimates.resize(off + d2);
-    if (d2) r.take(ix.estimates.data() + off, d2 * 4);
+    s.est_row_len.push_back(d2);
+    size_t off = s.estimates.size();
+    s.estimates.resize(off + d2);
+    if (d2) r.take(s.estimates.data() + off, d2 * 4);
   }
-  r.get<float>();  // eps (repeated inside estimates struct)
+  r.get<float>();  // eps (repeated inside the estimates struct)
   return r.ok;
 }
 
-bool read_source_fht(Reader& r, ParsedIndex& ix) {
-  if (!read_fht_family(r, ix)) return false;
+// Family header at the start of a source stream: the hash family object's
+// own serialization (simhash.hpp:49-59, crosspolytope.hpp:225-240 /
+// 442-452, minhash.hpp:185-199).
+bool read_family_header(Reader& r, int32_t family, SourceBlock& s) {
+  s.family = family;
+  switch (family) {
+    case kFamilySimHash:
+      s.fam_dims = r.get<uint32_t>();
+      s.fam_storage_len = r.get<uint32_t>();
+      return r.ok;
+    case kFamilyFhtCrossPolytope:
+      s.fam_dims = r.get<uint32_t>();
+      s.fam_storage_len = r.get<uint32_t>();
+      s.num_rotations = r.get<int32_t>();
+      s.est_reps = r.get<uint32_t>();
+      s.est_eps = r.get<float>();
+      return read_estimates(r, s);
+    case kFamilyCrossPolytope:
+      s.fam_dims = r.get<uint32_t>();
+      s.fam_storage_len = r.get<uint32_t>();
+      s.est_reps = r.get<uint32_t>();
+      s.est_eps = r.get<float>();
+      return read_estimates(r, s);
+    case kFamilyMinHash:
+    case kFamilyMinHash1Bit:
+      // MinHash serializes args + set_size, NO DatasetDescription
+      // (minhash.hpp:191-199)
+      s.mh_rand_bits = r.get<uint32_t>();
+      s.mh_set_size = r.get<uint32_t>();
+      return r.ok;
+  }
+  return false;
+}
+
+bool read_function(Reader& r, int32_t family, SourceBlock& s) {
+  switch (family) {
+    case kFamilySimHash: {
+      SimHashFn f;
+      uint32_t d = r.get<uint32_t>();
+      f.plane.resize(d);
+      if (d) r.take(f.plane.data(), size_t(d) * 2);
+      s.sim_fns.push_back(std::move(f));
+      return r.ok;
+    }
+    case kFamilyFhtCrossPolytope: {
+      FhtFn f;
+      f.dims = r.get<int32_t>();
+      f.log_dims = r.get<int32_t>();
+      f.rotations = r.get<uint32_t>();
+      size_t signs_len = size_t(f.rotations) << f.log_dims;
+      f.signs.resize(signs_len);
+      if (signs_len) r.take(f.signs.data(), signs_len);
+      s.fht_fns.push_back(std::move(f));
+      return r.ok;
+    }
+    case kFamilyCrossPolytope: {
+      CpFn f;
+      f.dims = r.get<uint32_t>();
+      f.padded_dims = r.get<uint32_t>();
+      uint32_t rows = 1;
+      while (rows < f.dims) rows <<= 1;  // 1 << ceil_log (math.hpp:105-113)
+      f.matrix.resize(size_t(rows) * f.padded_dims);
+      if (!f.matrix.empty()) r.take(f.matrix.data(), f.matrix.size() * 2);
+      s.cp_fns.push_back(std::move(f));
+      return r.ok;
+    }
+    case kFamilyMinHash:
+    case kFamilyMinHash1Bit: {
+      MinHashFn f;
+      f.tabs.resize(4 * 256);
+      r.take(f.tabs.data(), f.tabs.size() * 8);
+      f.perm_bits = r.get<uint32_t>();
+      uint64_t len = r.get<uint64_t>();
+      f.perm.resize(len);
+      if (len) r.take(f.perm.data(), size_t(len) * 4);
+      s.mh_fns.push_back(std::move(f));
+      return r.ok;
+    }
+  }
+  return false;
+}
+
+bool read_independent_body(Reader& r, int32_t family, SourceBlock& s) {
+  // IndependentHashSource (independent.hpp:40-55)
+  if (!read_family_header(r, family, s)) return false;
   uint64_t len = r.get<uint64_t>();
-  ix.hash_fht_fns.clear();
   for (uint64_t i = 0; i < len && r.ok; i++) {
-    FhtFn f;
-    f.dims = r.get<int32_t>();
-    f.log_dims = r.get<int32_t>();
-    f.rotations = r.get<uint32_t>();
-    size_t signs_len = size_t(f.rotations) << f.log_dims;
-    f.signs.resize(signs_len);
-    if (signs_len) r.take(f.signs.data(), signs_len);
-    ix.hash_fht_fns.push_back(std::move(f));
+    if (!read_function(r, family, s)) return false;
   }
-  ix.hash_source.num_hashers = r.get<uint32_t>();
-  ix.hash_source.functions_per_hasher = r.get<uint32_t>();
-  ix.hash_source.bits_per_function = r.get<uint8_t>();
-  ix.hash_source.next_function = r.get<uint32_t>();
-  ix.hash_source.bits_to_cut = r.get<uint32_t>();
+  s.info.num_hashers = r.get<uint32_t>();
+  s.info.functions_per_hasher = r.get<uint32_t>();
+  s.info.bits_per_function = r.get<uint8_t>();
+  s.info.next_function = r.get<uint32_t>();
+  s.info.bits_to_cut = r.get<uint32_t>();
   return r.ok;
 }
 
-// Parses "HashArgs" for a SimHash family (sketches): tag + empty args.
-bool read_sketch_args(Reader& r, ParsedIndex& ix) {
-  uint32_t type = r.get<uint32_t>();
-  if (type != 0) { ix.error = "unsupported sketch source type"; return false; }
-  return r.ok;  // SimHashArgs serialize as nothing
+bool read_source(Reader& r, int32_t family, int32_t kind, SourceBlock& s) {
+  s.kind = kind;
+  switch (kind) {
+    case kSourceIndependent:
+      return read_independent_body(r, family, s);
+    case kSourcePool: {
+      // HashPool (pool.hpp:57-85)
+      if (!read_family_header(r, family, s)) return false;
+      uint64_t len = r.get<uint64_t>();
+      for (uint64_t i = 0; i < len && r.ok; i++) {
+        if (!read_function(r, family, s)) return false;
+      }
+      uint64_t len_indices = r.get<uint64_t>();
+      for (uint64_t i = 0; i < len_indices && r.ok; i++) {
+        uint64_t li = r.get<uint64_t>();
+        std::vector<uint32_t> rep(li);
+        if (li) r.take(rep.data(), size_t(li) * 4);
+        s.pool_indices.push_back(std::move(rep));
+      }
+      s.pool_num_tables = r.get<uint32_t>();
+      s.pool_bits_per_function = r.get<uint8_t>();
+      s.pool_bits_per_hasher = r.get<uint32_t>();
+      s.pool_sampling_rep = r.get<uint32_t>();
+      s.pool_bits_to_cut = r.get<uint32_t>();
+      return r.ok;
+    }
+    case kSourceTensor:
+      // TensoredHashSource = embedded independent source + tail
+      // (tensor.hpp:64-78)
+      if (!read_independent_body(r, family, s)) return false;
+      s.tens_num_hashers = r.get<uint32_t>();
+      s.tens_next_idx = r.get<uint32_t>();
+      s.tens_num_bits = r.get<uint32_t>();
+      return r.ok;
+  }
+  return false;
+}
+
+// HashArgs record: type:u32 + family args (+ pool_size for Pool)
+// (deserialize.hpp:10-23, pool.hpp:207-220).
+bool read_args_record(Reader& r, int32_t family, ArgsRecord& a) {
+  a.source_kind = static_cast<int32_t>(r.get<uint32_t>());
+  if (a.source_kind < 0 || a.source_kind > kSourceTensor) return false;
+  switch (family) {
+    case kFamilySimHash:
+      break;  // SimHashArgs serialize as nothing (simhash.hpp:49-59)
+    case kFamilyFhtCrossPolytope:
+      a.num_rotations = r.get<int32_t>();
+      a.est_reps = r.get<uint32_t>();
+      a.est_eps = r.get<float>();
+      break;
+    case kFamilyCrossPolytope:
+      a.est_reps = r.get<uint32_t>();
+      a.est_eps = r.get<float>();
+      break;
+    case kFamilyMinHash:
+    case kFamilyMinHash1Bit:
+      a.mh_rand_bits = r.get<uint32_t>();
+      break;
+    default:
+      return false;
+  }
+  if (a.source_kind == kSourcePool) a.pool_size = r.get<uint32_t>();
+  return r.ok;
 }
 
 bool read_filterer(Reader& r, ParsedIndex& ix) {
-  if (!read_sketch_args(r, ix)) return false;
-  if (!read_source_simhash(r, ix.sketch_source, ix.sketch_fns)) return false;
+  int32_t sk_family = sketch_family_for(ix.family);
+  if (!read_args_record(r, sk_family, ix.sketch_args)) {
+    ix.error = "unsupported sketch source type";
+    return false;
+  }
+  if (!read_source(r, sk_family, ix.sketch_args.source_kind, ix.sketch_src))
+    return false;
   uint64_t len = r.get<uint64_t>();
   ix.sketches.resize(len);
   if (len) r.take(ix.sketches.data(), len * 8);
@@ -306,22 +497,17 @@ void* clann_ref_parse(const uint8_t* buf, uint64_t len, int32_t family) {
       if (ix->error.empty()) ix->error = "filterer";
       break;
     }
-    uint32_t hash_type = r.get<uint32_t>();
-    if (hash_type != 0) { ix->error = "unsupported hash source type"; break; }
-    if (family == kFamilyFhtCrossPolytope) {
-      // FHTCrossPolytopeArgs in HashArgs position
-      ix->num_rotations = r.get<int32_t>();
-      ix->est_reps = r.get<uint32_t>();
-      ix->est_eps = r.get<float>();
+    if (!read_args_record(r, family, ix->hash_args)) {
+      ix->error = "unsupported hash source type";
+      break;
     }
     uint8_t has_source = r.get<uint8_t>();
     ix->has_hash_source = has_source != 0;
     if (ix->has_hash_source) {
-      bool ok = family == kFamilyFhtCrossPolytope
-                    ? read_source_fht(r, *ix)
-                    : read_source_simhash(r, ix->hash_source,
-                                          ix->hash_simhash_fns);
-      if (!ok) { ix->error = "hash source"; break; }
+      if (!read_source(r, family, ix->hash_args.source_kind, ix->hash_src)) {
+        ix->error = "hash source";
+        break;
+      }
     }
     uint64_t num_maps = r.get<uint64_t>();
     uint8_t use_chunks = r.get<uint8_t>();
@@ -401,27 +587,26 @@ uint32_t clann_ref_map_hash_length(void* h, uint32_t i) {
   return static_cast<ParsedIndex*>(h)->map_hash_length[i];
 }
 uint32_t clann_ref_num_sketch_fns(void* h) {
-  return static_cast<uint32_t>(static_cast<ParsedIndex*>(h)->sketch_fns.size());
+  return static_cast<uint32_t>(
+      static_cast<ParsedIndex*>(h)->sketch_src.num_fns());
 }
 const int16_t* clann_ref_sketch_fn_plane(void* h, uint32_t i, uint32_t* len) {
-  auto& f = static_cast<ParsedIndex*>(h)->sketch_fns[i];
+  auto& f = static_cast<ParsedIndex*>(h)->sketch_src.sim_fns[i];
   *len = static_cast<uint32_t>(f.plane.size());
   return f.plane.data();
 }
 uint32_t clann_ref_num_hash_fns(void* h) {
-  auto* ix = static_cast<ParsedIndex*>(h);
-  return static_cast<uint32_t>(ix->family == kFamilyFhtCrossPolytope
-                                   ? ix->hash_fht_fns.size()
-                                   : ix->hash_simhash_fns.size());
+  return static_cast<uint32_t>(
+      static_cast<ParsedIndex*>(h)->hash_src.num_fns());
 }
 const int16_t* clann_ref_hash_fn_plane(void* h, uint32_t i, uint32_t* len) {
-  auto& f = static_cast<ParsedIndex*>(h)->hash_simhash_fns[i];
+  auto& f = static_cast<ParsedIndex*>(h)->hash_src.sim_fns[i];
   *len = static_cast<uint32_t>(f.plane.size());
   return f.plane.data();
 }
 const int8_t* clann_ref_hash_fn_signs(void* h, uint32_t i, int32_t* log_dims,
                                       uint32_t* rotations) {
-  auto& f = static_cast<ParsedIndex*>(h)->hash_fht_fns[i];
+  auto& f = static_cast<ParsedIndex*>(h)->hash_src.fht_fns[i];
   *log_dims = f.log_dims;
   *rotations = f.rotations;
   return f.signs.data();
@@ -433,31 +618,143 @@ const int8_t* clann_ref_hash_fn_signs(void* h, uint32_t i, int32_t* log_dims,
 // (rows, cols) shape when present and rectangular; 0 otherwise.
 uint32_t clann_ref_est_info(void* h, uint32_t* reps, float* eps,
                             uint32_t* rows, uint32_t* cols) {
-  auto* ix = static_cast<ParsedIndex*>(h);
-  if (ix->est_row_len.empty()) return 0;
-  uint64_t c = ix->est_row_len[0];
-  for (uint64_t len : ix->est_row_len) {
+  auto& s = static_cast<ParsedIndex*>(h)->hash_src;
+  if (s.est_row_len.empty()) return 0;
+  uint64_t c = s.est_row_len[0];
+  for (uint64_t len : s.est_row_len) {
     if (len != c) return 0;
   }
-  *reps = ix->est_reps;
-  *eps = ix->est_eps;
-  *rows = static_cast<uint32_t>(ix->est_row_len.size());
+  *reps = s.est_reps;
+  *eps = s.est_eps;
+  *rows = static_cast<uint32_t>(s.est_row_len.size());
   *cols = static_cast<uint32_t>(c);
   return 1;
 }
 const float* clann_ref_est_data(void* h) {
-  return static_cast<ParsedIndex*>(h)->estimates.data();
+  return static_cast<ParsedIndex*>(h)->hash_src.estimates.data();
 }
 int32_t clann_ref_num_rotations(void* h) {
-  return static_cast<ParsedIndex*>(h)->num_rotations;
+  return static_cast<ParsedIndex*>(h)->hash_src.num_rotations;
 }
 void clann_ref_source_info(void* h, uint32_t* num_hashers, uint32_t* fph,
                            uint32_t* bits_per_fn, uint32_t* bits_to_cut) {
-  auto& s = static_cast<ParsedIndex*>(h)->hash_source;
+  auto& s = static_cast<ParsedIndex*>(h)->hash_src.info;
   *num_hashers = s.num_hashers;
   *fph = s.functions_per_hasher;
   *bits_per_fn = s.bits_per_function;
   *bits_to_cut = s.bits_to_cut;
+}
+
+// ------------------------------------------------- extended accessors --
+// (pool/tensor sources, vanilla-CP + MinHash functions, set datasets)
+
+int32_t clann_ref_source_kind(void* h) {
+  return static_cast<ParsedIndex*>(h)->hash_args.source_kind;
+}
+// Index-level HashArgs record (pool_size is only meaningful for Pool).
+void clann_ref_args_info(void* h, int32_t* num_rotations, uint32_t* est_reps,
+                         float* est_eps, uint32_t* mh_rand_bits,
+                         uint32_t* pool_size) {
+  auto& a = static_cast<ParsedIndex*>(h)->hash_args;
+  *num_rotations = a.num_rotations;
+  *est_reps = a.est_reps;
+  *est_eps = a.est_eps;
+  *mh_rand_bits = a.mh_rand_bits;
+  *pool_size = a.pool_size;
+}
+void clann_ref_sketch_args_info(void* h, uint32_t* mh_rand_bits) {
+  *mh_rand_bits = static_cast<ParsedIndex*>(h)->sketch_args.mh_rand_bits;
+}
+// Pool tail (pool.hpp:79-84). Returns number of per-table index vectors.
+uint32_t clann_ref_pool_info(void* h, uint32_t* num_tables,
+                             uint32_t* bits_per_function,
+                             uint32_t* bits_per_hasher,
+                             uint32_t* sampling_rep, uint32_t* bits_to_cut) {
+  auto& s = static_cast<ParsedIndex*>(h)->hash_src;
+  *num_tables = s.pool_num_tables;
+  *bits_per_function = s.pool_bits_per_function;
+  *bits_per_hasher = s.pool_bits_per_hasher;
+  *sampling_rep = s.pool_sampling_rep;
+  *bits_to_cut = s.pool_bits_to_cut;
+  return static_cast<uint32_t>(s.pool_indices.size());
+}
+const uint32_t* clann_ref_pool_indices(void* h, uint32_t i, uint64_t* len) {
+  auto& v = static_cast<ParsedIndex*>(h)->hash_src.pool_indices[i];
+  *len = v.size();
+  return v.data();
+}
+// Tensor tail (tensor.hpp:74-78).
+void clann_ref_tensor_info(void* h, uint32_t* num_hashers,
+                           uint32_t* next_idx, uint32_t* num_bits) {
+  auto& s = static_cast<ParsedIndex*>(h)->hash_src;
+  *num_hashers = s.tens_num_hashers;
+  *next_idx = s.tens_next_idx;
+  *num_bits = s.tens_num_bits;
+}
+// Family header of the hash source (dims/storage for cosine families;
+// rand_bits/set_size for MinHash).
+void clann_ref_family_info(void* h, uint32_t* fam_dims,
+                           uint32_t* fam_storage_len, uint32_t* mh_rand_bits,
+                           uint32_t* mh_set_size) {
+  auto& s = static_cast<ParsedIndex*>(h)->hash_src;
+  *fam_dims = s.fam_dims;
+  *fam_storage_len = s.fam_storage_len;
+  *mh_rand_bits = s.mh_rand_bits;
+  *mh_set_size = s.mh_set_size;
+}
+void clann_ref_sketch_family_info(void* h, uint32_t* mh_rand_bits,
+                                  uint32_t* mh_set_size) {
+  auto& s = static_cast<ParsedIndex*>(h)->sketch_src;
+  *mh_rand_bits = s.mh_rand_bits;
+  *mh_set_size = s.mh_set_size;
+}
+const int16_t* clann_ref_hash_fn_cp(void* h, uint32_t i, uint32_t* dims,
+                                    uint32_t* padded, uint64_t* len) {
+  auto& f = static_cast<ParsedIndex*>(h)->hash_src.cp_fns[i];
+  *dims = f.dims;
+  *padded = f.padded_dims;
+  *len = f.matrix.size();
+  return f.matrix.data();
+}
+const uint64_t* clann_ref_mh_fn_tabs(void* h, uint32_t sketch, uint32_t i) {
+  auto* ix = static_cast<ParsedIndex*>(h);
+  auto& s = sketch ? ix->sketch_src : ix->hash_src;
+  return s.mh_fns[i].tabs.data();
+}
+const uint32_t* clann_ref_mh_fn_perm(void* h, uint32_t sketch, uint32_t i,
+                                     uint32_t* perm_bits, uint64_t* len) {
+  auto* ix = static_cast<ParsedIndex*>(h);
+  auto& f = (sketch ? ix->sketch_src : ix->hash_src).mh_fns[i];
+  *perm_bits = f.perm_bits;
+  *len = f.perm.size();
+  return f.perm.data();
+}
+// Set-format dataset (jaccard): per-point lengths + concatenated tokens.
+uint64_t clann_ref_set_total_tokens(void* h) {
+  return static_cast<ParsedIndex*>(h)->set_tokens.size();
+}
+const uint64_t* clann_ref_set_lens(void* h) {
+  return static_cast<ParsedIndex*>(h)->set_lens.data();
+}
+const uint32_t* clann_ref_set_tokens(void* h) {
+  return static_cast<ParsedIndex*>(h)->set_tokens.data();
+}
+void clann_ref_sketch_source_info(void* h, uint32_t* num_hashers,
+                                  uint32_t* fph, uint32_t* bits_per_fn,
+                                  uint32_t* bits_to_cut) {
+  auto& s = static_cast<ParsedIndex*>(h)->sketch_src.info;
+  *num_hashers = s.num_hashers;
+  *fph = s.functions_per_hasher;
+  *bits_per_fn = s.bits_per_function;
+  *bits_to_cut = s.bits_to_cut;
+}
+uint32_t clann_ref_num_sketch_mh_fns(void* h) {
+  return static_cast<uint32_t>(
+      static_cast<ParsedIndex*>(h)->sketch_src.mh_fns.size());
+}
+uint32_t clann_ref_num_hash_mh_fns(void* h) {
+  return static_cast<uint32_t>(
+      static_cast<ParsedIndex*>(h)->hash_src.mh_fns.size());
 }
 
 // ---------------------------------------------------------------- write --
@@ -631,6 +928,319 @@ void* clann_ref_write_chunk(uint64_t len, const uint32_t* indices,
                             const uint32_t* hashes) {
   auto* out = new Writer();
   write_map(out, len, indices, hashes);
+  return out;
+}
+
+// ------------------------------------------------------ generic writer --
+// Spec-struct writer covering every (family x source) combination the
+// reference can instantiate. Field groups are used or ignored per
+// family/kind; array pointers may be null when their count is zero.
+// Layout must match io/refcodec.py's ctypes RefWriteSpec exactly.
+
+struct RefWriteSpec {
+  // dataset
+  uint32_t family;        // FamilyKind of the table hash
+  uint32_t source_kind;   // SourceKind of the table source
+  uint32_t dims;          // dims (cosine) or universe (jaccard)
+  uint32_t storage_len;   // padded dims (cosine) or 1 (jaccard)
+  uint32_t n;
+  uint32_t _pad0;
+  const int16_t* unit_data;     // (n, storage_len) Q15, cosine
+  const uint64_t* set_lens;     // (n,), jaccard
+  const uint32_t* set_tokens;   // concatenated sorted tokens, jaccard
+  // index-level HashArgs record (+ the family header constants reused
+  // for the source's own family header)
+  int32_t num_rotations;
+  uint32_t est_reps;
+  float est_eps;
+  uint32_t mh_rand_bits;
+  uint32_t mh_set_size;
+  uint32_t pool_size;     // PoolArgs pool_size (bits)
+  const float* estimates;       // (est_rows, est_cols) f32, CP families
+  uint32_t est_rows;
+  uint32_t est_cols;
+  // table hash functions (family selects which payload is read)
+  uint32_t num_hash_fns;
+  uint32_t _pad1;
+  const int16_t* planes;        // simhash: (num, storage_len)
+  const int8_t* signs;          // fht: (num, rotations << log_dims)
+  int32_t log_dims;
+  uint32_t rotations;
+  const int16_t* cp_matrices;   // cp: (num, (1<<ceil_log(dims))*storage_len)
+  const uint64_t* mh_tabs;      // minhash: (num, 1024)
+  const uint32_t* mh_perm_bits; // (num,)
+  const uint64_t* mh_perm_lens; // (num,)
+  const uint32_t* mh_perms;     // concatenated
+  // independent-source tail (also the embedded source of a tensor)
+  uint32_t num_hashers;
+  uint32_t functions_per_hasher;
+  uint32_t bits_per_function;
+  uint32_t next_function;
+  uint32_t bits_to_cut;
+  // pool tail
+  uint32_t pool_num_tables;
+  const uint64_t* pool_index_lens;  // (pool_num_tables,)
+  const uint32_t* pool_indices;     // concatenated
+  uint32_t pool_bits_per_hasher;
+  uint32_t pool_sampling_rep;
+  uint32_t pool_bits_to_cut;
+  // tensor tail
+  uint32_t tens_num_hashers;
+  uint32_t tens_next_idx;
+  uint32_t tens_num_bits;
+  uint32_t _pad2;
+  // sketches (filterer; source is always independent — collection.hpp:128
+  // defaults IndependentHashArgs for sketches)
+  uint32_t num_sketch_fns;
+  uint32_t sk_mh_rand_bits;     // MinHash1Bit sketch family args
+  uint32_t sk_mh_set_size;
+  uint32_t _pad3;
+  const int16_t* sketch_planes;     // simhash sketches
+  const uint64_t* sk_mh_tabs;       // minhash1bit sketches
+  const uint32_t* sk_mh_perm_bits;
+  const uint64_t* sk_mh_perm_lens;
+  const uint32_t* sk_mh_perms;
+  uint32_t sketch_hashers;
+  uint32_t sketch_fph;
+  uint32_t sketch_bits_per_function;
+  uint32_t sketch_cut;
+  const uint64_t* sketches;
+  uint64_t num_sketch_words;
+  // tables
+  uint32_t num_maps;
+  uint32_t use_chunks;
+  const uint64_t* map_lens;
+  const uint32_t* map_indices;
+  const uint32_t* map_hashes;
+  uint32_t last_rebuild;
+  uint32_t _pad4;
+};
+
+}  // extern "C"
+
+namespace {
+
+void write_estimates(Writer* out, const RefWriteSpec& s) {
+  out->set<uint64_t>(s.est_rows);
+  for (uint32_t r = 0; r < s.est_rows; r++) {
+    out->set<uint64_t>(s.est_cols);
+    out->put(s.estimates + size_t(r) * s.est_cols, size_t(s.est_cols) * 4);
+  }
+  out->set<float>(s.est_eps);
+}
+
+// Family header for the source stream (read_family_header's inverse).
+// `sketch` selects the sketch-family constants.
+void write_family_header(Writer* out, uint32_t family,
+                         const RefWriteSpec& s, bool sketch) {
+  switch (family) {
+    case kFamilySimHash:
+      out->set<uint32_t>(s.dims);
+      out->set<uint32_t>(s.storage_len);
+      break;
+    case kFamilyFhtCrossPolytope:
+      out->set<uint32_t>(s.dims);
+      out->set<uint32_t>(s.storage_len);
+      out->set<int32_t>(s.num_rotations);
+      out->set<uint32_t>(s.est_reps);
+      out->set<float>(s.est_eps);
+      write_estimates(out, s);
+      break;
+    case kFamilyCrossPolytope:
+      out->set<uint32_t>(s.dims);
+      out->set<uint32_t>(s.storage_len);
+      out->set<uint32_t>(s.est_reps);
+      out->set<float>(s.est_eps);
+      write_estimates(out, s);
+      break;
+    case kFamilyMinHash:
+    case kFamilyMinHash1Bit:
+      out->set<uint32_t>(sketch ? s.sk_mh_rand_bits : s.mh_rand_bits);
+      out->set<uint32_t>(sketch ? s.sk_mh_set_size : s.mh_set_size);
+      break;
+  }
+}
+
+void write_mh_function(Writer* out, const uint64_t* tabs, uint32_t perm_bits,
+                       uint64_t perm_len, const uint32_t* perm) {
+  out->put(tabs, 4 * 256 * 8);
+  out->set<uint32_t>(perm_bits);
+  out->set<uint64_t>(perm_len);
+  if (perm_len) out->put(perm, size_t(perm_len) * 4);
+}
+
+void write_function(Writer* out, uint32_t family, const RefWriteSpec& s,
+                    uint32_t i) {
+  switch (family) {
+    case kFamilySimHash:
+      out->set<uint32_t>(s.storage_len);
+      out->put(s.planes + size_t(i) * s.storage_len,
+               size_t(s.storage_len) * 2);
+      break;
+    case kFamilyFhtCrossPolytope: {
+      size_t signs_len = size_t(s.rotations) << s.log_dims;
+      out->set<int32_t>(static_cast<int32_t>(s.dims));
+      out->set<int32_t>(s.log_dims);
+      out->set<uint32_t>(s.rotations);
+      out->put(s.signs + size_t(i) * signs_len, signs_len);
+      break;
+    }
+    case kFamilyCrossPolytope: {
+      uint32_t rows = 1;
+      while (rows < s.dims) rows <<= 1;
+      size_t mat_len = size_t(rows) * s.storage_len;
+      out->set<uint32_t>(s.dims);
+      out->set<uint32_t>(s.storage_len);
+      out->put(s.cp_matrices + size_t(i) * mat_len, mat_len * 2);
+      break;
+    }
+    case kFamilyMinHash: {
+      uint64_t off = 0;
+      for (uint32_t j = 0; j < i; j++) off += s.mh_perm_lens[j];
+      write_mh_function(out, s.mh_tabs + size_t(i) * 1024,
+                        s.mh_perm_bits[i], s.mh_perm_lens[i],
+                        s.mh_perms + off);
+      break;
+    }
+  }
+}
+
+// HashArgs record (read_args_record's inverse).
+void write_args_record(Writer* out, uint32_t family, uint32_t kind,
+                       const RefWriteSpec& s, bool sketch) {
+  out->set<uint32_t>(kind);
+  switch (family) {
+    case kFamilySimHash:
+      break;
+    case kFamilyFhtCrossPolytope:
+      out->set<int32_t>(s.num_rotations);
+      out->set<uint32_t>(s.est_reps);
+      out->set<float>(s.est_eps);
+      break;
+    case kFamilyCrossPolytope:
+      out->set<uint32_t>(s.est_reps);
+      out->set<float>(s.est_eps);
+      break;
+    case kFamilyMinHash:
+    case kFamilyMinHash1Bit:
+      out->set<uint32_t>(sketch ? s.sk_mh_rand_bits : s.mh_rand_bits);
+      break;
+  }
+  if (kind == kSourcePool) out->set<uint32_t>(s.pool_size);
+}
+
+void write_independent_body(Writer* out, uint32_t family,
+                            const RefWriteSpec& s) {
+  write_family_header(out, family, s, /*sketch=*/false);
+  out->set<uint64_t>(s.num_hash_fns);
+  for (uint32_t i = 0; i < s.num_hash_fns; i++) {
+    write_function(out, family, s, i);
+  }
+  out->set<uint32_t>(s.num_hashers);
+  out->set<uint32_t>(s.functions_per_hasher);
+  out->set<uint8_t>(static_cast<uint8_t>(s.bits_per_function));
+  out->set<uint32_t>(s.next_function);
+  out->set<uint32_t>(s.bits_to_cut);
+}
+
+void write_source(Writer* out, uint32_t family, uint32_t kind,
+                  const RefWriteSpec& s) {
+  switch (kind) {
+    case kSourceIndependent:
+      write_independent_body(out, family, s);
+      break;
+    case kSourcePool: {
+      write_family_header(out, family, s, /*sketch=*/false);
+      out->set<uint64_t>(s.num_hash_fns);
+      for (uint32_t i = 0; i < s.num_hash_fns; i++) {
+        write_function(out, family, s, i);
+      }
+      out->set<uint64_t>(s.pool_num_tables);
+      uint64_t off = 0;
+      for (uint32_t t = 0; t < s.pool_num_tables; t++) {
+        uint64_t li = s.pool_index_lens[t];
+        out->set<uint64_t>(li);
+        out->put(s.pool_indices + off, size_t(li) * 4);
+        off += li;
+      }
+      out->set<uint32_t>(s.pool_num_tables);
+      out->set<uint8_t>(static_cast<uint8_t>(s.bits_per_function));
+      out->set<uint32_t>(s.pool_bits_per_hasher);
+      out->set<uint32_t>(s.pool_sampling_rep);
+      out->set<uint32_t>(s.pool_bits_to_cut);
+      break;
+    }
+    case kSourceTensor:
+      write_independent_body(out, family, s);
+      out->set<uint32_t>(s.tens_num_hashers);
+      out->set<uint32_t>(s.tens_next_idx);
+      out->set<uint32_t>(s.tens_num_bits);
+      break;
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+void* clann_ref_write_v2(const RefWriteSpec* sp) {
+  const RefWriteSpec& s = *sp;
+  auto* out = new Writer();
+  uint32_t sk_family = sketch_family_for(static_cast<int32_t>(s.family));
+  // Dataset
+  out->set<uint32_t>(s.dims);
+  out->set<uint32_t>(s.storage_len);
+  out->set<uint32_t>(s.n);
+  if (s.family == kFamilyMinHash) {
+    uint64_t off = 0;
+    for (uint32_t i = 0; i < s.n; i++) {
+      uint64_t len = s.set_lens[i];
+      out->set<uint64_t>(len);
+      out->put(s.set_tokens + off, size_t(len) * 4);
+      off += len;
+    }
+  } else {
+    out->put(s.unit_data, size_t(s.n) * s.storage_len * 2);
+  }
+  // Filterer: HashArgs + independent source + sketches
+  write_args_record(out, sk_family, kSourceIndependent, s, /*sketch=*/true);
+  write_family_header(out, sk_family, s, /*sketch=*/true);
+  out->set<uint64_t>(s.num_sketch_fns);
+  for (uint32_t i = 0; i < s.num_sketch_fns; i++) {
+    if (sk_family == kFamilyMinHash1Bit) {
+      uint64_t off = 0;
+      for (uint32_t j = 0; j < i; j++) off += s.sk_mh_perm_lens[j];
+      write_mh_function(out, s.sk_mh_tabs + size_t(i) * 1024,
+                        s.sk_mh_perm_bits[i], s.sk_mh_perm_lens[i],
+                        s.sk_mh_perms + off);
+    } else {
+      out->set<uint32_t>(s.storage_len);
+      out->put(s.sketch_planes + size_t(i) * s.storage_len,
+               size_t(s.storage_len) * 2);
+    }
+  }
+  out->set<uint32_t>(s.sketch_hashers);
+  out->set<uint32_t>(s.sketch_fph);
+  out->set<uint8_t>(static_cast<uint8_t>(s.sketch_bits_per_function));
+  out->set<uint32_t>(0);  // next_function: always 0 in reference streams
+  out->set<uint32_t>(s.sketch_cut);
+  out->set<uint64_t>(s.num_sketch_words);
+  out->put(s.sketches, s.num_sketch_words * 8);
+  // Index-level HashArgs + source
+  write_args_record(out, s.family, s.source_kind, s, /*sketch=*/false);
+  out->set<uint8_t>(1);  // has_hash_source
+  write_source(out, s.family, s.source_kind, s);
+  // maps
+  out->set<uint64_t>(s.num_maps);
+  out->set<uint8_t>(s.use_chunks ? 1 : 0);
+  if (!s.use_chunks) {
+    size_t off = 0;
+    for (uint32_t m = 0; m < s.num_maps; m++) {
+      write_map(out, s.map_lens[m], s.map_indices + off, s.map_hashes + off);
+      off += s.map_lens[m];
+    }
+  }
+  out->set<uint32_t>(s.last_rebuild);
   return out;
 }
 

@@ -202,6 +202,100 @@ class TestImportFromReference:
         assert ours >= 0.7 * 0.9, (ours, theirs)
 
 
+class TestExtendedStreamMatrix:
+    """Round 2: byte-identical re-emission for EVERY (family x source)
+    stream the reference can instantiate — pool/tensor sources
+    (pool.hpp:186-264, tensor.hpp:169-229, tag dispatch
+    deserialize.hpp:10-23), the vanilla cross-polytope family
+    (crosspolytope.hpp:313-469), and the Jaccard/MinHash instantiation
+    (minhash.hpp:97-283, format/set.hpp:70-99)."""
+
+    @pytest.mark.parametrize("fam", ["simhash", "fhtcp", "cp"])
+    @pytest.mark.parametrize("src", ["independent", "pool", "tensor"])
+    def test_cosine_matrix_reemission(self, harness, fam, src, tmp_path):
+        from clann_tpu.io.refcodec import (
+            FAMILY_CROSS_POLYTOPE,
+            write_reference_stream_v2,
+        )
+
+        codec_fam = {
+            "simhash": FAMILY_SIMHASH,
+            "fhtcp": FAMILY_FHT_CROSS_POLYTOPE,
+            "cp": FAMILY_CROSS_POLYTOPE,
+        }[fam]
+        n, d, tables = 300, 24, 6
+        train = _unit_rows(n, d, 7)
+        data_bin = tmp_path / "data.bin"
+        train.tofile(data_bin)
+        idx_path = tmp_path / "ref.idx"
+        spec = fam if src == "independent" else f"{fam}:{src}"
+        _run(harness, "build", spec, data_bin, n, d, tables, 0, idx_path)
+        blob = idx_path.read_bytes()
+        p = parse_reference_stream(blob, codec_fam)
+        src_kind = {"independent": 0, "pool": 1, "tensor": 2}[src]
+        assert p.source_kind == src_kind
+        assert write_reference_stream_v2(p) == blob
+
+    def test_jaccard_reemission_and_content(self, harness, tmp_path):
+        from clann_tpu.io.refcodec import (
+            FAMILY_MINHASH,
+            write_reference_stream_v2,
+        )
+
+        rng = np.random.default_rng(3)
+        n, universe, tables = 200, 400, 5
+        sets = [
+            np.unique(
+                rng.integers(0, universe, size=rng.integers(3, 20))
+            ).astype(np.uint32)
+            for _ in range(n)
+        ]
+        offsets = np.zeros(n + 1, np.uint32)
+        for i, s in enumerate(sets):
+            offsets[i + 1] = offsets[i] + len(s)
+        tok_bin, off_bin = tmp_path / "t.u32", tmp_path / "o.u32"
+        np.concatenate(sets).astype(np.uint32).tofile(tok_bin)
+        offsets.tofile(off_bin)
+        idx_path = tmp_path / "refj.idx"
+        _run(harness, "build_jaccard", tok_bin, off_bin, n, universe,
+             tables, idx_path)
+        blob = idx_path.read_bytes()
+        p = parse_reference_stream(blob, FAMILY_MINHASH)
+        assert write_reference_stream_v2(p) == blob
+        # content checks: the SetFormat dataset round-trips exactly
+        assert p.dims == universe and len(p.set_lens) == n
+        got = p.sets()
+        for a, b in zip(got, sets):
+            assert np.array_equal(a, b)
+        assert len(p.map_indices) == tables
+        assert p.mh_set_size == universe
+
+    def test_chunked_v2_reemission(self, harness, tmp_path):
+        """v2 writer chunked mode matches the reference chunk layout the
+        round-1 writer established (collection.hpp:171-209)."""
+        from clann_tpu.io.refcodec import write_reference_stream_v2
+
+        n, d, tables = 300, 24, 4
+        train = _unit_rows(n, d, 9)
+        data_bin = tmp_path / "data.bin"
+        train.tofile(data_bin)
+        idx_path = tmp_path / "ref.idx"
+        _run(harness, "build", "simhash", data_bin, n, d, tables, 0,
+             idx_path)
+        blob = idx_path.read_bytes()
+        p = parse_reference_stream(blob, FAMILY_SIMHASH)
+        main, chunks = write_reference_stream_v2(p, use_chunks=True)
+        legacy_main, legacy_chunks = write_reference_stream(
+            p.vectors_q15, p.dims, p.sketch_planes, p.sketches,
+            p.hash_planes, p.num_hashers, p.functions_per_hasher,
+            p.bits_to_cut, p.map_indices, p.map_hashes, p.last_rebuild,
+            use_chunks=True,
+        )
+        assert main == legacy_main and chunks == legacy_chunks
+        p2 = parse_reference_stream(main, FAMILY_SIMHASH, chunks=chunks)
+        assert write_reference_stream_v2(p2) == blob
+
+
 class TestExportToReference:
     @pytest.mark.parametrize("fam", list(FAMILIES))
     def test_reference_loads_and_searches_our_export(

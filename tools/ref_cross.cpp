@@ -52,8 +52,16 @@ std::vector<float> read_f32(const char* path, size_t count) {
     return out;
 }
 
+std::vector<std::vector<uint32_t>> read_sets(const char* tok_path,
+                                             const char* off_path, size_t n);
+
+// Builds with the given hash-source args — the knob that exercises the
+// codec's pool/tensor stream formats (deserialize.hpp:10-23). The family
+// string may carry a ":pool" / ":tensor" suffix (see main); pool size is
+// fixed at 3072 bits, a typical setting (pool.hpp:192-198 discussion).
 template <typename THash>
-int run_build(int argc, char** argv) {
+int run_build(int argc, char** argv,
+              const puffinn::HashSourceArgs<THash>& hash_args) {
     const char* data_path = argv[3];
     size_t n = std::stoull(argv[4]);
     unsigned d = std::stoul(argv[5]);
@@ -61,7 +69,7 @@ int run_build(int argc, char** argv) {
     const char* out_path = argv[8];
     auto data = read_f32(data_path, n * d);
 
-    puffinn::Index<puffinn::CosineSimilarity, THash> index(d);
+    puffinn::Index<puffinn::CosineSimilarity, THash> index(d, hash_args);
     std::vector<float> row(d);
     for (size_t i = 0; i < n; i++) {
         std::memcpy(row.data(), data.data() + i * d, d * sizeof(float));
@@ -72,6 +80,56 @@ int run_build(int argc, char** argv) {
     index.serialize(out);
     std::printf("{\"mode\":\"build\",\"n\":%zu,\"d\":%u,\"L\":%u,\"memory\":%llu}\n",
                 n, d, L, (unsigned long long)mem);
+    return 0;
+}
+
+// build_jaccard <tokens.u32> <offsets.u32> <n> <universe> <L> <out.idx>
+// Reference Jaccard index build + serialize: the MinHash/SetFormat stream
+// the codec must round-trip (minhash.hpp:97-220, format/set.hpp:70-99).
+int run_build_jaccard(int argc, char** argv) {
+    if (argc < 8) { std::fprintf(stderr, "build_jaccard: bad args\n"); return 2; }
+    size_t n = std::stoull(argv[4]);
+    unsigned universe = std::stoul(argv[5]);
+    unsigned L = std::stoul(argv[6]);
+    const char* out_path = argv[7];
+    auto sets = read_sets(argv[2], argv[3], n);
+    puffinn::Index<puffinn::JaccardSimilarity> index(universe);
+    for (auto& s : sets) index.insert(s);
+    uint64_t mem = index.rebuild(L);
+    std::ofstream out(out_path, std::ios::binary);
+    index.serialize(out);
+    std::printf(
+        "{\"mode\":\"build_jaccard\",\"n\":%zu,\"universe\":%u,\"L\":%u,"
+        "\"memory\":%llu}\n",
+        n, universe, L, (unsigned long long)mem);
+    return 0;
+}
+
+// search_jaccard <idx> <q_tokens.u32> <q_offsets.u32> <nq> <k> <recall> <out.u32>
+// Loads a (possibly clann_tpu-exported) jaccard stream and runs the
+// reference adaptive search — the reference-loads-our-export check.
+int run_search_jaccard(int argc, char** argv) {
+    if (argc < 9) { std::fprintf(stderr, "search_jaccard: bad args\n"); return 2; }
+    const char* idx_path = argv[2];
+    size_t nq = std::stoull(argv[5]);
+    unsigned k = std::stoul(argv[6]);
+    float recall = std::stof(argv[7]);
+    const char* out_path = argv[8];
+    std::ifstream in(idx_path, std::ios::binary);
+    if (!in) { std::fprintf(stderr, "cannot open %s\n", idx_path); return 2; }
+    puffinn::Index<puffinn::JaccardSimilarity> index(in);
+    auto queries = read_sets(argv[3], argv[4], nq);
+    std::vector<uint32_t> results(nq * k, 0xFFFFFFFFu);
+    for (size_t i = 0; i < nq; i++) {
+        auto ids = index.search(queries[i], k, recall, 0.0f);
+        for (size_t j = 0; j < ids.size() && j < k; j++) {
+            results[i * k + j] = ids[j];
+        }
+    }
+    std::ofstream out(out_path, std::ios::binary);
+    out.write(reinterpret_cast<char*>(results.data()),
+              results.size() * sizeof(uint32_t));
+    std::printf("{\"mode\":\"search_jaccard\",\"nq\":%zu,\"k\":%u}\n", nq, k);
     return 0;
 }
 
@@ -251,8 +309,20 @@ int run_bench_jaccard(int argc, char** argv) {
 }
 
 template <typename THash>
-int dispatch(const std::string& mode, int argc, char** argv) {
-    if (mode == "build") return run_build<THash>(argc, argv);
+int dispatch(const std::string& mode, const std::string& source,
+             int argc, char** argv) {
+    if (mode == "build") {
+        if (source == "pool") {
+            return run_build<THash>(argc, argv,
+                                    puffinn::HashPoolArgs<THash>(3072));
+        }
+        if (source == "tensor") {
+            return run_build<THash>(argc, argv,
+                                    puffinn::TensoredHashArgs<THash>());
+        }
+        return run_build<THash>(argc, argv,
+                                puffinn::IndependentHashArgs<THash>());
+    }
     if (mode == "search") return run_search<THash>(argc, argv);
     if (mode == "bench") return run_bench<THash>(argc, argv);
     std::fprintf(stderr, "unknown mode %s\n", mode.c_str());
@@ -269,12 +339,25 @@ int main(int argc, char** argv) {
     }
     std::string mode = argv[1];
     if (mode == "bench_jaccard") return run_bench_jaccard(argc, argv);
+    if (mode == "build_jaccard") return run_build_jaccard(argc, argv);
+    if (mode == "search_jaccard") return run_search_jaccard(argc, argv);
+    // family may carry a ":pool" / ":tensor" source suffix for build
     std::string family = argv[2];
+    std::string source = "independent";
+    auto colon = family.find(':');
+    if (colon != std::string::npos) {
+        source = family.substr(colon + 1);
+        family = family.substr(0, colon);
+    }
     if (family == "simhash") {
-        return dispatch<puffinn::SimHash>(mode, argc, argv);
+        return dispatch<puffinn::SimHash>(mode, source, argc, argv);
     }
     if (family == "fhtcp") {
-        return dispatch<puffinn::FHTCrossPolytopeHash>(mode, argc, argv);
+        return dispatch<puffinn::FHTCrossPolytopeHash>(mode, source, argc,
+                                                       argv);
+    }
+    if (family == "cp") {
+        return dispatch<puffinn::CrossPolytopeHash>(mode, source, argc, argv);
     }
     std::fprintf(stderr, "unknown family %s\n", family.c_str());
     return 2;
