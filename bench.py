@@ -185,7 +185,7 @@ def main():
         f"memory={build_mem/1e9:.2f}GB"
     )
 
-    candidates = []  # (name, qps, recall, dc, extra)
+    candidates = []  # (name, qps, recall, dc, id_recall, rep_qps)
 
     def id_recall(ids):
         # id-membership recall vs exact ground-truth ids. The headline
@@ -199,14 +199,20 @@ def main():
             for a, b in zip(np.asarray(ids), gt_i[:, :K])
         ]))
 
-    # relay dispatch jitter is ~±40ms/call; average over enough reps that
-    # the ~130ms scan calls are measured to ~±10%
-    def timed(fn, reps=8):
+    # relay dispatch jitter is ~±40ms/call and occasionally spikes far
+    # above that, so the per-mode number is the MEDIAN over reps (round-1
+    # used the mean of 8, which let one relay spike reorder the
+    # pallas/approx headline between runs); per-rep times are persisted
+    # in the JSON so the spread is auditable
+    def timed(fn, reps=12):
         fn()  # warm / compile
-        t0 = time.time()
+        per_rep = []
+        out = None
         for _ in range(reps):
+            t0 = time.time()
             out = fn()
-        return (time.time() - t0) / reps, out
+            per_rep.append(time.time() - t0)
+        return float(np.median(per_rep)), out, per_rep
 
     # --- candidate 1: full dense scan with hardware approx_max_k ---
     from clann_tpu.ops.ivf import scan_search
@@ -215,7 +221,7 @@ def main():
     # transfer otherwise dominates at ~33MB/s)
     test_d = jax.device_put(jnp.asarray(test))
     _ = np.asarray(test_d[:1])
-    el, (d_s, i_s, st_s) = timed(
+    el, (d_s, i_s, st_s), reps_s = timed(
         # recall_target swept at this scale: measured recall is 0.9991 at
         # EVERY setting down to 0.1 (the exact merge + final rescore keep
         # membership); 0.85 is ~15-20% faster than 0.95 and the curve is
@@ -228,10 +234,11 @@ def main():
     log(f"scan(approx): QPS={len(test)/el:.0f} recall={r_s:.4f} "
         f"id_recall={ir_s:.4f} ({el*1000:.0f}ms)")
     candidates.append(("scan-approx", len(test) / el, r_s,
-                       float(np.mean(st_s.distance_computations)), ir_s))
+                       float(np.mean(st_s.distance_computations)), ir_s,
+                       reps_s))
 
     # --- candidate 1b: fused Pallas scan kernel ---
-    el, (d_p, i_p, st_p) = timed(
+    el, (d_p, i_p, st_p), reps_p = timed(
         lambda: scan_search(index, test_d, k=K, use_pallas=True,
                             batch_q=len(test))
     )
@@ -240,7 +247,8 @@ def main():
     log(f"scan(pallas): QPS={len(test)/el:.0f} recall={r_p:.4f} "
         f"id_recall={ir_p:.4f}")
     candidates.append(("scan-pallas", len(test) / el, r_p,
-                       float(np.mean(st_p.distance_computations)), ir_p))
+                       float(np.mean(st_p.distance_computations)), ir_p,
+                       reps_p))
 
     # --- candidate 1c: block-probed fused scan (scan pruned at the
     # kernel's own contiguous-block granularity — zero gathers) ---
@@ -266,7 +274,7 @@ def main():
             chosen_b = B
             break
     if chosen_b is not None:
-        el, (d_b, i_b, st_b) = timed(
+        el, (d_b, i_b, st_b), reps_b = timed(
             lambda: block_scan_search(index, test_d, k=K, n_probe=chosen_b,
                                       batch_q=len(test))
         )
@@ -275,12 +283,13 @@ def main():
         log(f"block-scan(B={chosen_b}): QPS={len(test)/el:.0f} "
             f"recall={r_b:.4f} id_recall={ir_b:.4f}")
         candidates.append((f"scan-block-B{chosen_b}", len(test) / el, r_b,
-                           float(np.mean(st_b.distance_computations)), ir_b))
+                           float(np.mean(st_b.distance_computations)), ir_b,
+                           reps_b))
     else:
         log("block-scan cannot reach 0.9 below 2/3 of the blocks; skipping")
 
     # --- candidate 2: exact dense scan ---
-    el, (d_e, i_e, st_e) = timed(
+    el, (d_e, i_e, st_e), reps_e = timed(
         lambda: scan_search(index, test_d, k=K, exact=True,
                             batch_q=len(test)), reps=1
     )
@@ -289,7 +298,8 @@ def main():
     log(f"scan(exact): QPS={len(test)/el:.0f} recall={r_e:.4f} "
         f"id_recall={ir_e:.4f}")
     candidates.append(("scan-exact", len(test) / el, r_e,
-                       float(np.mean(st_e.distance_computations)), ir_e))
+                       float(np.mean(st_e.distance_computations)), ir_e,
+                       reps_e))
 
     # --- candidate 3: IVF probing at the smallest passing n_probe ---
     sub = min(2000, len(test))
@@ -312,7 +322,7 @@ def main():
             log("ivf cannot reach 0.9 at reasonable probe depth; skipping")
             break
     if chosen is not None:
-        el, (d_i, i_i, st_i) = timed(
+        el, (d_i, i_i, st_i), reps_i = timed(
             lambda: dense_search(index, test, k=K, n_probe=chosen,
                                  batch_size=BATCH)
         )
@@ -321,14 +331,15 @@ def main():
         log(f"ivf(n_probe={chosen}): QPS={len(test)/el:.0f} "
             f"recall={r_i:.4f} id_recall={ir_i:.4f}")
         candidates.append((f"ivf-p{chosen}", len(test) / el, r_i,
-                           float(np.mean(st_i.distance_computations)), ir_i))
+                           float(np.mean(st_i.distance_computations)), ir_i,
+                           reps_i))
 
     # headline: fastest candidate meeting the recall bar; the id-recall
     # floor (0.8 < the 0.9 distance bar: distance ties make id matching
     # strictly pessimistic) guards against silent id corruption
     passing = [c for c in candidates if c[2] >= 0.9 and c[4] >= 0.8]
     best = max(passing or candidates, key=lambda c: c[1])
-    mode_name, qps, full_recall, dc, idr = best
+    mode_name, qps, full_recall, dc, idr = best[:5]
     log(f"headline: {mode_name} QPS={qps:.0f} recall={full_recall:.4f} "
         f"id_recall={idr:.4f}")
 
@@ -340,6 +351,7 @@ def main():
     lsh_sub = min(512, len(test))
     lsh_qps = 0.0
     lsh_recall = 0.0
+    lsh_at_09 = None
     try:
         from clann_tpu.core.index import make_global_tables, unsort_hashes
         from clann_tpu.ops.global_query import global_search
@@ -373,6 +385,42 @@ def main():
             f"lsh(global): QPS={lsh_qps:.0f} recall={lsh_recall:.4f} "
             f"dc/q={st_l.distance_computations.mean():.0f}"
         )
+
+        # --- lsh_at_0.9: the delta-guaranteed engine AT the recall gate.
+        # delta=0.9 lands at reference-parity recall ~0.84 (the semantics
+        # check above); the north star is QPS at recall@10 >= 0.9, so the
+        # guarantee knob delta is raised until the gate is met. The sweep
+        # order comes from scripts/sweep_lsh09.py's LSH_AT_09.json when
+        # present (its chosen delta is tried first).
+        deltas = [0.95, 0.975, 0.99]
+        try:
+            with open(os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "LSH_AT_09.json"
+            )) as f:
+                chosen = json.load(f).get("chosen")
+            if chosen and chosen["delta"] in deltas:
+                deltas.remove(chosen["delta"])
+                deltas.insert(0, chosen["delta"])
+        except (OSError, KeyError, ValueError, TypeError):
+            pass
+        for d9 in deltas:
+            global_search(index, test[:256], k=K, delta=d9, batch_size=256)
+            t0 = time.time()
+            d_l9, _, st_l9 = global_search(
+                index, test[:lsh_sub], k=K, delta=d9, batch_size=256
+            )
+            q9 = lsh_sub / (time.time() - t0)
+            r9, _, _ = recall_values(gt_d[:lsh_sub], d_l9, count=K)
+            log(f"lsh(delta={d9}): QPS={q9:.1f} recall={r9:.4f} "
+                f"dc/q={st_l9.distance_computations.mean():.0f}")
+            if r9 >= 0.9:
+                lsh_at_09 = {
+                    "qps": round(q9, 1), "recall": round(float(r9), 4),
+                    "delta": d9,
+                    "dc_per_query": round(
+                        float(st_l9.distance_computations.mean()), 1),
+                }
+                break
     except Exception as e:  # secondary metric must not sink the bench
         log(f"lsh path failed: {e}")
 
@@ -393,7 +441,8 @@ def main():
                 "candidates": [
                     {"mode": c[0], "qps": round(c[1], 1),
                      "recall": round(float(c[2]), 4),
-                     "id_recall": round(float(c[4]), 4)}
+                     "id_recall": round(float(c[4]), 4),
+                     "rep_qps": [round(len(test) / t, 1) for t in c[5]]}
                     for c in candidates
                 ],
                 "distance_computations_per_query": round(dc, 1),
@@ -401,6 +450,7 @@ def main():
                 "index_bytes": build_mem,
                 "lsh_qps": round(lsh_qps, 1),
                 "lsh_recall": round(float(lsh_recall), 4),
+                "lsh_at_0.9": lsh_at_09,
                 "baseline_note": base_note,
             }
         )
