@@ -80,7 +80,9 @@ def _scan_kernel(q_ref, b_ref, vals_ref, ids_ref, *, nb, block_n):
     ids_ref[:, :] = ids.T
 
 
-def _scan_kernel_packed(q_ref, b_ref, out_ref, *, nb, block_n, biased):
+def _scan_kernel_packed(
+    q_ref, b_ref, out_ref, *, nb, block_n, biased, group_r=1, acc_bf16=False
+):
     """One grid step, packed single-pass variant.
 
     The original kernel pays ~4 VPU passes over the (block_n, q_tile)
@@ -102,8 +104,23 @@ def _scan_kernel_packed(q_ref, b_ref, out_ref, *, nb, block_n, biased):
     exact in bf16); otherwise one extra VPU add pays for it. Output stays
     in the kernel's natural (nb, q_tile) layout; decode and transpose are
     cheap XLA passes over the tiny winner tensor, not the score tile.
+
+    `group_r`: pre-reduce GROUPS of group_r consecutive rows with one
+    plain max before the packing chain runs — the pack/mask/or ops then
+    touch only 1/group_r of the score tile. The winner's identity is kept
+    at GROUP granularity; the e2e rescore evaluates all group_r rows of
+    each winning group exactly, so result quality is unchanged (the
+    group's true best row wins the exact rescore). This trades VPU passes
+    over the full tile (the measured kernel bound, PERFORMANCE.md) for a
+    group_r-times-wider exact rescore, which is gather-overlapped and
+    measured flat up to m*group_r ~ 64.
+
+    `acc_bf16`: emit the matmul in bf16 — halves score-tile VMEM traffic;
+    winner selection then quantizes at bf16's 8 mantissa bits (the exact
+    rescore downstream makes returned values exact either way).
     """
     per_bin = block_n // nb
+    pg = per_bin // group_r  # groups per bin
 
     q = q_ref[:]  # (Qt, dpad) bf16
     b = b_ref[:]  # (block_n, dpad) bf16
@@ -111,21 +128,26 @@ def _scan_kernel_packed(q_ref, b_ref, out_ref, *, nb, block_n, biased):
         b,
         q,
         dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.bfloat16 if acc_bf16 else jnp.float32,
     )  # (block_n, Qt) = score + 3.0 when biased
     if not biased:
         sT = sT + 3.0
-    s3 = sT.reshape(nb, per_bin, sT.shape[1])
-    p = jax.lax.bitcast_convert_type(s3, jnp.int32)
-    sub = jax.lax.broadcasted_iota(jnp.int32, s3.shape, 1)
-    packed = (p & jnp.int32(~(per_bin - 1))) | sub
+    if group_r > 1:
+        s4 = sT.reshape(nb, pg, group_r, sT.shape[1])
+        s3 = jnp.max(s4, axis=2)  # (nb, pg, Qt) — one cheap max pass
+    else:
+        s3 = sT.reshape(nb, pg, sT.shape[1])
+    p = jax.lax.bitcast_convert_type(s3.astype(jnp.float32), jnp.int32)
+    sub = jax.lax.broadcasted_iota(jnp.int32, p.shape, 1)
+    packed = (p & jnp.int32(~(pg - 1))) | sub
     out_ref[:, :] = jnp.max(packed, axis=1)  # (nb, Qt)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "n_real", "num_bins", "block_n", "q_tile", "biased", "interpret"
+        "n_real", "num_bins", "block_n", "q_tile", "biased", "group_r",
+        "acc_bf16", "interpret",
     ),
 )
 def fused_scan_candidates_packed(
@@ -137,6 +159,8 @@ def fused_scan_candidates_packed(
     block_n: int = 16384,
     q_tile: int = 256,
     biased: bool = False,
+    group_r: int = 1,
+    acc_bf16: bool = False,
     interpret: bool = False,
 ):
     """(Q_pad, num_bins) approximate top candidates (vals f32, ids i32).
@@ -144,21 +168,27 @@ def fused_scan_candidates_packed(
     Same contract as fused_scan_candidates; packed single-pass kernel.
     `biased`: operands carry a bias column making the dot == score + 3.0
     (see _scan_kernel_packed) — saves one full VPU pass over the scores.
+    `group_r` > 1: returned ids are GROUP-start row ids (winner is one of
+    the group_r consecutive rows from each id) — the caller must rescore
+    all group_r rows per id (fused_scan_topk_e2e does).
     """
     n_pad, dpad = base_bf16.shape
     q_pad = queries_bf16.shape[0]
     assert n_pad % block_n == 0 and q_pad % q_tile == 0
     assert block_n % num_bins == 0
     per_bin = block_n // num_bins
-    # the sub-index replaces the low log2(per_bin) mantissa bits of the
-    # f32 score pattern: per_bin must be a power of two, small enough that
+    assert per_bin % group_r == 0 and group_r & (group_r - 1) == 0
+    pg = per_bin // group_r
+    # the sub-index replaces the low log2(pg) mantissa bits of the
+    # f32 score pattern: pg must be a power of two, small enough that
     # >= 9 mantissa bits of score survive (bf16 inputs carry ~8 bits)
-    assert per_bin & (per_bin - 1) == 0 and per_bin <= (1 << 14)
+    assert pg & (pg - 1) == 0 and pg <= (1 << 14) and pg >= 1
     grid = (q_pad // q_tile, n_pad // block_n)
     n_blocks = n_pad // block_n
 
     kernel = functools.partial(
-        _scan_kernel_packed, nb=num_bins, block_n=block_n, biased=biased
+        _scan_kernel_packed, nb=num_bins, block_n=block_n, biased=biased,
+        group_r=group_r, acc_bf16=acc_bf16,
     )
     packed = pl.pallas_call(
         kernel,
@@ -184,13 +214,14 @@ def fused_scan_candidates_packed(
         interpret=interpret,
     )(queries_bf16, base_bf16)
     packed = packed.T  # (q_pad, n_blocks * nb) — one pass over winners
-    # decode: high bits = bitcast(score + 3.0) with the low log2(per_bin)
+    # decode: high bits = bitcast(score + 3.0) with the low log2(pg)
     # mantissa bits replaced by sub. Clearing them and bitcasting back
-    # floors the score to its quantization step.
-    sub = packed & (per_bin - 1)
+    # floors the score to its quantization step. With group_r > 1 the id
+    # is the group's FIRST row.
+    sub = packed & (pg - 1)
     ids = (
         jnp.arange(n_blocks * num_bins, dtype=jnp.int32)[None, :] * per_bin
-        + sub
+        + sub * group_r
     )
     masked = jnp.where(ids < n_real, packed, jnp.int32(-(1 << 30)))
     if masked.shape[1] > num_bins:
@@ -202,7 +233,7 @@ def fused_scan_candidates_packed(
     # decodes to bitcast(0xC0000000) - 3 = -5.0 < any real score - 3.
     top_v = (
         jax.lax.bitcast_convert_type(
-            top_p & jnp.int32(~(per_bin - 1)), jnp.float32
+            top_p & jnp.int32(~(pg - 1)), jnp.float32
         )
         - 3.0
     )
@@ -287,7 +318,7 @@ def fused_scan_candidates(
     jax.jit,
     static_argnames=(
         "n_real", "k", "rescore_m", "num_bins", "block_n", "q_tile",
-        "normalize", "biased", "interpret",
+        "normalize", "biased", "group_r", "acc_bf16", "interpret",
     ),
 )
 def fused_scan_topk_e2e(
@@ -303,6 +334,8 @@ def fused_scan_topk_e2e(
     q_tile: int = 256,
     normalize: bool = False,
     biased: bool = False,
+    group_r: int = 1,
+    acc_bf16: bool = False,
     interpret: bool = False,
 ):
     """Whole fused-scan query path in ONE jit: pad + kernel + candidate
@@ -336,13 +369,22 @@ def fused_scan_topk_e2e(
     v, i = fused_scan_candidates_packed(
         base_bf16, qp, n_real=n_real,
         num_bins=num_bins, block_n=block_n, q_tile=q_tile,
-        biased=biased, interpret=interpret,
+        biased=biased, group_r=group_r, acc_bf16=acc_bf16,
+        interpret=interpret,
     )
     v, i = v[:Q], i[:Q]
     m = min(rescore_m, v.shape[1])
     if v.shape[1] > m:
         _, sel = jax.lax.top_k(v, m)
         i = jnp.take_along_axis(i, sel, axis=1)
+    if group_r > 1:
+        # group-granular winners: expand each group-start id to its
+        # group_r consecutive rows; the exact rescore picks the row the
+        # in-kernel packing no longer resolves
+        gvalid = (i >= 0)[:, :, None]
+        i = (i[:, :, None] + jnp.arange(group_r, dtype=jnp.int32)) * gvalid
+        i = jnp.where(gvalid, i, -1).reshape(Q, m * group_r)
+        i = jnp.where(i < n_real, i, -1)
     safe = jnp.clip(i, 0, n_real - 1)
     ex = jnp.einsum(
         "qbd,qd->qb", base_f32[safe], queries_f32,

@@ -133,3 +133,76 @@ class TestPackedKernel:
                          for q in range(len(qs))])
         assert match > 0.9, match
         assert np.all(np.diff(s, axis=1) <= 1e-6)
+
+    @pytest.mark.parametrize("group_r,acc_bf16", [(2, False), (4, False),
+                                                  (1, True), (4, True)])
+    def test_e2e_group_reduce_and_bf16_acc(self, group_r, acc_bf16):
+        """group_r pre-reduction + bf16 accumulation keep result quality.
+
+        The winner's identity is group-granular inside the kernel; the
+        exact rescore over all group_r rows of each winning group must
+        recover the true best rows, so brute-force membership and exact
+        returned values must hold exactly as at group_r=1.
+        """
+        import jax.numpy as jnp
+
+        from clann_tpu.ops.distances import brute_force_topk
+        from clann_tpu.ops.pallas.scan_topk import fused_scan_topk_e2e
+
+        base, qs = self._data(n=1500, d=24, q=48, seed=11)
+        bn = 512
+        n_pad = ((base.shape[0] + bn - 1) // bn) * bn
+        bp = np.zeros((n_pad, 128), np.float32)
+        bp[: base.shape[0], : base.shape[1]] = base
+        s, i = fused_scan_topk_e2e(
+            jnp.asarray(bp, jnp.bfloat16),
+            jnp.asarray(base),
+            jnp.asarray(qs),
+            n_real=base.shape[0], k=5, rescore_m=16,
+            num_bins=32, block_n=bn, q_tile=16,
+            group_r=group_r, acc_bf16=acc_bf16, interpret=True,
+        )
+        s, i = np.asarray(s), np.asarray(i)
+        gt_d, gt_i = brute_force_topk(base, qs, k=5, metric="angular")
+        match = np.mean([len(set(i[q]) & set(np.asarray(gt_i)[q])) / 5
+                         for q in range(len(qs))])
+        assert match > 0.88, match
+        assert np.all(np.diff(s, axis=1) <= 1e-6)
+        # returned values exact (the rescore is f32 regardless of acc)
+        bnrm = base / np.linalg.norm(base, axis=1, keepdims=True)
+        qn = qs / np.linalg.norm(qs, axis=1, keepdims=True)
+        for q in range(0, 48, 11):
+            for j in range(5):
+                if i[q, j] >= 0:
+                    assert abs(float(bnrm[i[q, j]] @ qn[q]) - s[q, j]) < 1e-4
+
+    def test_packed_group_ids_are_group_starts(self):
+        import jax.numpy as jnp
+
+        from clann_tpu.ops.pallas.scan_topk import (
+            fused_scan_candidates_packed,
+        )
+
+        base, qs = self._data(n=1024, d=24, q=32, seed=9)
+        dpad, bn, qt, nb, gr = 128, 512, 32, 32, 4
+        bp = np.zeros((base.shape[0], dpad), np.float32)
+        bp[:, : base.shape[1]] = base
+        qp = np.zeros((qs.shape[0], dpad), np.float32)
+        qp[:, : qs.shape[1]] = qs
+        v, i = fused_scan_candidates_packed(
+            jnp.asarray(bp, jnp.bfloat16), jnp.asarray(qp, jnp.bfloat16),
+            n_real=base.shape[0], num_bins=nb, block_n=bn, q_tile=qt,
+            group_r=gr, interpret=True,
+        )
+        i = np.asarray(i)
+        assert (i >= 0).all() and i.max() < base.shape[0]
+        assert (i % gr == 0).all(), "group ids must be group-aligned"
+        # every query's true top-1 row lives inside some returned group
+        sims = (base / np.linalg.norm(base, axis=1, keepdims=True)) @ (
+            qs / np.linalg.norm(qs, axis=1, keepdims=True)
+        ).T
+        top1 = sims.argmax(axis=0)
+        hit = np.mean([
+            (top1[q] // gr) * gr in set(i[q].tolist()) for q in range(len(qs))
+        ])
+        assert hit > 0.95, hit
