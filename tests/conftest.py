@@ -35,6 +35,33 @@ jax.config.update("jax_platforms", _want)
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# Fast/slow split: the full suite takes ~25 min on a 1-core host even with
+# a warm compilation cache (the sharded/e2e modules each compile
+# multi-minute XLA programs). `pytest -m "not slow"` keeps the unit-level
+# core — formats, hashing, prefix maps, GMM, kernels-in-interpret,
+# metrics, API — inside a few minutes. Membership is by module: every
+# module below is dominated by large jitted end-to-end programs.
+_SLOW_MODULES = {
+    "test_sharded.py",
+    "test_sharded_build.py",
+    "test_interop.py",
+    "test_insert_rebuild.py",
+    "test_index_search.py",
+    "test_puffinn_compat.py",
+    "test_jaccard_join.py",
+    "test_gather_block.py",
+    "test_global_query.py",
+    "test_recall_matrix.py",
+    "test_reference_cross.py",
+    "test_bench_harness.py",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if os.path.basename(str(item.fspath)) in _SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture(scope="session")
 def small_angular_dataset():
