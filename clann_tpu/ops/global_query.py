@@ -68,29 +68,10 @@ from clann_tpu.ops.query import (
 )
 
 
-def global_search_batch_impl(
-    index,
-    queries_n: jnp.ndarray,
-    query_hashes: jnp.ndarray,
-    query_sketches: jnp.ndarray,
-    delta: jnp.ndarray,
-    *,
-    k: int,
-    chunk: int,
-    min_depth: int = 1,
-    filter_type: str = "default",
-    filter_expand: int = 8,
-) -> Tuple[jnp.ndarray, jnp.ndarray, SearchStats]:
-    """Search a pre-hashed query batch on the global tables.
-
-    Same contract as ops/query.search_batch_impl; requires the index to be
-    built with global LSH structures (config.lsh_engine == "global").
-    """
-    Q, d = queries_n.shape
-    L = index.g_sorted_hash.shape[0]
+def _entry_depth(index, min_depth: int) -> int:
+    """Static stream entry depth (see candidate_stream)."""
     n = index.vectors.shape[0]
     D = index.config.max_hashbits
-    S = index.sketches.shape[1]
     d_entry = int(np.clip(np.ceil(np.log2(max(2, n))) + 2, min_depth, D))
     if index.config.global_entry_cap > 0:
         # experimental analog of the clustered walk's lsh_entry_cap:
@@ -101,38 +82,28 @@ def global_search_batch_impl(
         d_entry = int(
             max(min_depth, min(d_entry, index.config.global_entry_cap))
         )
-    # blocked gather: G consecutive records per gather lane (see
-    # ops/prefixmap.block_stream). The stream cursor runs in block units.
+    return d_entry
+
+
+def _prepare_streams(
+    index,
+    queries_n: jnp.ndarray,
+    query_hashes: jnp.ndarray,
+    query_sketches: jnp.ndarray,
+    *,
+    min_depth: int,
+) -> dict:
+    """Per-query device state consumed by the adaptive loop.
+
+    Everything here has leading dim Q and no cross-query coupling, which
+    is what makes the continuous-batching driver possible: any row subset
+    can be gathered into a lane batch and advanced independently.
+    """
+    Q = queries_n.shape[0]
+    D = index.config.max_hashbits
+    d_entry = _entry_depth(index, min_depth)
     G = max(1, index.config.gather_block)
     g_log = int(np.log2(G))
-    WB = max(1, (chunk * filter_expand) // G)  # window width in blocks
-    WL = WB * G  # window width in record lanes
-    CB = chunk + G  # compacted rescore capacity (block-granular overshoot)
-    Wd = index.sketches.shape[2]
-    R = index.g_records.shape[2]  # 1 + Wd + 1 record words
-    n_pad = index.g_records.shape[1]
-    if n_pad % G:
-        raise ValueError(
-            "g_records slot axis is not a multiple of config.gather_block; "
-            "build records with make_global_tables(..., pad_to=gather_block)"
-        )
-    nb = n_pad // G
-    # free reshape: (L, n_pad, R) rows -> (L, nb, G*R) block rows
-    rec_view = index.g_records.reshape(L, nb, G * R)
-
-    queries_q8 = None
-    # internal buffer depth: 2k under quantized scoring (see ops/query.py)
-    kk = k
-    if index.vectors_q8 is not None:
-        from clann_tpu.core.index import quantize_q8
-
-        queries_q8 = quantize_q8(queries_n)
-        kk = 2 * k
-    # int8 kth overestimation margin — see ops/query.py q8_margin: an
-    # inflated kth would irreversibly prune feasible balls/candidates
-    q8_margin = (
-        float(np.sqrt(d)) / 127.0 if index.vectors_q8 is not None else 0.0
-    )
 
     # cluster geometry for the feasibility filter (one matmul)
     center_dist = jnp.clip(
@@ -156,10 +127,90 @@ def global_search_batch_impl(
     starts_s, sizes_s = candidate_stream(
         lo, hi, query_hashes, D, min_depth, start_depth=d_entry
     )  # (Q, M)
-    M = sizes_s.shape[1]
     bstarts, bcounts = block_stream(starts_s, sizes_s, g_log)
     fc = jnp.cumsum(bcounts, axis=1)  # (Q, M) cumulative BLOCK counts
-    total = fc[:, -1]
+
+    streams = {
+        "qn": queries_n,
+        "qsk": query_sketches,
+        "feas_bound": feas_bound,
+        "ball_floor": ball_floor,
+        "starts": starts_s,
+        "sizes": sizes_s,
+        "bstarts": bstarts,
+        "fc": fc,
+        "total": fc[:, -1],
+    }
+    if index.vectors_q8 is not None:
+        from clann_tpu.core.index import quantize_q8
+
+        streams["q8"] = quantize_q8(queries_n)
+    return streams
+
+
+def _init_state(Q: int, kk: int, total: jnp.ndarray) -> tuple:
+    return (
+        jnp.zeros((Q, kk), jnp.float32),
+        jnp.full((Q, kk), -1, jnp.int32),
+        total <= 0,
+        jnp.zeros((Q,), jnp.int32),
+        jnp.zeros((Q,), jnp.int32),
+        jnp.zeros((Q,), jnp.int32),
+    )
+
+
+def _loop_pieces(
+    index,
+    streams: dict,
+    delta: jnp.ndarray,
+    *,
+    k: int,
+    chunk: int,
+    min_depth: int,
+    filter_type: str,
+    filter_expand: int,
+):
+    """(cond, body) of the adaptive probe loop over `streams`' queries.
+
+    State tuple: (topk_sims (Q,kk), topk_ids, qdone, off, dc, cand_ct).
+    """
+    queries_n = streams["qn"]
+    query_sketches = streams["qsk"]
+    feas_bound = streams["feas_bound"]
+    ball_floor = streams["ball_floor"]
+    starts_s, sizes_s = streams["starts"], streams["sizes"]
+    bstarts, fc, total = streams["bstarts"], streams["fc"], streams["total"]
+    queries_q8 = streams.get("q8")
+
+    Q, d = queries_n.shape
+    L = index.g_sorted_hash.shape[0]
+    n = index.vectors.shape[0]
+    S = index.sketches.shape[1]
+    d_entry = _entry_depth(index, min_depth)
+    # blocked gather: G consecutive records per gather lane (see
+    # ops/prefixmap.block_stream). The stream cursor runs in block units.
+    G = max(1, index.config.gather_block)
+    WB = max(1, (chunk * filter_expand) // G)  # window width in blocks
+    WL = WB * G  # window width in record lanes
+    CB = chunk + G  # compacted rescore capacity (block-granular overshoot)
+    Wd = index.sketches.shape[2]
+    R = index.g_records.shape[2]  # 1 + Wd + 1 record words
+    n_pad = index.g_records.shape[1]
+    if n_pad % G:
+        raise ValueError(
+            "g_records slot axis is not a multiple of config.gather_block; "
+            "build records with make_global_tables(..., pad_to=gather_block)"
+        )
+    nb = n_pad // G
+    # free reshape: (L, n_pad, R) rows -> (L, nb, G*R) block rows
+    rec_view = index.g_records.reshape(L, nb, G * R)
+
+    g_log = int(np.log2(G))
+    # int8 kth overestimation margin — see ops/query.py q8_margin: an
+    # inflated kth would irreversibly prune feasible balls/candidates
+    q8_margin = (
+        float(np.sqrt(d)) / 127.0 if index.vectors_q8 is not None else 0.0
+    )
 
     blk_iota = jnp.arange(WB, dtype=jnp.int32)
 
@@ -283,21 +334,15 @@ def global_search_batch_impl(
 
         return (topk_sims, topk_ids, qdone, off_new, dc, cand_ct)
 
-    init = (
-        jnp.zeros((Q, kk), jnp.float32),
-        jnp.full((Q, kk), -1, jnp.int32),
-        total <= 0,
-        jnp.zeros((Q,), jnp.int32),
-        jnp.zeros((Q,), jnp.int32),
-        jnp.zeros((Q,), jnp.int32),
-    )
-    topk_sims, topk_ids, _, _, dc, cand_ct = jax.lax.while_loop(
-        cond, body, init
-    )
-    topk_sims, topk_ids = _exact_rescore_topk(
-        index, queries_n, topk_sims, topk_ids, out_k=k
-    )
+    return cond, body
 
+
+def _finalize(index, streams, state, *, k):
+    """Exact rescore + per-run stats from a finished loop state."""
+    topk_sims, topk_ids, _, _, dc, cand_ct = state
+    topk_sims, topk_ids = _exact_rescore_topk(
+        index, streams["qn"], topk_sims, topk_ids, out_k=k
+    )
     # clusters still feasible at the final kth — the analog of
     # clusters_visited for per-run metrics
     kth_dist = jnp.where(
@@ -306,9 +351,42 @@ def global_search_batch_impl(
         jnp.inf,
     )
     visited = jnp.sum(
-        feas_bound <= kth_dist[:, None], axis=1, dtype=jnp.int32
+        streams["feas_bound"] <= kth_dist[:, None], axis=1, dtype=jnp.int32
     )
     return topk_sims, topk_ids, SearchStats(dc, cand_ct, visited)
+
+
+def global_search_batch_impl(
+    index,
+    queries_n: jnp.ndarray,
+    query_hashes: jnp.ndarray,
+    query_sketches: jnp.ndarray,
+    delta: jnp.ndarray,
+    *,
+    k: int,
+    chunk: int,
+    min_depth: int = 1,
+    filter_type: str = "default",
+    filter_expand: int = 8,
+) -> Tuple[jnp.ndarray, jnp.ndarray, SearchStats]:
+    """Search a pre-hashed query batch on the global tables.
+
+    Same contract as ops/query.search_batch_impl; requires the index to be
+    built with global LSH structures (config.lsh_engine == "global").
+    """
+    Q = queries_n.shape[0]
+    kk = k if index.vectors_q8 is None else 2 * k
+    streams = _prepare_streams(
+        index, queries_n, query_hashes, query_sketches, min_depth=min_depth
+    )
+    cond, body = _loop_pieces(
+        index, streams, delta, k=k, chunk=chunk, min_depth=min_depth,
+        filter_type=filter_type, filter_expand=filter_expand,
+    )
+    state = jax.lax.while_loop(
+        cond, body, _init_state(Q, kk, streams["total"])
+    )
+    return _finalize(index, streams, state, k=k)
 
 
 global_search_batch_jit = functools.partial(
@@ -317,6 +395,62 @@ global_search_batch_jit = functools.partial(
         "k", "chunk", "min_depth", "filter_type", "filter_expand",
     ),
 )(global_search_batch_impl)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "chunk", "min_depth", "filter_type", "filter_expand",
+        "max_iters",
+    ),
+)
+def _global_step_packed(
+    index,
+    streams_all: dict,
+    state_all: tuple,
+    active_idx: jnp.ndarray,
+    delta: jnp.ndarray,
+    *,
+    k: int,
+    chunk: int,
+    min_depth: int,
+    filter_type: str,
+    filter_expand: int,
+    max_iters: int,
+):
+    """Advance the `active_idx` lanes by up to `max_iters` loop iterations.
+
+    The continuous-batching step: gather the active rows out of the
+    resident full-query-set arrays, run the bounded adaptive loop on the
+    packed lane batch, scatter the advanced state back. Device-resident
+    end to end — the only host traffic per round is the tiny lane-index
+    vector in and the per-lane done flags out.
+    """
+    lane_streams = jax.tree_util.tree_map(
+        lambda a: a[active_idx], streams_all
+    )
+    lane_state = jax.tree_util.tree_map(lambda a: a[active_idx], state_all)
+    cond, body = _loop_pieces(
+        index, lane_streams, delta, k=k, chunk=chunk, min_depth=min_depth,
+        filter_type=filter_type, filter_expand=filter_expand,
+    )
+
+    def cond2(s):
+        it, inner = s
+        return (it < max_iters) & cond(inner)
+
+    def body2(s):
+        it, inner = s
+        return it + 1, body(inner)
+
+    _, lane_state = jax.lax.while_loop(
+        cond2, body2, (jnp.int32(0), lane_state)
+    )
+    state_all = jax.tree_util.tree_map(
+        lambda full, lane: full.at[active_idx].set(lane),
+        state_all, lane_state,
+    )
+    return state_all, lane_state[2]
 
 
 @functools.partial(jax.jit, static_argnames=("d_entry", "min_depth"))
@@ -432,6 +566,117 @@ def global_search(
         inv[perm] = np.arange(len(perm))
         sims, ids = sims[inv], ids[inv]
         stats = SearchStats(*(np.asarray(f)[inv] for f in stats))
+    dists = 2.0 * (1.0 - sims)
+    dists = np.where(ids < 0, np.inf, dists)
+    return dists, ids, stats
+
+
+def global_search_continuous(
+    index,
+    queries,
+    k: int = None,
+    delta: float = None,
+    lanes: int = 256,
+    step_iters: int = 8,
+    filter_type: str = "default",
+    prepare_batch: int = 2048,
+) -> Tuple[np.ndarray, np.ndarray, SearchStats]:
+    """Continuous-batching global search: keep every loop lane busy.
+
+    The plain batched driver runs each batch's adaptive while_loop to its
+    SLOWEST query — measured at 1.18M the batch takes ~60 iterations while
+    the mean query needs ~6, and a done query's lanes still issue their
+    window gathers, so ~90% of the loop's memory traffic is wasted. This
+    driver is the serving-style fix: advance a fixed set of `lanes` lanes
+    by at most `step_iters` iterations per dispatch, and between
+    dispatches swap finished queries out for pending ones, so lanes stay
+    filled with live work until the queue drains.
+
+    Per-query results are IDENTICAL to global_search: the loop carries no
+    cross-query state (each lane reads only its own stream rows), so
+    scheduling cannot change any query's candidate walk. The reference
+    analog is its dynamic OpenMP scheduling over per-query searches
+    (collection.hpp:479-481) — threads pull queries as they free up; here
+    lanes do.
+
+    All stream state stays device-resident; per round the host sends the
+    lane->query index vector (lanes * 4 bytes) and reads back the lane
+    done flags, avoiding the measured ~1-6MB/s host<->device relay for
+    bulk data.
+    """
+    from clann_tpu.errors import DataError
+
+    if index.g_records is None:
+        raise DataError(
+            "index lacks global LSH structures; build with "
+            "config.lsh_engine='global'"
+        )
+    cfg = index.config
+    k = cfg.k if k is None else k
+    delta = cfg.delta if delta is None else delta
+    source, filterer = index.rebuild_objects()
+
+    q = queries if isinstance(queries, jnp.ndarray) else jnp.asarray(
+        np.asarray(queries, np.float32)
+    )
+    if q.ndim == 1:
+        q = q[None, :]
+    qn = l2_normalize(q.astype(jnp.float32))
+    Q = qn.shape[0]
+    if Q <= lanes:
+        # a single batch cannot be repacked; the plain driver is optimal
+        return global_search(
+            index, qn, k=k, delta=delta, batch_size=lanes,
+            filter_type=filter_type,
+        )
+
+    kk = k if index.vectors_q8 is None else 2 * k
+
+    # prepare all queries' stream state, device-resident (slabs bound the
+    # transient depth_bounds memory)
+    slabs = []
+    for s in range(0, Q, prepare_batch):
+        block = qn[s : s + prepare_batch]
+        slabs.append(_prepare_streams(
+            index, block, source.hash(block), filterer.sketch(block),
+            min_depth=cfg.min_depth,
+        ))
+    streams_all = jax.tree_util.tree_map(
+        lambda *xs: jnp.concatenate(xs, axis=0), *slabs
+    )
+    state_all = _init_state(Q, kk, streams_all["total"])
+
+    # lane scheduling (host side, O(lanes) per round). A lane whose query
+    # is done and for which no pending query remains keeps its last
+    # assignment; its qdone=True row masks all its work.
+    active = np.arange(lanes, dtype=np.int32)
+    next_q = lanes
+    dj = jnp.float32(delta)
+    while True:
+        state_all, lane_done = _global_step_packed(
+            index, streams_all, state_all, jnp.asarray(active), dj,
+            k=k, chunk=cfg.candidate_chunk, min_depth=cfg.min_depth,
+            filter_type=filter_type, filter_expand=cfg.filter_expand,
+            max_iters=step_iters,
+        )
+        done_np = np.asarray(lane_done)
+        refilled = False
+        if next_q < Q:
+            for i in np.nonzero(done_np)[0]:
+                if next_q >= Q:
+                    break
+                active[i] = next_q
+                next_q += 1
+                refilled = True
+        # break only on a round that both finished all its lanes AND
+        # swapped nothing in — a refill in this round means those lanes
+        # now hold unstarted queries that must run before finishing
+        if not refilled and done_np.all():
+            break
+
+    sims, ids, stats = _finalize(index, streams_all, state_all, k=k)
+    sims, ids = np.asarray(sims), np.asarray(ids)
+    stats = SearchStats(*(np.asarray(f) for f in stats))
     dists = 2.0 * (1.0 - sims)
     dists = np.where(ids < 0, np.inf, dists)
     return dists, ids, stats

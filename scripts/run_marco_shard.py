@@ -1,0 +1,157 @@
+"""Per-device-shard evidence for the 100M MS MARCO target (VERDICT #9).
+
+BASELINE.md's largest target is MS MARCO: 100M passages, 768-d, on
+v5e-64. parallel/capacity.py plans that build analytically; this script
+proves the per-shard program empirically on the one real chip: it holds
+a full 100M/64-sized shard (1,562,500 x 768) in HBM, builds the dense
+per-shard structures, and runs the point-sharded query program (local
+scan; in the 64-chip program the k-candidate merge is one all_gather of
+(Q, k) tuples over ICI — parallel/sharded.py point_sharded_search).
+
+Reports: planned vs actual bytes, device HBM in use, per-shard QPS at
+recall@10 >= 0.9 vs the shard's own exact ground truth. Writes
+MARCO_SHARD.json and the PERFORMANCE.md table row.
+
+Run: python -m scripts.run_marco_shard
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/jax_comp_cache")
+)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+
+N_TOTAL, N_DEV = 100_000_000, 64
+N_SHARD = N_TOTAL // N_DEV  # 1,562,500
+D, NQ, K = 768, 1000, 10
+
+
+def log(m):
+    print(f"[marco_shard] {m}", file=sys.stderr, flush=True)
+
+
+def main():
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    from bench import wait_for_tpu
+
+    wait_for_tpu()
+    import jax
+    import jax.numpy as jnp
+
+    from clann_tpu.config import Config
+    from clann_tpu.core.index import build_index
+    from clann_tpu.data.synthetic import clustered_unit_vectors
+    from clann_tpu.metrics.recall import recall_values
+    from clann_tpu.ops.distances import brute_force_topk
+    from clann_tpu.ops.ivf import scan_search
+    from clann_tpu.parallel.capacity import plan_capacity
+
+    cfg = Config(
+        num_tables=8, num_clusters_factor=0.2, k=K, seed=0,
+        dataset_name=f"marco-shard-{N_SHARD}", pack_slot_records=False,
+    )
+    # the 100M plan this shard instantiates 1/64th of
+    plan = plan_capacity(N_TOTAL, D, cfg)
+    log(
+        f"plan(100M x 768): shardable={plan.shardable_bytes/1e9:.1f}GB "
+        f"replicated={plan.replicated_bytes/1e9:.2f}GB "
+        f"min_devices={plan.min_devices} "
+        f"recommended={plan.recommended_devices}"
+    )
+
+    log(f"generating shard {N_SHARD} x {D} (seed-deterministic, uncached)")
+    t0 = time.time()
+    train = clustered_unit_vectors(N_SHARD, D, n_modes=1024, spread=0.7,
+                                   seed=30)
+    test = clustered_unit_vectors(NQ, D, n_modes=1024, spread=0.7, seed=31)
+    log(f"generated in {time.time()-t0:.0f}s")
+
+    cache = os.path.expanduser("~/.cache/clann_tpu")
+    os.makedirs(cache, exist_ok=True)
+    gt_path = os.path.join(cache, f"marco_gt_{N_SHARD}x{D}_q{NQ}.npz")
+    if os.path.exists(gt_path):
+        z = np.load(gt_path)
+        gt_d, gt_i = z["gt_d"], z["gt_i"]
+    else:
+        t0 = time.time()
+        gt_d, gt_i = brute_force_topk(train, test, k=K, metric="angular",
+                                      block_q=128)
+        gt_d, gt_i = np.asarray(gt_d), np.asarray(gt_i)
+        np.savez(gt_path, gt_d=gt_d, gt_i=gt_i)
+        log(f"exact shard ground truth in {time.time()-t0:.0f}s")
+
+    t0 = time.time()
+    index = build_index(train, cfg)
+    build_s = time.time() - t0
+    mem = index.memory_usage()
+    dev = jax.devices()[0]
+    stats = dev.memory_stats() or {}
+    hbm_used = stats.get("bytes_in_use", 0)
+    log(
+        f"build {build_s:.0f}s; index bytes={mem/1e9:.2f}GB; "
+        f"device bytes_in_use={hbm_used/1e9:.2f}GB"
+    )
+
+    test_d = jax.device_put(jnp.asarray(test))
+    _ = np.asarray(test_d[:1])
+    out_rows = {}
+    for name, kw in (
+        ("scan-approx", dict(recall_target=0.95)),
+        ("scan-pallas", dict(use_pallas=True)),
+    ):
+        fn = lambda: scan_search(index, test_d, k=K, batch_q=NQ, **kw)
+        try:
+            fn()
+        except Exception as e:
+            log(f"{name} failed: {e}")
+            continue
+        reps = []
+        for _ in range(8):
+            t0 = time.time()
+            d, i, st = fn()
+            reps.append(time.time() - t0)
+        el = float(np.median(reps))
+        r, _, _ = recall_values(gt_d, d, count=K)
+        log(f"{name}: per-shard QPS={NQ/el:.0f} recall={r:.4f}")
+        out_rows[name] = {
+            "qps": round(NQ / el, 1), "recall": round(float(r), 4),
+            "rep_qps": [round(NQ / t, 1) for t in reps],
+        }
+
+    out = {
+        "target": "MS MARCO 100M x 768 on v5e-64 (BASELINE.md)",
+        "shard": {"n": N_SHARD, "d": D, "queries": NQ, "k": K},
+        "plan_100m": {
+            "shardable_gb": round(plan.shardable_bytes / 1e9, 2),
+            "replicated_gb": round(plan.replicated_bytes / 1e9, 3),
+            "min_devices": plan.min_devices,
+            "recommended_devices": plan.recommended_devices,
+        },
+        "measured": {
+            "build_seconds": round(build_s, 1),
+            "index_gb": round(mem / 1e9, 3),
+            "device_bytes_in_use_gb": round(hbm_used / 1e9, 3),
+            "rows": out_rows,
+        },
+    }
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "MARCO_SHARD.json",
+    )
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    log(f"wrote {path}")
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,152 @@
+"""Measured run at the nytimes-256-angular target shape (VERDICT #7).
+
+BASELINE.md target configs include nytimes-256-angular at k=100,
+delta=0.99 (from BASELINE.json). k=100 stresses the top-k merge width
+(the 2k int8 buffer and the kernel's bin count) and delta=0.99 stresses
+the adaptive termination depth — paths the k=10/delta=0.9 bench never
+exercises. No public dataset files exist in this zero-egress image, so
+the dataset is synthetic at the exact nytimes shape (290,000 x 256,
+10,000 queries — ann-benchmarks nytimes-256-angular dimensions) with
+exact on-device ground truth at k=100.
+
+Measures: dense scan (approx + fused Pallas) at k=100, plus the
+delta-guaranteed global LSH engine at delta=0.99, against the
+reference's recall contract (observed >= 0.8 x delta,
+src/puffinn_binds/puffinn.rs:179-225). Writes NYTIMES_SHAPE.json.
+
+Run: python -m scripts.run_nytimes_shape
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/jax_comp_cache")
+)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+
+N, D, NQ, K, DELTA = 290_000, 256, 10_000, 100, 0.99
+L = int(os.environ.get("NYT_L", 50))
+LSH_Q = int(os.environ.get("NYT_LSH_Q", 512))
+
+
+def log(m):
+    print(f"[nytimes_shape] {m}", file=sys.stderr, flush=True)
+
+
+def get_dataset():
+    from clann_tpu.data.synthetic import clustered_unit_vectors
+    from clann_tpu.ops.distances import brute_force_topk
+
+    cache = os.path.expanduser("~/.cache/clann_tpu")
+    os.makedirs(cache, exist_ok=True)
+    path = os.path.join(cache, f"nyt_{N}x{D}_q{NQ}_k{K}.npz")
+    if os.path.exists(path):
+        z = np.load(path)
+        return z["train"], z["test"], z["gt_d"], z["gt_i"]
+    log("generating synthetic nytimes-256 shape + exact k=100 ground truth")
+    train = clustered_unit_vectors(N, D, n_modes=512, spread=0.7, seed=20)
+    test = clustered_unit_vectors(NQ, D, n_modes=512, spread=0.7, seed=21)
+    gt_d, gt_i = brute_force_topk(train, test, k=K, metric="angular",
+                                  block_q=256)
+    gt_d, gt_i = np.asarray(gt_d), np.asarray(gt_i)
+    np.savez(path, train=train, test=test, gt_d=gt_d, gt_i=gt_i)
+    return train, test, gt_d, gt_i
+
+
+def main():
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    from bench import wait_for_tpu
+
+    wait_for_tpu()
+    import jax
+    import jax.numpy as jnp
+
+    from clann_tpu.config import Config
+    from clann_tpu.core.index import build_index
+    from clann_tpu.metrics.recall import recall_values
+    from clann_tpu.ops.global_query import global_search_continuous
+    from clann_tpu.ops.ivf import scan_search
+
+    train, test, gt_d, gt_i = get_dataset()
+    out = {"n": N, "d": D, "k": K, "delta": DELTA, "num_tables": L,
+           "rows": {}}
+
+    cfg = Config(
+        num_tables=L, num_clusters_factor=0.4, k=K, delta=DELTA, seed=0,
+        dataset_name=f"nytimes-256-synthetic-{N}", candidate_chunk=512,
+        pack_slot_records=False,
+    )
+    t0 = time.time()
+    index = build_index(train, cfg)
+    log(f"dense build {time.time()-t0:.0f}s")
+
+    test_d = jax.device_put(jnp.asarray(test))
+    _ = np.asarray(test_d[:1])
+    for name, kw in (
+        ("scan-approx", dict(recall_target=0.95)),
+        ("scan-pallas", dict(use_pallas=True)),
+    ):
+        fn = lambda: scan_search(index, test_d, k=K, batch_q=NQ, **kw)
+        fn()
+        reps = []
+        for _ in range(8):
+            t0 = time.time()
+            d, i, st = fn()
+            reps.append(time.time() - t0)
+        el = float(np.median(reps))
+        r, _, _ = recall_values(gt_d, d, count=K)
+        idr = float(np.mean([
+            len(set(a.tolist()) & set(b.tolist())) / K
+            for a, b in zip(np.asarray(i), gt_i[:, :K])
+        ]))
+        log(f"{name}: QPS={NQ/el:.0f} recall@100={r:.4f} id_recall={idr:.4f}")
+        out["rows"][name] = {
+            "qps": round(NQ / el, 1), "recall": round(float(r), 4),
+            "id_recall": round(idr, 4),
+        }
+
+    # delta-guaranteed path at the target delta: global engine, continuous
+    # lanes; contract is observed recall >= 0.8 * delta (reference recall
+    # test), and the run reports the honest number either way
+    cfg_l = cfg.replace(lsh_engine="global", pack_slot_records=True)
+    t0 = time.time()
+    index_l = build_index(train, cfg_l)
+    log(f"lsh build {time.time()-t0:.0f}s")
+    sub = test[:LSH_Q]
+    global_search_continuous(index_l, sub[:257], k=K, delta=DELTA)
+    t0 = time.time()
+    d, i, st = global_search_continuous(index_l, sub, k=K, delta=DELTA)
+    el = time.time() - t0
+    r, _, _ = recall_values(gt_d[:LSH_Q], d, count=K)
+    log(
+        f"lsh(delta={DELTA}): QPS={LSH_Q/el:.1f} recall@100={r:.4f} "
+        f"dc/q={st.distance_computations.mean():.0f} "
+        f"contract_pass={r >= 0.8 * DELTA}"
+    )
+    out["rows"]["lsh-global"] = {
+        "qps": round(LSH_Q / el, 1), "recall": round(float(r), 4),
+        "dc_per_query": round(float(st.distance_computations.mean()), 1),
+        "contract": f"recall >= 0.8*delta = {0.8 * DELTA}",
+        "contract_pass": bool(r >= 0.8 * DELTA),
+    }
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "NYTIMES_SHAPE.json",
+    )
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    log(f"wrote {path}")
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -136,3 +136,50 @@ def test_difficulty_sorted_batching_same_results(ds, index):
     r1, _, _ = recall_values(ds.distances, d1, count=5)
     r2, _, _ = recall_values(ds.distances, d2, count=5)
     assert abs(r1 - r2) < 0.05, (r1, r2)
+
+
+class TestContinuousBatching:
+    """Serving-style lane scheduler (global_search_continuous)."""
+
+    def test_identical_to_batched(self, ds, index):
+        """Scheduling cannot change any query's candidate walk: the loop
+        carries no cross-query state, so the continuous driver must
+        reproduce the plain batched driver's results exactly when the
+        batch composition matches lane count."""
+        from clann_tpu.ops.global_query import global_search_continuous
+
+        d1, i1, st1 = global_search(
+            index, ds.test, k=10, delta=0.9, batch_size=16
+        )
+        d2, i2, st2 = global_search_continuous(
+            index, ds.test, k=10, delta=0.9, lanes=16, step_iters=3
+        )
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_allclose(d1, d2, rtol=0, atol=0)
+        np.testing.assert_array_equal(
+            st1.distance_computations, st2.distance_computations
+        )
+
+    def test_step_granularity_invariant(self, ds, index):
+        """step_iters only changes scheduling, never results."""
+        from clann_tpu.ops.global_query import global_search_continuous
+
+        outs = [
+            global_search_continuous(
+                index, ds.test[:48], k=5, delta=0.85, lanes=16, step_iters=s
+            )
+            for s in (1, 4, 64)
+        ]
+        for d, i, _ in outs[1:]:
+            np.testing.assert_array_equal(outs[0][1], i)
+            np.testing.assert_allclose(outs[0][0], d, rtol=0, atol=0)
+
+    def test_small_query_set_falls_back(self, ds, index):
+        from clann_tpu.ops.global_query import global_search_continuous
+
+        d1, i1, _ = global_search(index, ds.test[:8], k=5, delta=0.9,
+                                  batch_size=32)
+        d2, i2, _ = global_search_continuous(
+            index, ds.test[:8], k=5, delta=0.9, lanes=32
+        )
+        np.testing.assert_array_equal(i1, i2)
