@@ -128,10 +128,15 @@ def _scan_kernel_packed(
         b,
         q,
         dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.bfloat16 if acc_bf16 else jnp.float32,
+        # the MXU accumulator is architecturally 32-bit (Mosaic rejects a
+        # bf16 acc); acc_bf16 casts the EMITTED tile instead, so the
+        # pack/max chain reads half the bytes
+        preferred_element_type=jnp.float32,
     )  # (block_n, Qt) = score + 3.0 when biased
     if not biased:
         sT = sT + 3.0
+    if acc_bf16:
+        sT = sT.astype(jnp.bfloat16)
     if group_r > 1:
         s4 = sT.reshape(nb, pg, group_r, sT.shape[1])
         s3 = jnp.max(s4, axis=2)  # (nb, pg, Qt) — one cheap max pass

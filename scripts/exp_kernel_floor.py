@@ -90,7 +90,10 @@ def main():
                     block_n=block_n, q_tile=q_tile, biased=True,
                     group_r=group_r, acc_bf16=acc_bf16, interpret=interp,
                 )
-                return v.block_until_ready()
+                # block_until_ready does NOT block through the relay
+                # (ROUND_NOTES); materialize one element to force the
+                # kernel without paying the full (Q, nb) pull
+                return np.asarray(v[:1, :1])
 
             kern()
             ts = []
