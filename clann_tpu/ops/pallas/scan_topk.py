@@ -138,8 +138,19 @@ def _scan_kernel_packed(
     if acc_bf16:
         sT = sT.astype(jnp.bfloat16)
     if group_r > 1:
+        # INTERPRET-MODE ONLY (correctness-tested); on hardware this is a
+        # measured dead end: the 4-D reshape+reduce below HANGS the
+        # Mosaic compiler at (32768, 512) tiles, and the 2-D alternative
+        # (R static strided row slices + elementwise max) lowers to an
+        # unsupported gather ("Shape mismatch in input, indices and
+        # output"). Both measured 2026-08-19; scripts/exp_kernel_floor.py.
+        # The lever is moot anyway: the R=1 kernel already runs at its
+        # write-once-read-once VMEM floor (61ms vs ~60ms computed floor
+        # per 10k queries at 1.18M x 100), so a group pre-max can only
+        # save pack ALU that the measured floor shows is already hidden
+        # under the tile traffic.
         s4 = sT.reshape(nb, pg, group_r, sT.shape[1])
-        s3 = jnp.max(s4, axis=2)  # (nb, pg, Qt) — one cheap max pass
+        s3 = jnp.max(s4, axis=2)
     else:
         s3 = sT.reshape(nb, pg, sT.shape[1])
     p = jax.lax.bitcast_convert_type(s3.astype(jnp.float32), jnp.int32)

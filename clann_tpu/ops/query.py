@@ -853,17 +853,17 @@ def search_by_id(
     kk = (k or index.config.k) + (1 if exclude_self else 0)
     dists, out_ids, stats = search(index, queries, k=kk, delta=delta)
     if exclude_self:
-        keep_d = np.empty((len(ids), kk - 1), np.float32)
-        keep_i = np.empty((len(ids), kk - 1), np.int32)
-        for row, pid in enumerate(ids):
-            mask = out_ids[row] != pid
-            # keep first k non-self entries (pad if self was absent)
-            sel = np.where(mask)[0][: kk - 1]
-            keep_d[row] = dists[row][sel] if len(sel) == kk - 1 else np.pad(
-                dists[row][sel], (0, kk - 1 - len(sel)), constant_values=np.inf
-            )
-            keep_i[row] = out_ids[row][sel] if len(sel) == kk - 1 else np.pad(
-                out_ids[row][sel], (0, kk - 1 - len(sel)), constant_values=-1
-            )
-        return keep_d, keep_i, stats
+        # batched self-exclusion: stable-compact each row's non-self
+        # entries to the front and keep the first k (a point id appears
+        # at most once per row — the top-k dedup invariant — so the
+        # non-self count is always kk or kk-1)
+        keep = out_ids != ids[:, None]
+        order = np.argsort(~keep, axis=1, kind="stable")
+        keep_d = np.take_along_axis(dists, order, axis=1)[:, : kk - 1]
+        keep_i = np.take_along_axis(out_ids, order, axis=1)[:, : kk - 1]
+        return (
+            keep_d.astype(np.float32, copy=False),
+            keep_i.astype(np.int32, copy=False),
+            stats,
+        )
     return dists, out_ids, stats

@@ -1,22 +1,27 @@
-"""Push the fused-scan kernel toward its VMEM-traffic floor (VERDICT #4).
+"""Decompose the fused-scan path against its VMEM-traffic floor (#4).
 
-Round-1 measurement: the packed kernel spends ~92ms per 10k queries at
-1.18M x 100 — ~2.7 read/write round trips of the 47GB score volume vs a
-write-once-read-once floor of ~60ms. The named lever is FEWER passes over
-the score tile. Two implemented variants (ops/pallas/scan_topk.py):
+Measured conclusions (2026-08-19, v5e via relay, 1.18M x 100, 10k
+queries, block_n=32768, nb=64, qt=512):
 
-- group_r: pre-reduce groups of R consecutive rows with ONE plain max (a
-  single cheap pass), so the pack/mask/or/max chain touches only 1/R of
-  the tile. Winners become group-granular; the e2e rescore evaluates all
-  R rows of each winning group exactly (rescore width m*R, measured flat
-  to ~64 rows).
-- acc_bf16: bf16 matmul output — halves score-tile bytes end to end.
+- KERNEL-ONLY is AT ITS FLOOR: 61ms per 10k queries vs the ~60ms
+  write-once-read-once bound on the 47GB score volume (round 1's "92ms
+  kernel-only" bundled selection work). bf16 tile emission measured
+  neutral (61.0ms both) — the kernel is VMEM-traffic bound, not ALU
+  bound.
+- group_r pre-reduction is a DEAD END on hardware: the 4-D
+  reshape+reduce hangs the Mosaic compiler outright at these tile
+  shapes, and the 2-D strided-slice alternative lowers to an
+  unsupported gather. Both kept interpret-only (tests cover semantics);
+  the floor measurement shows they could not have paid anyway.
+- The remaining e2e gap (111ms one-call e2e vs 61ms kernel) is the
+  POST-KERNEL TAIL: top-k selection over the packed winners, the exact
+  rescore row gathers, and the final host pull. This script decomposes
+  it and sweeps pipelined query chunking (scan_search batch_q), which
+  overlaps one chunk's tail with the next chunk's kernel.
 
-This sweeps both, reporting kernel-only ms / e2e QPS / recall on the
-bench dataset. Run: python -m scripts.exp_kernel_floor
+Run: python -m scripts.exp_kernel_floor
 """
 
-import itertools
 import os
 import sys
 import time
@@ -37,6 +42,16 @@ def log(m):
     print(f"[exp_kernel_floor] {m}", file=sys.stderr, flush=True)
 
 
+def median_time(fn, reps=REPS):
+    fn()  # warm / compile
+    ts = []
+    for _ in range(reps):
+        t0 = time.time()
+        fn()
+        ts.append(time.time() - t0)
+    return float(np.median(ts))
+
+
 def main():
     sys.path.insert(
         0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -50,7 +65,7 @@ def main():
     from clann_tpu.config import Config
     from clann_tpu.core.index import build_index
     from clann_tpu.metrics.recall import recall_values
-    from clann_tpu.ops.ivf import _pallas_base, pallas_scan_plan
+    from clann_tpu.ops.ivf import _pallas_base, pallas_scan_plan, scan_search
     from clann_tpu.ops.pallas.scan_topk import (
         fused_scan_candidates_packed,
         fused_scan_topk_e2e,
@@ -82,54 +97,58 @@ def main():
     qp_d = jax.device_put(jnp.asarray(qp, jnp.bfloat16))
     _ = np.asarray(qp_d[:1])
 
-    for group_r, acc_bf16 in itertools.product((1, 2, 4, 8), (False, True)):
-        try:
-            def kern():
-                v, i = fused_scan_candidates_packed(
-                    base_p, qp_d, n_real=n, num_bins=num_bins,
-                    block_n=block_n, q_tile=q_tile, biased=True,
-                    group_r=group_r, acc_bf16=acc_bf16, interpret=interp,
-                )
-                # block_until_ready does NOT block through the relay
-                # (ROUND_NOTES); materialize one element to force the
-                # kernel without paying the full (Q, nb) pull
-                return np.asarray(v[:1, :1])
+    # --- stage A: kernel + winner selection, no rescore, no bulk pull ---
+    def kern(acc_bf16=False):
+        v, i = fused_scan_candidates_packed(
+            base_p, qp_d, n_real=n, num_bins=num_bins,
+            block_n=block_n, q_tile=q_tile, biased=True,
+            acc_bf16=acc_bf16, interpret=interp,
+        )
+        # force completion without paying the (Q, nb) pull
+        return np.asarray(v[:1, :1])
 
-            kern()
-            ts = []
-            for _ in range(REPS):
-                t0 = time.time()
-                kern()
-                ts.append(time.time() - t0)
-            k_ms = float(np.median(ts)) * 1000
+    k_ms = median_time(kern) * 1000
+    log(f"kernel+select (f32 tile): {k_ms:6.1f}ms per {Q} queries")
+    k_ms_b = median_time(lambda: kern(acc_bf16=True)) * 1000
+    log(f"kernel+select (bf16 tile): {k_ms_b:6.1f}ms")
 
-            def e2e():
-                s, i = fused_scan_topk_e2e(
-                    base_p, index.vectors, test_d, n_real=n, k=K,
-                    rescore_m=m_def, num_bins=num_bins, block_n=block_n,
-                    q_tile=q_tile, normalize=True, biased=True,
-                    group_r=group_r, acc_bf16=acc_bf16, interpret=interp,
-                )
-                return np.asarray(s), np.asarray(i)
+    # --- stage B: one-call e2e, forced but not pulled ---
+    def e2e_noPull():
+        s, i = fused_scan_topk_e2e(
+            base_p, index.vectors, test_d, n_real=n, k=K,
+            rescore_m=m_def, num_bins=num_bins, block_n=block_n,
+            q_tile=q_tile, normalize=True, biased=True, interpret=interp,
+        )
+        return np.asarray(s[:1, :1])
 
-            e2e()
-            ts = []
-            for _ in range(REPS):
-                t0 = time.time()
-                s, i = e2e()
-                ts.append(time.time() - t0)
-            el = float(np.median(ts))
-            dist = np.where(i >= 0, 1.0 - s, np.inf)
-            r, _, _ = recall_values(gt_d, dist, count=K)
-            idr = float(np.mean([
-                len(set(a.tolist()) & set(b.tolist())) / K
-                for a, b in zip(i, gt_i[:, :K])
-            ]))
-            log(f"R={group_r} bf16={int(acc_bf16)}: kernel={k_ms:6.1f}ms "
-                f"e2e QPS={Q/el:7.0f} ({el*1000:5.0f}ms) recall={r:.4f} "
-                f"id_recall={idr:.4f}")
-        except Exception as e:
-            log(f"R={group_r} bf16={int(acc_bf16)}: FAILED {e}")
+    b_ms = median_time(e2e_noPull) * 1000
+    log(f"e2e minus bulk pull: {b_ms:6.1f}ms  "
+        f"(tail minus pull = {b_ms - k_ms:.1f}ms)")
+
+    # --- stage C: one-call e2e with the full (Q, k) pull ---
+    def e2e_pull():
+        s, i = fused_scan_topk_e2e(
+            base_p, index.vectors, test_d, n_real=n, k=K,
+            rescore_m=m_def, num_bins=num_bins, block_n=block_n,
+            q_tile=q_tile, normalize=True, biased=True, interpret=interp,
+        )
+        return np.asarray(s), np.asarray(i)
+
+    c_ms = median_time(e2e_pull) * 1000
+    log(f"e2e with pull:       {c_ms:6.1f}ms  (pull = {c_ms - b_ms:.1f}ms)")
+
+    # --- stage D: pipelined chunking through the production scan_search ---
+    for bq in (Q, Q // 2, Q // 4, Q // 8):
+        def run():
+            dd, ii, st = scan_search(index, test_d, k=K, use_pallas=True,
+                                     batch_q=bq)
+            return dd, ii
+
+        el = median_time(run)
+        dd, ii = run()
+        r, _, _ = recall_values(gt_d, dd, count=K)
+        log(f"scan_search batch_q={bq:5d}: QPS={Q/el:7.0f} "
+            f"({el*1000:5.0f}ms) recall={r:.4f}")
 
 
 if __name__ == "__main__":

@@ -167,3 +167,38 @@ class TestAdaptiveDense:
         h.index = index
         d, i, s = h.search_batch(ds.test[:8], mode="adaptive")
         assert d.shape == (8, 10)
+
+
+class TestScanPullModes:
+    def test_ids_pull_matches_packed(self, built):
+        """pull="ids" must deliver the same ids as the packed pull; the
+        caller-side exact reconstruction must reproduce the packed
+        distances (sims are deterministic per id)."""
+        from clann_tpu.ops.ivf import scan_search
+
+        index, ds = built
+        q = ds.test[:32]
+        d1, i1, st1 = scan_search(index, q, k=5, batch_q=16)
+        d2, i2, st2 = scan_search(index, q, k=5, batch_q=16, pull="ids")
+        assert d2 is None
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_array_equal(
+            st1.distance_computations, st2.distance_computations
+        )
+        tn = ds.train / np.linalg.norm(ds.train, axis=-1, keepdims=True)
+        qn = q / np.linalg.norm(q, axis=-1, keepdims=True)
+        safe = np.clip(i2, 0, tn.shape[0] - 1)
+        rec = 1.0 - np.einsum("qkd,qd->qk", tn[safe], qn)
+        rec = np.where(i2 >= 0, np.clip(rec, 0.0, 2.0), np.inf)
+        np.testing.assert_allclose(rec, d1, atol=2e-5)
+
+    def test_ids_pull_pallas(self, built):
+        from clann_tpu.ops.ivf import scan_search
+
+        index, ds = built
+        q = ds.test[:16]
+        d1, i1, _ = scan_search(index, q, k=5, use_pallas=True, batch_q=16)
+        d2, i2, _ = scan_search(index, q, k=5, use_pallas=True,
+                                batch_q=16, pull="ids")
+        assert d2 is None
+        np.testing.assert_array_equal(i1, i2)
