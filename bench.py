@@ -405,7 +405,10 @@ def main():
         )
         gdi = int(np.ceil(np.log2(max(2, int(jnp.max(
             gd[:, :, 1:] - gd[:, :, :-1])))))) + 1
-        lsh_cfg = cfg.replace(candidate_chunk=2048, filter_expand=4)
+        # knob surface measured in GLOBAL_KNOBS{,_FX}.json: fx=8 is the
+        # peak (1.24-1.65x over fx=4 depending on delta), fx=12/16 and
+        # chunk=4096 regress; dc/q moves ~1%
+        lsh_cfg = cfg.replace(candidate_chunk=2048, filter_expand=8)
         index = index.replace(
             g_sorted_hash=gh, g_records=gr, g_dir=gd, g_dir_iters=gdi,
             config=lsh_cfg,

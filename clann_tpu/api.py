@@ -103,6 +103,17 @@ class Clann:
         neighbor; n_probe = starting budget), or "auto"
         (config.search_mode; dense when the layout exists). Returns
         (distances (Q, k) ascending, ids (Q, k), stats).
+
+        Determinism: repeated identical calls return identical results.
+        On TPU, modes backed by hardware `approx_max_k` with
+        shape-adaptive padding ("dense" IVF probing, approximate "scan")
+        may return slightly different — equally valid, recall-target
+        preserving — ids for the SAME query depending on batch
+        composition (the probe cap / block plan follows the batch
+        shape, which moves the approx reduction's binning). Exact modes
+        and the adaptive LSH paths are batch-invariant, as is every
+        mode on CPU (where approx_max_k lowers to exact top_k).
+        Serialization round-trips reload to bit-identical behavior.
         """
         from clann_tpu.ops.global_query import global_search
         from clann_tpu.ops.ivf import adaptive_dense_search, dense_search, scan_search

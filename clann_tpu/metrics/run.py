@@ -184,6 +184,15 @@ class RunMetrics:
         granularity: MetricsGranularity = MetricsGranularity.RUN,
         create: bool = True,
     ) -> None:
+        if not isinstance(granularity, MetricsGranularity):
+            # an ndarray here (e.g. ground truth passed positionally)
+            # otherwise dies later with an opaque "truth value of an
+            # array is ambiguous"
+            raise TypeError(
+                "granularity must be a MetricsGranularity (got "
+                f"{type(granularity).__name__}); pass ground-truth arrays "
+                "by keyword: save_metrics(db, ground_truth_distances=...)"
+            )
         if not create and not db_exists(db_path):
             raise ResultDBError(f"metrics database {db_path} does not exist")
         conn = sqlite3.connect(db_path)

@@ -32,8 +32,13 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
 K = 10
 SUB = int(os.environ.get("SWEEP_Q", 512))
-CHUNKS = (512, 1024, 2048, 4096)
-FXS = (4, 8)
+CHUNKS = tuple(
+    int(c) for c in os.environ.get("SWEEP_CHUNKS", "512,1024,2048,4096").split(",")
+)
+FXS = tuple(int(f) for f in os.environ.get("SWEEP_FXS", "4,8").split(","))
+DELTAS = tuple(
+    float(d) for d in os.environ.get("SWEEP_DELTAS", "0.9,0.95").split(",")
+)
 
 
 def log(m):
@@ -69,7 +74,7 @@ def main():
         idx = index.replace(
             config=cfg.replace(candidate_chunk=chunk, filter_expand=fx)
         )
-        for delta in (0.9, 0.95):
+        for delta in DELTAS:
             try:
                 global_search(idx, test[:256], k=K, delta=delta,
                               batch_size=256)  # warm/compile
@@ -96,7 +101,7 @@ def main():
            "rows": rows}
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "GLOBAL_KNOBS.json",
+        os.environ.get("SWEEP_OUT", "GLOBAL_KNOBS.json"),
     )
     with open(path, "w") as f:
         json.dump(out, f, indent=1)

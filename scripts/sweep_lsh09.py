@@ -59,7 +59,10 @@ def main():
 
     cfg = Config(
         num_tables=NUM_TABLES, num_clusters_factor=FACTOR, k=K, delta=DELTA,
-        candidate_chunk=2048, filter_expand=4, gather_block=16, seed=0,
+        # chunk/fx from the measured knob surface (GLOBAL_KNOBS.json +
+        # GLOBAL_KNOBS_FX.json): fx=8 beats 4 by ~1.24x at the gate and
+        # 12/16 regress; chunk 1024-2048 is the flat peak
+        candidate_chunk=2048, filter_expand=8, gather_block=16, seed=0,
         pack_slot_records=False, dense_layout=False,
     )
     t0 = time.time()
