@@ -40,7 +40,8 @@ def main(argv=None) -> int:
         "--mode",
         choices=[
             "auto", "lsh", "lsh-global", "lsh-clustered", "dense",
-            "scan", "scan-block", "scan-block-adaptive", "adaptive",
+            "scan", "scan-pallas", "scan-block", "scan-block-adaptive",
+            "adaptive",
         ],
         default="auto",
     )

@@ -96,7 +96,9 @@ class Clann:
         global engine when built with config.lsh_engine="global", else the
         reference-faithful clustered walk; force either with "lsh-global" /
         "lsh-clustered"), "dense" (IVF cluster probing, the MXU fast
-        path), "scan" (full fused/dense scan), "scan-block" (block-probed
+        path), "scan" (full dense scan via hardware approx_max_k),
+        "scan-pallas" (the fused single-pass Pallas scan kernel — the
+        benchmark headline path; interpreted off-TPU), "scan-block" (block-probed
         fused scan — IVF economics at streaming cost, n_probe = blocks per
         query), "scan-block-adaptive" (certificate-driven probe budget:
         doubles per-query until no skipped block can hide a better
@@ -133,6 +135,9 @@ class Clann:
             dists, ids, stats = dense_search(index, queries, k=k, n_probe=n_probe)
         elif mode == "scan":
             dists, ids, stats = scan_search(index, queries, k=k)
+        elif mode == "scan-pallas":
+            dists, ids, stats = scan_search(index, queries, k=k,
+                                            use_pallas=True)
         elif mode == "scan-block":
             from clann_tpu.ops.pallas.block_scan import block_scan_search
 

@@ -429,10 +429,21 @@ def _hash_in_blocks(fn, x: jnp.ndarray, block: int):
     n = x.shape[0]
     if n <= block:
         return fn(x)
-    pad = (-n) % block
-    xp = jnp.pad(x, ((0, pad), (0, 0)))
-    out = jax.lax.map(fn, xp.reshape(-1, block, x.shape[1]))
-    return out.reshape(-1, *out.shape[2:])[:n]
+    # stream blocks out of the ORIGINAL buffer with dynamic_slice: padding
+    # + reshaping x materializes up to two extra full-dataset copies,
+    # which OOMs a 16GB chip at MS-MARCO shard scale (1.56M x 768 f32 is
+    # 4.8GB per copy); this formulation's peak is x + one block
+    nb = n // block
+    x = x if isinstance(x, jnp.ndarray) else jnp.asarray(x)
+
+    def body(i):
+        return fn(jax.lax.dynamic_slice_in_dim(x, i * block, block))
+
+    out = jax.lax.map(body, jnp.arange(nb, dtype=jnp.int32))
+    out = out.reshape(nb * block, *out.shape[2:])
+    if nb * block < n:
+        out = jnp.concatenate([out, fn(x[nb * block:])], axis=0)
+    return out
 
 
 def build_index(

@@ -1,0 +1,196 @@
+"""Measured run at the reference's CANONICAL demo config, full scale.
+
+The reference demo is glove-25-angular with L=84 tables, cluster factor
+0.4, k=10, delta=0.9 (reference: src/main.rs:22-29). This script runs
+that exact config at the exact ann-benchmarks glove-25-angular shape
+(1,183,514 x 25, 10,000 queries) — synthetic data (zero-egress image),
+exact ground truth on device — and, unlike bench.py (which calls the
+engine ops directly), drives everything through the PUBLIC API facade
+(init_with_config / build / search_batch / save_metrics; reference:
+src/lib.rs:41-264), so the measured numbers include the full production
+entry path and the SQLite metrics sink is exercised at scale.
+
+Measures: scan-pallas + scan through search_batch, the delta-guaranteed
+global LSH engine at delta=0.9 (reference-semantics parity) and at the
+first delta meeting recall@10 >= 0.9. Writes GLOVE25_SHAPE.json and a
+results SQLite db under ~/.cache/clann_tpu.
+
+Run: python -m scripts.run_glove25_shape
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/jax_comp_cache")
+)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+
+N = int(os.environ.get("G25_N", 1_183_514))
+NQ = int(os.environ.get("G25_Q", 10_000))
+D, K, DELTA, L, FACTOR = 25, 10, 0.9, 84, 0.4
+LSH_Q = int(os.environ.get("G25_LSH_Q", 512))
+
+
+def log(m):
+    print(f"[glove25_shape] {m}", file=sys.stderr, flush=True)
+
+
+def get_dataset():
+    from clann_tpu.data.synthetic import clustered_unit_vectors
+    from clann_tpu.ops.distances import brute_force_topk
+
+    cache = os.path.expanduser("~/.cache/clann_tpu")
+    os.makedirs(cache, exist_ok=True)
+    path = os.path.join(cache, f"g25_{N}x{D}_q{NQ}.npz")
+    if os.path.exists(path):
+        z = np.load(path)
+        return z["train"], z["test"], z["gt_d"], z["gt_i"]
+    log("generating synthetic glove-25 shape + exact ground truth")
+    train = clustered_unit_vectors(N, D, n_modes=1024, spread=0.7, seed=40)
+    test = clustered_unit_vectors(NQ, D, n_modes=1024, spread=0.7, seed=41)
+    gt_d, gt_i = brute_force_topk(train, test, k=K, metric="angular",
+                                  block_q=512)
+    gt_d, gt_i = np.asarray(gt_d), np.asarray(gt_i)
+    np.savez(path, train=train, test=test, gt_d=gt_d, gt_i=gt_i)
+    return train, test, gt_d, gt_i
+
+
+def main():
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        # CI / smoke-test path: pin the CPU backend before init (the
+        # ambient sitecustomize overrides the env var programmatically)
+        # and do NOT dial the TPU relay at all
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        from bench import wait_for_tpu
+
+        wait_for_tpu()
+        import jax
+    import jax.numpy as jnp
+
+    import clann_tpu
+    from clann_tpu import Config, MetricsGranularity, MetricsOutput
+    from clann_tpu.metrics.recall import recall_values
+    from clann_tpu.metrics.schema import create_schema
+
+    train, test, gt_d, gt_i = get_dataset()
+    out = {"config": {"dataset": "glove-25-angular (synthetic shape)",
+                      "n": N, "d": D, "queries": NQ, "k": K,
+                      "delta": DELTA, "num_tables": L, "factor": FACTOR,
+                      "source": "reference src/main.rs:22-29"},
+           "rows": {}}
+
+    # --- dense handle through the public facade -------------------------
+    cfg = Config(
+        num_tables=L, num_clusters_factor=FACTOR, k=K, delta=DELTA,
+        dataset_name=f"glove-25-angular-synthetic-{N}", seed=0,
+        metrics_output=MetricsOutput.DB, pack_slot_records=False,
+    )
+    t0 = time.time()
+    handle = clann_tpu.build(clann_tpu.init_with_config(train, cfg))
+    build_s = time.time() - t0
+    log(f"build {build_s:.0f}s, clusters={handle.index.n_clusters}, "
+        f"memory={handle.index.memory_usage()/1e9:.2f}GB")
+    out["build_seconds"] = round(build_s, 1)
+    out["index_bytes"] = int(handle.index.memory_usage())
+
+    test_d = jax.device_put(jnp.asarray(test))
+    _ = np.asarray(test_d[:1])
+    for mode in ("scan-pallas", "scan"):
+        handle.search_batch(test_d[:256], mode=mode)  # warm/compile
+        reps = []
+        d = i = None
+        for _ in range(8):
+            t0 = time.time()
+            d, i, st = handle.search_batch(test_d, mode=mode)
+            reps.append(time.time() - t0)
+        el = float(np.median(reps))
+        r, _, _ = recall_values(gt_d, d, count=K)
+        idr = float(np.mean([
+            len(set(a.tolist()) & set(b.tolist())) / K
+            for a, b in zip(np.asarray(i), gt_i[:, :K])
+        ]))
+        log(f"{mode}: QPS={NQ/el:.0f} recall@10={r:.4f} id_recall={idr:.4f}")
+        out["rows"][mode] = {
+            "qps": round(NQ / el, 1), "recall": round(float(r), 4),
+            "id_recall": round(idr, 4),
+            "rep_qps": [round(NQ / t, 1) for t in reps],
+        }
+
+    # persist run metrics at query granularity through the facade: one
+    # clean recorded sweep (reset drops the warm-up/timing reps above)
+    import sqlite3
+
+    db = os.path.expanduser("~/.cache/clann_tpu/glove25_results.db")
+    if os.path.exists(db):
+        os.remove(db)
+    conn = sqlite3.connect(db)
+    create_schema(conn)
+    conn.close()
+    handle.reset_metrics()
+    handle.search_batch(test_d, mode="scan")
+    clann_tpu.save_metrics(
+        handle, db, MetricsGranularity.QUERY,
+        ground_truth_distances=gt_d,
+    )
+    conn = sqlite3.connect(db)
+    (nq_rows,) = conn.execute(
+        "SELECT COUNT(*) FROM search_metrics_query").fetchone()
+    row = conn.execute(
+        "SELECT recall_mean, queries_per_second FROM search_metrics"
+    ).fetchone()
+    conn.close()
+    log(f"metrics db: {nq_rows} query rows, run recall={row[0]:.4f} "
+        f"qps={row[1]:.0f}")
+    out["metrics_db"] = {"query_rows": int(nq_rows),
+                         "recall_mean": round(float(row[0]), 4)}
+
+    # --- delta-guaranteed LSH at the canonical config --------------------
+    del handle
+    cfg_l = cfg.replace(lsh_engine="global", pack_slot_records=True,
+                        candidate_chunk=2048, filter_expand=8,
+                        metrics_output=MetricsOutput.NONE)
+    t0 = time.time()
+    handle_l = clann_tpu.build(clann_tpu.init_with_config(train, cfg_l))
+    log(f"lsh build {time.time()-t0:.0f}s")
+    sub = test[:LSH_Q]
+    for d9 in (DELTA, 0.95, 0.975, 0.99):
+        handle_l.search_batch(sub[:256], mode="lsh-global", delta=d9)
+        t0 = time.time()
+        dd, ii, st = handle_l.search_batch(sub, mode="lsh-global", delta=d9)
+        el = time.time() - t0
+        r, _, _ = recall_values(gt_d[:LSH_Q], dd, count=K)
+        dc = float(st.distance_computations.mean())
+        log(f"lsh(delta={d9}): QPS={LSH_Q/el:.1f} recall={r:.4f} dc/q={dc:.0f}")
+        key = "lsh-global" if d9 == DELTA else f"lsh-global-d{d9}"
+        out["rows"][key] = {
+            "qps": round(LSH_Q / el, 1), "recall": round(float(r), 4),
+            "delta": d9, "dc_per_query": round(dc, 1),
+        }
+        if r >= 0.9:
+            out["lsh_at_0.9"] = out["rows"][key]
+            break
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "GLOVE25_SHAPE.json",
+    )
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    log(f"wrote {path}")
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -58,6 +58,10 @@ def main():
     cfg = Config(
         num_tables=8, num_clusters_factor=0.2, k=K, seed=0,
         dataset_name=f"marco-shard-{N_SHARD}", pack_slot_records=False,
+        # this run measures the full-scan paths only; the padded segment
+        # layout is another ~5GB copy of a 4.8GB shard and the scan never
+        # touches it — HBM headroom goes to the bf16 scan copy instead
+        dense_layout=False,
     )
     # the 100M plan this shard instantiates 1/64th of
     plan = plan_capacity(N_TOTAL, D, cfg)

@@ -59,6 +59,19 @@ class TestAPI:
         assert dists.shape == (16, 10)
         assert stats.distance_computations.shape == (16,)
 
+    def test_scan_pallas_mode(self, built):
+        # the benchmark headline path (fused Pallas scan kernel,
+        # interpreted off-TPU) must be reachable through the public API
+        # and agree with the exact full scan on id membership
+        handle, ds = built
+        d_p, i_p, st_p = handle.search_batch(ds.test[:4], mode="scan-pallas")
+        d_e, i_e, _ = handle.search_batch(ds.test[:4], mode="scan")
+        assert d_p.shape == (4, 10)
+        # full scan: every point is a distance computation
+        assert int(st_p.distance_computations[0]) == handle.data.num_points()
+        for a, b in zip(np.asarray(i_p), np.asarray(i_e)):
+            assert len(set(a.tolist()) & set(b.tolist())) >= 9
+
     def test_default_config_init(self, small_angular_dataset):
         h = clann_tpu.init(small_angular_dataset.train[:500])
         assert h.config == Config()

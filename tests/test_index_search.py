@@ -204,3 +204,38 @@ class TestLazyLevelWindows:
         for row in i_l:
             live = row[row >= 0]
             assert len(set(live.tolist())) == len(live)
+
+
+class TestHashInBlocks:
+    def test_blocked_matches_single_shot(self):
+        # the block streamer must be transparent: same values as one fn
+        # call over the whole array, including a non-multiple tail block
+        # (it streams via dynamic_slice to avoid full-dataset copies —
+        # the MS-MARCO-shard OOM fix)
+        import jax.numpy as jnp
+
+        from clann_tpu.core.index import _hash_in_blocks
+
+        x = np.random.RandomState(0).randn(133, 16).astype(np.float32)
+        xd = jnp.asarray(x)
+
+        def fn(b):
+            return jnp.concatenate(
+                [jnp.sum(b * b, axis=-1, keepdims=True), b[:, :2]], axis=-1
+            )
+
+        out_b = np.asarray(_hash_in_blocks(fn, xd, 32))   # 4 blocks + tail 5
+        out_1 = np.asarray(fn(xd))
+        np.testing.assert_allclose(out_b, out_1, rtol=1e-6)
+
+    def test_real_hash_blocked(self, ds):
+        cfg = Config(num_tables=6, num_clusters_factor=0.2, k=5, seed=3,
+                     hash_family="simhash")
+        i1 = build_index(ds.train[:300], cfg, hash_block=64)
+        i2 = build_index(ds.train[:300], cfg, hash_block=100_000)
+        np.testing.assert_array_equal(
+            np.asarray(i1.sorted_hash), np.asarray(i2.sorted_hash)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(i1.sketches), np.asarray(i2.sketches)
+        )
