@@ -64,8 +64,18 @@ def auto_n_probe(n_rows: int) -> int:
 _PALLAS_BASE_CACHE: dict = {}
 
 
-def pallas_scan_plan(n: int, k: int) -> Tuple[int, int, int, int]:
+def pallas_scan_plan(
+    n: int, k: int, d: Optional[int] = None
+) -> Tuple[int, int, int, int]:
     """(block_n, num_bins, rescore_m, q_tile) for the fused Pallas scan.
+
+    `d` (dataset dimensionality) sizes the kernel's RESIDENT VMEM set:
+    the (block_n, q_tile) f32 score tile PLUS the (block_n, dpad) bf16
+    base tile must fit together (~96MB of the ~128MB/core). d=None keeps
+    the narrow-vector plan (dpad=128 — glove-100 and below). At d=768
+    (MS-MARCO shape, dpad=896) the base tile alone is 56MB at 32k blocks,
+    so q_tile drops to 256 — without this the Mosaic compile itself fails
+    (remote_compile HTTP 500, measured on the 1.56M x 768 shard run).
 
     Bin sizing targets a TOTAL candidate budget across all blocks:
     expected top-k loss from two true neighbors sharing a bin is
@@ -89,6 +99,13 @@ def pallas_scan_plan(n: int, k: int) -> Tuple[int, int, int, int]:
         block_n = 32768
     else:
         block_n = max(256, 1 << (n - 1).bit_length())
+    dpad = 128 if d is None else ((d + 1 + 127) // 128) * 128
+    budget = 96 * 1024 * 1024  # score tile + base tile, VMEM-resident
+    q_tile = 512
+    while q_tile > 256 and block_n * (q_tile * 4 + dpad * 2) > budget:
+        q_tile //= 2
+    while block_n > 8192 and block_n * (q_tile * 4 + dpad * 2) > budget:
+        block_n //= 2
     n_blocks = (n + block_n - 1) // block_n
     target = max(2048, 32 * k)
     nb = 1 << (max(
@@ -99,7 +116,6 @@ def pallas_scan_plan(n: int, k: int) -> Tuple[int, int, int, int]:
     # tiny datasets/shards (every point is its own bin)
     num_bins = min(nb, block_n)
     rescore_m = min(num_bins, max(32, 1 << (k - 1).bit_length()))
-    q_tile = 512 if block_n * 512 * 4 <= 70 * 1024 * 1024 else 256
     return block_n, num_bins, rescore_m, q_tile
 
 
@@ -117,9 +133,24 @@ def _pallas_base(index, block_n: int):
     n, d = index.vectors.shape
     dpad = ((d + 1 + 127) // 128) * 128  # always >= one spare (bias) dim
     n_pad = ((n + block_n - 1) // block_n) * block_n
-    base_p = jnp.zeros((n_pad, dpad), jnp.bfloat16)
-    base_p = base_p.at[:n, :d].set(index.vectors.astype(jnp.bfloat16))
-    base_p = base_p.at[:n, d].set(jnp.bfloat16(1.0))
+
+    # one fused jit: eager zeros + .at[].set + astype materialize an extra
+    # full bf16 cast AND a full copy per .set (OOMs a 16GB chip at the
+    # 1.56M x 768 MS-MARCO shard on top of the resident f32 vectors);
+    # fused, XLA writes the padded bf16 output once, reading f32 directly
+    @functools.partial(jax.jit, static_argnames=("np_", "dp"))
+    def _make(v, np_, dp):
+        body = jnp.concatenate(
+            [
+                v.astype(jnp.bfloat16),
+                jnp.ones((v.shape[0], 1), jnp.bfloat16),
+                jnp.zeros((v.shape[0], dp - v.shape[1] - 1), jnp.bfloat16),
+            ],
+            axis=1,
+        )
+        return jnp.pad(body, ((0, np_ - v.shape[0]), (0, 0)))
+
+    base_p = _make(index.vectors, np_=n_pad, dp=dpad)
     if len(_PALLAS_BASE_CACHE) > 4:
         _PALLAS_BASE_CACHE.clear()
     _PALLAS_BASE_CACHE[key] = (index.vectors, base_p)
@@ -192,7 +223,9 @@ def scan_search(
         # original 3-pass kernel at 16k/128; the WHOLE path (kernel +
         # selection + exact rescore) runs as one jit — separate dispatches
         # through the ~40ms relay diluted the kernel win to nothing
-        block_n, num_bins, rescore_m, q_tile = pallas_scan_plan(n, k)
+        block_n, num_bins, rescore_m, q_tile = pallas_scan_plan(
+            n, k, d=int(index.vectors.shape[1])
+        )
         base_p = _pallas_base(index, block_n)
         # Mosaic kernels need real TPU hardware; off-TPU (CI, tests) run
         # the same kernel interpreted, like every other Pallas entry point

@@ -384,7 +384,9 @@ def block_scan_search_adaptive(
         q = q[None, :]
     Q = q.shape[0]
     n = index.vectors.shape[0]
-    block_n = block_n or pallas_scan_plan(n, k)[0]
+    block_n = block_n or pallas_scan_plan(
+        n, k, d=int(index.vectors.shape[1])
+    )[0]
     n_blocks = get_block_layout(index, block_n).n_blocks
     B = min(n_blocks, n_probe0 or max(2, round(n_blocks / 16)))
 
@@ -448,7 +450,9 @@ def block_scan_search(
     if qn.ndim == 1:
         qn = qn[None, :]
     n = index.vectors.shape[0]
-    plan_bn, num_bins, rescore_m, q_tile = pallas_scan_plan(n, k)
+    plan_bn, num_bins, rescore_m, q_tile = pallas_scan_plan(
+        n, k, d=int(index.vectors.shape[1])
+    )
     block_n = block_n or plan_bn
     num_bins = min(num_bins, block_n)  # overridden block_n may be smaller
     layout = get_block_layout(index, block_n)

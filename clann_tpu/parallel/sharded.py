@@ -955,7 +955,9 @@ def sharded_scan_search(
     if use_pallas:
         from clann_tpu.ops.ivf import pallas_scan_plan
 
-        block_n, num_bins, rescore_m, q_tile = pallas_scan_plan(n_local, k)
+        block_n, num_bins, rescore_m, q_tile = pallas_scan_plan(
+            n_local, k, d=int(d)
+        )
         # Mosaic kernels need real TPU hardware; the virtual CPU mesh
         # (tests, dryrun) runs the same kernel interpreted
         interpret = jax.devices()[0].platform != "tpu"

@@ -72,15 +72,21 @@ def main():
         f"recommended={plan.recommended_devices}"
     )
 
-    log(f"generating shard {N_SHARD} x {D} (seed-deterministic, uncached)")
-    t0 = time.time()
-    train = clustered_unit_vectors(N_SHARD, D, n_modes=1024, spread=0.7,
-                                   seed=30)
-    test = clustered_unit_vectors(NQ, D, n_modes=1024, spread=0.7, seed=31)
-    log(f"generated in {time.time()-t0:.0f}s")
-
     cache = os.path.expanduser("~/.cache/clann_tpu")
     os.makedirs(cache, exist_ok=True)
+    shard_path = os.path.join(cache, f"marco_shard_{N_SHARD}x{D}.npy")
+    if os.path.exists(shard_path):
+        t0 = time.time()
+        train = np.load(shard_path, mmap_mode=None)
+        log(f"loaded cached shard in {time.time()-t0:.0f}s")
+    else:
+        log(f"generating shard {N_SHARD} x {D} (seed-deterministic)")
+        t0 = time.time()
+        train = clustered_unit_vectors(N_SHARD, D, n_modes=1024, spread=0.7,
+                                       seed=30)
+        log(f"generated in {time.time()-t0:.0f}s")
+        np.save(shard_path, train)
+    test = clustered_unit_vectors(NQ, D, n_modes=1024, spread=0.7, seed=31)
     gt_path = os.path.join(cache, f"marco_gt_{N_SHARD}x{D}_q{NQ}.npz")
     if os.path.exists(gt_path):
         z = np.load(gt_path)
