@@ -140,16 +140,38 @@ def _intersperse_zero(v: jnp.ndarray, num_bits: int) -> jnp.ndarray:
     return res
 
 
+def minimal_index_pairs(num_hashers: int) -> np.ndarray:
+    """The reference's pair enumeration (tensor.hpp:20-33): both sides
+    incremented as little as possible, rhs first — (0,0) (0,1) (1,0)
+    (1,1) (0,2) (2,0) ... Returns (T, 2) int32 (left, right) indices."""
+    pairs = []
+    for idx in range(num_hashers):
+        s = int(np.sqrt(idx))
+        if idx == s * s + 2 * s:
+            pairs.append((s, s))
+        elif idx >= s * s + s:
+            pairs.append((s, idx - (s * s + s)))
+        else:
+            pairs.append((idx - s * s, s))
+    return np.asarray(pairs, dtype=np.int32)
+
+
 @dataclasses.dataclass
 class TensoredHashSource:
     """sqrt-trick source (reference: hash_source/tensor.hpp:19-118).
 
-    Builds 2*ceil(sqrt(T)) half-length hashes; table (i, j) combines left
-    half i and right half j by interleaving bits (left at even positions,
-    right shifted to odd). Reuses the independent failure-probability shape
-    as a (slightly optimistic) approximation — the reference derives a
-    bespoke one (tensor.hpp:127-163); ours is conservative in the query loop
-    because depth-granular checking already over-delivers recall.
+    Builds 2*ceil(sqrt(T)) half-length hashes; table rep combines left
+    half i and right half j (pair order = get_minimal_index_pair,
+    tensor.hpp:20-33) by bit interleaving: all halves are interspersed
+    (bit i -> position 2i); for even num_bits the LEFT halves shift up one
+    (tensor.hpp:100-104), for odd the RIGHT halves shift down one
+    (:105-109), and the table hash is left | right (:111-117). Bit-exact
+    to the reference so bit-faithful imports hash queries identically.
+
+    Failure probability reuses the independent shape as a (slightly
+    optimistic) approximation — the reference derives a bespoke one
+    (tensor.hpp:127-163); ours is conservative in the query loop because
+    depth-granular checking already over-delivers recall.
     """
 
     family: object
@@ -158,20 +180,11 @@ class TensoredHashSource:
 
     def __post_init__(self):
         self.num_halves = 2 * int(np.ceil(np.sqrt(self.num_hashers)))
-        self.half_bits_left = (self.num_bits + 1) // 2
-        self.half_bits_right = self.num_bits // 2
+        self.half_bits = (self.num_bits + 1) // 2
         bpf = self.family.bits_per_function
-        self.fph = (self.half_bits_left + bpf - 1) // bpf
-        self.bits_to_cut = bpf * self.fph - self.half_bits_left
-        n_left = self.num_halves // 2
-        n_right = self.num_halves - n_left
-        # (L,) -> (left half index, right half index) pairs
-        pairs = []
-        for i in range(n_left):
-            for j in range(n_right):
-                pairs.append((i, n_left + j))
-        pairs = pairs[: self.num_hashers]
-        self.pair_idx = np.asarray(pairs, dtype=np.int32)
+        self.fph = (self.half_bits + bpf - 1) // bpf
+        self.bits_to_cut = bpf * self.fph - self.half_bits
+        self.pair_idx = minimal_index_pairs(self.num_hashers)
         self.params = None
         self.probs = HashSourceProbs(self.family, self.num_bits)
 
@@ -180,19 +193,28 @@ class TensoredHashSource:
         return self
 
     def hash(self, x: jnp.ndarray) -> jnp.ndarray:
-        h = self.family.hash(self.params, x)  # (n, halves*fph)
+        return self.hash_with(self.params, x)
+
+    def hash_with(self, params, x: jnp.ndarray) -> jnp.ndarray:
+        """hash() with explicit function parameters (used by the
+        per-cluster faithful-import path, io/interop.py)."""
+        h = self.family.hash(params, x)  # (n, halves*fph)
         n = h.shape[0]
         h = h.reshape(n, self.num_halves, self.fph)
         halves = _combine_bits(
             h, self.fph, self.family.bits_per_function, self.bits_to_cut
-        )  # (n, halves) each half_bits_left bits
-        left = halves[:, self.pair_idx[:, 0]]
-        right = halves[:, self.pair_idx[:, 1]] >> np.uint32(
-            self.half_bits_left - self.half_bits_right
+        )  # (n, halves) each half_bits bits
+        inter = _intersperse_zero(halves, self.half_bits)
+        right_start = self.num_halves // 2
+        if self.num_bits % 2 == 0:
+            left = inter[:, : right_start] << np.uint32(1)
+            right = inter[:, right_start:]
+        else:
+            left = inter[:, : right_start]
+            right = inter[:, right_start:] >> np.uint32(1)
+        return (
+            left[:, self.pair_idx[:, 0]] | right[:, self.pair_idx[:, 1]]
         )
-        inter_l = _intersperse_zero(left, self.half_bits_left)
-        inter_r = _intersperse_zero(right, self.half_bits_right)
-        return (inter_l << np.uint32(1)) | inter_r
 
 
 def make_hash_source(
