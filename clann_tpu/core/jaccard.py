@@ -30,7 +30,12 @@ from clann_tpu.config import Config
 from clann_tpu.data.setdata import JaccardData
 from clann_tpu.errors import DataError
 from clann_tpu.ops.collision import HashSourceProbs
-from clann_tpu.ops.minhash import MinHash, MinHash1Bit
+from clann_tpu.ops.minhash import (
+    MinHash,
+    MinHash1Bit,
+    TabulationMinHash,
+    TabulationMinHash1Bit,
+)
 from clann_tpu.ops.prefixmap import candidate_stream, count_leq, depth_bounds, sort_tables_segmented
 from clann_tpu.ops.query import SearchStats, _merge_topk
 from clann_tpu.ops.sketches import pack_bits_u32
@@ -59,14 +64,44 @@ class JaccardIndex:
     config: Config = flax.struct.field(pytree_node=False, default=None)
     universe: int = flax.struct.field(pytree_node=False, default=0)
     sim_eps: float = flax.struct.field(pytree_node=False, default=5e-3)
-    # table hash family: "minhash" (reference default) or "1bit_minhash"
-    # (upstream python wrapper option) — queries must hash with the same
-    # family the tables were built with
+    # table hash family: "minhash" (reference default), "1bit_minhash"
+    # (upstream python wrapper option), or "tabulation_minhash"
+    # (reference-exact functions, the interop-grade option) — queries must
+    # hash with the same family the tables were built with
     table_hash: str = flax.struct.field(pytree_node=False, default="minhash")
+    # sketch family: "1bit_minhash" (native murmur) or "tabulation_1bit"
+    sketch_hash: str = flax.struct.field(
+        pytree_node=False, default="1bit_minhash"
+    )
 
     @property
     def n(self) -> int:
         return self.tokens.shape[0]
+
+
+def jaccard_table_family(table_hash: str, universe: int):
+    """Hash family behind a JaccardIndex's tables (see table_hash field)."""
+    if table_hash == "minhash":
+        return MinHash(universe)
+    if table_hash == "1bit_minhash":
+        return MinHash1Bit(universe)
+    if table_hash == "tabulation_minhash":
+        return TabulationMinHash(universe)
+    raise DataError(
+        f"unknown table_hash {table_hash!r}; expected 'minhash', "
+        "'1bit_minhash' or 'tabulation_minhash'"
+    )
+
+
+def jaccard_sketch_family(sketch_hash: str, universe: int):
+    if sketch_hash == "1bit_minhash":
+        return MinHash1Bit(universe)
+    if sketch_hash == "tabulation_1bit":
+        return TabulationMinHash1Bit(universe)
+    raise DataError(
+        f"unknown sketch_hash {sketch_hash!r}; expected '1bit_minhash' "
+        "or 'tabulation_1bit'"
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("k", "universe"))
@@ -159,7 +194,11 @@ def build_jaccard_index(
     tables with the 1-bit MinHash family instead (upstream python wrapper
     accepts both, python_wrapper.cpp:289-295; more bits of independence
     per function matters less than collision sharpness, so this is a
-    parity option, not a recommendation).
+    parity option, not a recommendation) — or "tabulation_minhash": the
+    reference's EXACT tabulation-hash functions (sketches then use
+    tabulation too), required when the index will be exported to a
+    reference-loadable stream (save_reference_jaccard), since the
+    reference engine re-evaluates the serialized functions on queries.
 
     clustered=True additionally runs Gonzalez clustering over Jaccard
     distance (factor*sqrt(n) clusters, reference index.rs:78-80 sizing)
@@ -177,15 +216,12 @@ def build_jaccard_index(
     key = jax.random.PRNGKey(config.seed)
     k_hash, k_sketch = jax.random.split(key)
 
-    if table_hash == "minhash":
-        family = MinHash(data.universe)
-    elif table_hash == "1bit_minhash":
-        family = MinHash1Bit(data.universe)
-    else:
-        raise DataError(
-            f"unknown table_hash {table_hash!r}; "
-            "expected 'minhash' or '1bit_minhash'"
-        )
+    family = jaccard_table_family(table_hash, data.universe)
+    sketch_hash = (
+        "tabulation_1bit"
+        if table_hash == "tabulation_minhash"
+        else "1bit_minhash"
+    )
     source = IndependentHashSource(
         family, config.num_tables, config.max_hashbits
     ).init(k_hash)
@@ -194,7 +230,7 @@ def build_jaccard_index(
         source.num_hashers * source.functions_per_hasher,
     )  # (n, L)
 
-    sketch_family = MinHash1Bit(data.universe)
+    sketch_family = jaccard_sketch_family(sketch_hash, data.universe)
     n_sketch_fns = config.num_sketches * config.sketch_bits
     sk_params = sketch_family.sample(k_sketch, n_sketch_fns)
     bits = _map_point_blocks(
@@ -241,6 +277,7 @@ def build_jaccard_index(
         universe=data.universe,
         sim_eps=probs.sim_eps,
         table_hash=table_hash,
+        sketch_hash=sketch_hash,
     )
 
 
@@ -474,15 +511,11 @@ def jaccard_search(
         qt = pad_sets(query_sets, index.universe)
     qt = jnp.asarray(qt)
 
-    family = (
-        MinHash1Bit(index.universe)
-        if index.table_hash == "1bit_minhash"
-        else MinHash(index.universe)
-    )
+    family = jaccard_table_family(index.table_hash, index.universe)
     source = IndependentHashSource(family, cfg.num_tables, cfg.max_hashbits)
     source.params = index.hash_params
     qh = source.hash(qt)  # (Q, L)
-    sketch_family = MinHash1Bit(index.universe)
+    sketch_family = jaccard_sketch_family(index.sketch_hash, index.universe)
     qbits = sketch_family.hash(index.sketch_params, qt)
     qsk = pack_bits_u32(
         qbits.reshape(qt.shape[0], cfg.num_sketches, cfg.sketch_bits)

@@ -285,6 +285,7 @@ def save_jaccard_index(index, path: str) -> str:
             g.attrs["universe"] = index.universe
             g.attrs["sim_eps"] = index.sim_eps
             g.attrs["table_hash"] = index.table_hash
+            g.attrs["sketch_hash"] = index.sketch_hash
             for name in _JACCARD_ARRAYS:
                 g.create_dataset(name, data=np.asarray(getattr(index, name)))
             if index.center_ids is not None:
@@ -332,6 +333,9 @@ def load_jaccard_index(path: str):
             universe = int(g.attrs["universe"])
             sim_eps = float(g.attrs["sim_eps"])
             table_hash = str(g.attrs.get("table_hash", "minhash"))
+            sketch_hash = str(
+                g.attrs.get("sketch_hash", "1bit_minhash")
+            )
     except (OSError, KeyError) as e:
         raise SerializeError(f"failed to read index from {path}: {e}") from e
 
@@ -346,6 +350,7 @@ def load_jaccard_index(path: str):
         universe=universe,
         sim_eps=sim_eps,
         table_hash=table_hash,
+        sketch_hash=sketch_hash,
     )
 
 

