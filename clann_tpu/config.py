@@ -167,6 +167,18 @@ class Config:
     # ops/global_query.global_search_batch_impl; measure dc/QPS before
     # enabling (global buckets hold n/2^cap points).
     global_entry_cap: int = 0
+    # Fused probe-filter Pallas kernel for the global engine's window
+    # filter (ops/pallas/probe_filter.py): sketch hamming + ball
+    # feasibility + lane validity in ONE pass, with the per-cluster
+    # feasibility bits bit-packed per query instead of contracted through
+    # a (Q, WL, C) one-hot. Bit-identical results (tested); requires
+    # 64-bit sketches (sketch_bits=64). Off-TPU it runs interpreted.
+    probe_filter_kernel: bool = False
+    # Window range-index computation: False = scatter+cumsum
+    # (O(M + W) work but rides XLA's serialized scatter lowering), True =
+    # dense compare-and-sum (O(W*M) compares that fuse into one reduction
+    # pass). Bit-identical (same count_leq quantity); measured knob.
+    window_index_dense: bool = False
     # In-loop candidate scoring dtype for the adaptive LSH engines.
     # "float32" (default): score in f32 directly. "int8": score candidates
     # against an int8 shadow of the dataset with a 2k internal buffer and

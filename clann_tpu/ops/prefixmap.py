@@ -465,16 +465,25 @@ def count_leq(sorted_rows: jnp.ndarray, values: jnp.ndarray) -> jnp.ndarray:
 
 
 def window_range_index(
-    fc: jnp.ndarray, off: jnp.ndarray, window: int
+    fc: jnp.ndarray, off: jnp.ndarray, window: int, dense: bool = False
 ) -> jnp.ndarray:
     """Range index j for each window position pos = off + w, w < window.
 
-    j_w = #{m : fc[q, m] <= off + w} — the same quantity as
-    count_leq(fc, off[:, None] + arange(window)) but O(M + W) instead of
-    O(W*M): one count for the window start, then a scatter of the (few)
-    range boundaries that fall inside the window plus a cumulative sum.
+    j_w = #{m : fc[q, m] <= off + w}. Two bit-identical evaluations:
+
+    - dense=False: O(M + W) — one count for the window start, then a
+      scatter of the (few) range boundaries that fall inside the window
+      plus a cumulative sum. Algorithmically minimal, but the scatter
+      rides XLA's serialized scatter lowering on TPU.
+    - dense=True: the direct count_leq(fc, off + arange(window)) —
+      O(W*M) compares that fuse into one compare+reduce pass with no
+      scatter. Wins when W*M compares are cheaper than a (Q, W) scatter
+      (config.window_index_dense; measured knob).
     """
     Q, M = fc.shape
+    if dense:
+        pos = off[:, None] + jnp.arange(window, dtype=jnp.int32)[None, :]
+        return count_leq(fc, pos)
     j0 = count_leq(fc, off[:, None])[:, 0]  # (Q,)
     rel = fc - off[:, None]  # (Q, M) boundary position within window
     # boundary m bumps j for every w >= rel (fc[m] <= off + w  <=>  w >= rel)
@@ -523,6 +532,7 @@ def blocked_window(
     starts_s: jnp.ndarray,
     sizes_s: jnp.ndarray,
     g: int,
+    dense_index: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Map WB block-stream positions per query to gatherable blocks.
 
@@ -539,7 +549,9 @@ def blocked_window(
     G = 1 << g
     pos = off_b[:, None] + jnp.arange(wb, dtype=jnp.int32)[None, :]
     total_b = fc_b[:, -1]
-    j = jnp.clip(window_range_index(fc_b, off_b, wb), 0, M - 1)
+    j = jnp.clip(
+        window_range_index(fc_b, off_b, wb, dense=dense_index), 0, M - 1
+    )
     prev = jnp.where(
         j > 0, jnp.take_along_axis(fc_b, jnp.maximum(j - 1, 0), axis=1), 0
     )

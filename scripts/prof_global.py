@@ -48,6 +48,11 @@ FX = int(os.environ.get("PROF_FX", 4))
 G = 16
 
 cache = os.path.expanduser("~/.cache/clann_tpu/tune_200k_flat.npz")
+if not os.path.exists(cache):
+    # same distribution at larger n — the bench dataset's prefix
+    cache = os.path.expanduser(
+        "~/.cache/clann_tpu/bench_1183514x100_q10000.npz"
+    )
 z = np.load(cache)
 train, test = z["train"][:N], z["test"][:Q]
 
