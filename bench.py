@@ -413,15 +413,32 @@ def main():
             g_sorted_hash=gh, g_records=gr, g_dir=gd, g_dir_iters=gdi,
             config=lsh_cfg,
         )
-        global_search(index, test[:256], k=K, delta=DELTA, batch_size=256)
-        t0 = time.time()
-        d_l, _, st_l = global_search(
-            index, test[:lsh_sub], k=K, delta=DELTA, batch_size=256
-        )
-        lsh_qps = lsh_sub / (time.time() - t0)
+        # ONE protocol for every LSH artifact (VERDICT r2 #5 —
+        # GLOBAL_KNOBS vs LSH_AT_09 differed 1.4x at delta=0.9 from
+        # single-shot timing under relay jitter): 512 queries, batch 256,
+        # chunk=2048/fx=8, median of BENCH_LSH_REPS timed runs after one
+        # warm-up. The same helper is used by scripts/sweep_lsh09.py and
+        # scripts/sweep_global_knobs.py.
+        lsh_reps = int(os.environ.get("BENCH_LSH_REPS", 3))
+
+        def timed_lsh(delta):
+            global_search(index, test[:256], k=K, delta=delta,
+                          batch_size=256)  # warm/compile
+            per_rep = []
+            out = None
+            for _ in range(lsh_reps):
+                t0 = time.time()
+                out = global_search(
+                    index, test[:lsh_sub], k=K, delta=delta, batch_size=256
+                )
+                per_rep.append(lsh_sub / (time.time() - t0))
+            return float(np.median(per_rep)), per_rep, out
+
+        lsh_qps, lsh_reps_09, (d_l, _, st_l) = timed_lsh(DELTA)
         lsh_recall, _, _ = recall_values(gt_d[:lsh_sub], d_l, count=K)
         log(
-            f"lsh(global): QPS={lsh_qps:.0f} recall={lsh_recall:.4f} "
+            f"lsh(global): QPS={lsh_qps:.0f} (reps {lsh_reps_09}) "
+            f"recall={lsh_recall:.4f} "
             f"dc/q={st_l.distance_computations.mean():.0f}"
         )
 
@@ -443,14 +460,10 @@ def main():
         except (OSError, KeyError, ValueError, TypeError):
             pass
         for d9 in deltas:
-            global_search(index, test[:256], k=K, delta=d9, batch_size=256)
-            t0 = time.time()
-            d_l9, _, st_l9 = global_search(
-                index, test[:lsh_sub], k=K, delta=d9, batch_size=256
-            )
-            q9 = lsh_sub / (time.time() - t0)
+            q9, reps9, (d_l9, _, st_l9) = timed_lsh(d9)
             r9, _, _ = recall_values(gt_d[:lsh_sub], d_l9, count=K)
-            log(f"lsh(delta={d9}): QPS={q9:.1f} recall={r9:.4f} "
+            log(f"lsh(delta={d9}): QPS={q9:.1f} (reps {reps9}) "
+                f"recall={r9:.4f} "
                 f"dc/q={st_l9.distance_computations.mean():.0f}")
             if r9 >= 0.9:
                 lsh_at_09 = {
@@ -458,6 +471,11 @@ def main():
                     "delta": d9,
                     "dc_per_query": round(
                         float(st_l9.distance_computations.mean()), 1),
+                    "per_rep_qps": [round(q, 1) for q in reps9],
+                    "protocol": (
+                        f"{lsh_sub}q batch256 chunk2048 fx8 "
+                        f"median of {lsh_reps}"
+                    ),
                 }
                 break
     except Exception as e:  # secondary metric must not sink the bench

@@ -36,6 +36,7 @@ CHUNKS = tuple(
     int(c) for c in os.environ.get("SWEEP_CHUNKS", "512,1024,2048,4096").split(",")
 )
 FXS = tuple(int(f) for f in os.environ.get("SWEEP_FXS", "4,8").split(","))
+REPS = int(os.environ.get("BENCH_LSH_REPS", 3))
 DELTAS = tuple(
     float(d) for d in os.environ.get("SWEEP_DELTAS", "0.9,0.95").split(",")
 )
@@ -78,19 +79,23 @@ def main():
             try:
                 global_search(idx, test[:256], k=K, delta=delta,
                               batch_size=256)  # warm/compile
-                t0 = time.time()
-                d, _, st = global_search(idx, test, k=K, delta=delta,
-                                         batch_size=256)
-                el = time.time() - t0
+                per_rep = []
+                for _ in range(REPS):  # bench.py protocol: median of reps
+                    t0 = time.time()
+                    d, _, st = global_search(idx, test, k=K, delta=delta,
+                                             batch_size=256)
+                    per_rep.append(SUB / (time.time() - t0))
             except Exception as e:
                 log(f"chunk={chunk} fx={fx} delta={delta}: FAILED {e}")
                 continue
             r, _, _ = recall_values(gt_d, d, count=K)
             row = {
                 "chunk": chunk, "fx": fx, "delta": delta,
-                "qps": round(SUB / el, 1), "recall": round(float(r), 4),
+                "qps": round(float(np.median(per_rep)), 1),
+                "recall": round(float(r), 4),
                 "dc_per_query": round(
                     float(st.distance_computations.mean()), 1),
+                "per_rep_qps": [round(q, 1) for q in per_rep],
             }
             rows.append(row)
             log(f"chunk={chunk} fx={fx} delta={delta}: "

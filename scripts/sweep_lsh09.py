@@ -85,19 +85,24 @@ def main():
 
     rows = []
     best = None
+    reps = int(os.environ.get("BENCH_LSH_REPS", 3))
     for delta in (0.9, 0.95, 0.975, 0.99):
         global_search(index, test[:256], k=K, delta=delta,
                       batch_size=256)  # warm/compile
-        t0 = time.time()
-        d_, _, st = global_search(index, test, k=K, delta=delta,
-                                  batch_size=256)
-        el = time.time() - t0
-        qps = len(test) / el
+        per_rep = []
+        for _ in range(reps):  # one protocol with bench.py (median of reps)
+            t0 = time.time()
+            d_, _, st = global_search(index, test, k=K, delta=delta,
+                                      batch_size=256)
+            per_rep.append(len(test) / (time.time() - t0))
+        qps = float(np.median(per_rep))
         r, _, _ = recall_values(gt_d, d_, count=K)
         dc = float(st.distance_computations.mean())
-        log(f"delta={delta}: QPS={qps:.1f} recall={r:.4f} dc/q={dc:.0f}")
+        log(f"delta={delta}: QPS={qps:.1f} (reps {per_rep}) recall={r:.4f} "
+            f"dc/q={dc:.0f}")
         rows.append({"delta": delta, "qps": round(qps, 1),
-                     "recall": round(float(r), 4), "dc_per_query": round(dc)})
+                     "recall": round(float(r), 4), "dc_per_query": round(dc),
+                     "per_rep_qps": [round(q, 1) for q in per_rep]})
         if r >= 0.9 and best is None:
             best = rows[-1]
         if r >= 0.9 and delta > 0.95:
