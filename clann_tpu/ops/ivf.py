@@ -64,6 +64,30 @@ def auto_n_probe(n_rows: int) -> int:
 _PALLAS_BASE_CACHE: dict = {}
 
 
+def pallas_scan_viable(n: int, d: Optional[int] = None) -> bool:
+    """Should the fused Pallas scan kernel run at this shape?
+
+    The kernel wins by streaming many dataset blocks through a resident
+    query tile; below a few hundred thousand rows the per-dispatch
+    pipeline setup dominates and the plain fused scan
+    (ops/distances.dense_scan_topk) is strictly faster — measured on v5e
+    (scripts/exp_scan_crossover.py, round 3): at n=20k the kernel runs
+    0.1x the plain scan (GLOVE25_SHAPE.json's 808 vs 8474 QPS), at 1.18M
+    it runs 1.25x. The crossover sits where the dataset stops fitting in
+    one or two grid steps; `use_pallas` requests below it are re-routed
+    to the plain scan unless the caller pins `pallas_auto_route=False`
+    (raw-kernel measurement scripts do).
+    """
+    del d
+    return n >= PALLAS_SCAN_MIN_N
+
+
+# Measured crossover bound (see pallas_scan_viable): provisional value
+# from GLOVE25_SHAPE round-2 evidence; re-measured by
+# scripts/exp_scan_crossover.py which prints the observed crossover.
+PALLAS_SCAN_MIN_N = 262_144
+
+
 def pallas_scan_plan(
     n: int, k: int, d: Optional[int] = None
 ) -> Tuple[int, int, int, int]:
@@ -166,6 +190,7 @@ def scan_search(
     batch_q: int = 2048,
     use_pallas: bool = False,
     pull: str = "packed",
+    pallas_auto_route: bool = True,
 ):
     """Full dense scan of the index vectors (the C=1 full-probe case).
 
@@ -186,6 +211,10 @@ def scan_search(
         the marginal cost). Callers that need distances reconstruct them
         exactly from the corpus (sims are deterministic per id), or use
         id-based metrics.
+    pallas_auto_route: with use_pallas, fall back to the plain scan at
+        shapes below the kernel's measured crossover (pallas_scan_viable)
+        instead of running the kernel where it loses 10x to its own
+        fallback. False pins the kernel (raw-kernel measurements).
     """
     from clann_tpu.ops.distances import _dense_scan_jit
 
@@ -213,6 +242,11 @@ def scan_search(
                 uncertified=np.zeros(0, np.int32),
             ),
         )
+
+    if use_pallas and pallas_auto_route and not pallas_scan_viable(
+        n, d=int(index.vectors.shape[1])
+    ):
+        use_pallas = False  # below the measured crossover; plain scan wins
 
     if use_pallas:
         from clann_tpu.ops.pallas.scan_topk import fused_scan_topk_e2e

@@ -206,3 +206,61 @@ class TestPackedKernel:
             (top1[q] // gr) * gr in set(i[q].tolist()) for q in range(len(qs))
         ])
         assert hit > 0.95, hit
+
+
+class TestAutoRoute:
+    """Small shapes route off the kernel (VERDICT r2 #4): below the
+    measured crossover, use_pallas falls back to the plain fused scan
+    unless the caller pins pallas_auto_route=False."""
+
+    def _tiny_index(self):
+        from clann_tpu.config import Config
+        from clann_tpu.core.index import build_index
+        from clann_tpu.data.synthetic import clustered_unit_vectors
+
+        train = clustered_unit_vectors(2000, 16, n_modes=8, seed=0)
+        cfg = Config(
+            num_tables=2, num_clusters_factor=0.01, k=5, delta=0.9,
+            dataset_name="route", dense_layout=False, seed=0,
+        )
+        return train, build_index(train, cfg)
+
+    def test_small_shape_takes_scan_path(self, monkeypatch):
+        import clann_tpu.ops.pallas.scan_topk as scan_topk
+        from clann_tpu.data.synthetic import random_unit_vectors
+        from clann_tpu.ops.ivf import scan_search
+
+        train, index = self._tiny_index()
+        q = random_unit_vectors(16, 16, seed=1)
+
+        def boom(*a, **k):
+            raise AssertionError("kernel must not run below the crossover")
+
+        monkeypatch.setattr(scan_topk, "fused_scan_topk_e2e", boom)
+        d, i, _ = scan_search(index, q, k=5, use_pallas=True)
+        assert i.shape == (16, 5)  # routed to the plain scan, still correct
+        gt = np.argsort(
+            1.0 - (train / np.linalg.norm(train, axis=1, keepdims=True))
+            @ (q / np.linalg.norm(q, axis=1, keepdims=True)).T,
+            axis=0,
+        )[:1].T
+        hit = np.mean([gt[r, 0] in i[r] for r in range(16)])
+        assert hit >= 0.99
+
+    def test_pinned_kernel_still_runs(self):
+        from clann_tpu.data.synthetic import random_unit_vectors
+        from clann_tpu.ops.ivf import scan_search
+
+        _, index = self._tiny_index()
+        q = random_unit_vectors(8, 16, seed=2)
+        d, i, _ = scan_search(
+            index, q, k=5, use_pallas=True, pallas_auto_route=False
+        )
+        assert i.shape == (8, 5)
+
+    def test_viable_threshold(self):
+        from clann_tpu.ops.ivf import PALLAS_SCAN_MIN_N, pallas_scan_viable
+
+        assert not pallas_scan_viable(20_000)
+        assert pallas_scan_viable(PALLAS_SCAN_MIN_N)
+        assert pallas_scan_viable(1_183_514)
