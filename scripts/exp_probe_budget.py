@@ -109,8 +109,13 @@ min_depth = cfg.min_depth
 
 def make_body(on):
     """Replica body; `on` toggles {gather, sketch, feas, compact, rescore,
-    merge, probs} — each off-path substitutes the cheapest shape-correct
-    stand-in so the rest of the pipeline is undisturbed."""
+    merge, probs, bookkeeping, consume, dense_index} — each off-path
+    substitutes the cheapest shape-correct stand-in so the rest of the
+    pipeline is undisturbed. bookkeeping=False replaces blocked_window
+    with static precomputed window arrays (bounds the whole
+    window-mapping cost); consume=False uses a constant consumed=WB/2;
+    dense_index=True keeps bookkeeping but swaps the scatter-based
+    window_range_index for the compare-and-sum variant."""
     feas_bound = streams["feas_bound"]
     ball_floor = streams["ball_floor"]
     starts_s, sizes_s = streams["starts"], streams["sizes"]
@@ -118,12 +123,27 @@ def make_body(on):
     queries_n = streams["qn"]
     query_sketches = streams["qsk"]
 
+    # static window stand-in for bookkeeping=False (computed once,
+    # loop-invariant — gather indices stay realistic, mapping cost -> 0)
+    j_st, blk_st, lane_slot_st, lane_valid_st = jax.jit(
+        lambda: blocked_window(
+            fc, jnp.full((Q,), 3, jnp.int32), WB, bstarts, starts_s,
+            sizes_s, g_log,
+        )
+    )()
+
     def body(s):
         topk_sims, topk_ids, qdone, off, dc, cand_ct = s
 
-        j, blk, lane_slot, lane_valid = blocked_window(
-            fc, off, WB, bstarts, starts_s, sizes_s, g_log
-        )
+        if on.get("bookkeeping", True):
+            j, blk, lane_slot, lane_valid = blocked_window(
+                fc, off, WB, bstarts, starts_s, sizes_s, g_log,
+                dense_index=on.get("dense_index", False),
+            )
+        else:
+            j, blk, lane_slot, lane_valid = (
+                j_st, blk_st + off[:, None] % 7, lane_slot_st, lane_valid_st
+            )
         valid = (lane_valid & ~qdone[:, None, None]).reshape(Q, WL)
         t_sel = j % L
 
@@ -172,9 +192,12 @@ def make_body(on):
 
         passes = valid & feas & sketch_pass
 
-        pb = jnp.sum(passes.reshape(Q, WB, G), axis=2)
-        cum_pb = jnp.cumsum(pb, axis=1)
-        consumed = jnp.maximum(jnp.sum(cum_pb <= CHUNK, axis=1), 1)
+        if on.get("consume", True):
+            pb = jnp.sum(passes.reshape(Q, WB, G), axis=2)
+            cum_pb = jnp.cumsum(pb, axis=1)
+            consumed = jnp.maximum(jnp.sum(cum_pb <= CHUNK, axis=1), 1)
+        else:
+            consumed = jnp.full((Q,), WB // 2, jnp.int32)
         in_window = (jnp.broadcast_to(
             (blk_iota[None, :] < consumed[:, None])[:, :, None],
             (Q, WB, G))).reshape(Q, WL)
@@ -269,16 +292,41 @@ _, real_body = _loop_pieces(index, streams, delta, k=K, chunk=CHUNK,
 results["real_body"] = timed("REAL body (_loop_pieces)", real_body)
 results["replica_all"] = timed("replica (all on)", make_body(dict(ALL)))
 for stage in ("gather", "sketch", "feas", "compact", "rescore", "merge",
-              "probs"):
+              "probs", "bookkeeping", "consume"):
     off_t = dict(ALL)
     off_t[stage] = False
     results[f"no_{stage}"] = timed(f"  without {stage}", make_body(off_t))
+results["dense_index"] = timed(
+    "  dense window index", make_body({**ALL, "dense_index": True}))
+try:
+    import dataclasses as _dc
+
+    idx_k = index.replace(
+        config=_dc.replace(index.config, probe_filter_kernel=True)
+    )
+    _, kbody = _loop_pieces(idx_k, streams, delta, k=K, chunk=CHUNK,
+                            min_depth=min_depth, filter_type="default",
+                            filter_expand=FX)
+    results["kernel_filter"] = timed("REAL body + probe_filter kernel",
+                                     kbody)
+    idx_kd = index.replace(
+        config=_dc.replace(index.config, probe_filter_kernel=True,
+                           window_index_dense=True)
+    )
+    _, kdbody = _loop_pieces(idx_kd, streams, delta, k=K, chunk=CHUNK,
+                             min_depth=min_depth, filter_type="default",
+                             filter_expand=FX)
+    results["kernel_filter_dense"] = timed(
+        "REAL body + kernel + dense idx", kdbody)
+except Exception as e:
+    log(f"kernel variant failed: {type(e).__name__}: {e}")
 
 deltas = {s: round(results["replica_all"] - results[f"no_{s}"], 2)
           for s in ("gather", "sketch", "feas", "compact", "rescore",
-                    "merge", "probs")}
+                    "merge", "probs", "bookkeeping", "consume")}
 summary = {"shapes": {"Q": Q, "N": N, "chunk": CHUNK, "fx": FX, "G": G,
                       "WB": WB, "WL": WL, "CB": CB, "C": C},
-           "ms_per_iter": {k: round(v, 2) for k, v in results.items()},
+           "ms_per_iter": {k: round(v, 2) for k, v in results.items()
+                           if v is not None},
            "stage_cost_ms": deltas}
 print(json.dumps(summary))

@@ -104,11 +104,25 @@ def main():
     build_s = time.time() - t0
     mem = index.memory_usage()
     dev = jax.devices()[0]
-    stats = dev.memory_stats() or {}
-    hbm_used = stats.get("bytes_in_use", 0)
+
+    def hbm_in_use():
+        """Device bytes in use; memory_stats() returns {} on the relay
+        backend (measured round 2), so fall back to explicit accounting
+        over the live device arrays — every resident buffer this process
+        created, which on a single-process chip IS the HBM residency."""
+        stats = dev.memory_stats() or {}
+        if stats.get("bytes_in_use"):
+            return int(stats["bytes_in_use"]), "memory_stats"
+        return (
+            int(sum(int(np.prod(a.shape)) * a.dtype.itemsize
+                    for a in jax.live_arrays())),
+            "live_arrays",
+        )
+
+    hbm_used, hbm_src = hbm_in_use()
     log(
         f"build {build_s:.0f}s; index bytes={mem/1e9:.2f}GB; "
-        f"device bytes_in_use={hbm_used/1e9:.2f}GB"
+        f"device bytes in use={hbm_used/1e9:.2f}GB ({hbm_src})"
     )
 
     test_d = jax.device_put(jnp.asarray(test))
@@ -137,6 +151,59 @@ def main():
             "rep_qps": [round(NQ / t, 1) for t in reps],
         }
 
+    # per-shard global-LSH row (VERDICT r2 #2): the delta-guaranteed
+    # engine on this shard, same protocol as bench.py's lsh rows (256-q
+    # batches, chunk=2048/fx=8, median of 3)
+    try:
+        from clann_tpu.core.index import make_global_tables, unsort_hashes
+        from clann_tpu.ops.global_query import global_search
+        from clann_tpu.ops.prefixmap import build_prefix_directory
+
+        log("attaching global LSH structures for the per-shard LSH row...")
+        hashes_T = unsort_hashes(index.sorted_hash, index.sorted_idx)
+        gh, gr = make_global_tables(
+            hashes_T, index.sketches, index.assignment,
+            pad_to=cfg.gather_block,
+        )
+        n_pts = index.vectors.shape[0]
+        gd = build_prefix_directory(
+            gh, jnp.asarray(np.asarray([0, n_pts], np.int32)),
+            cfg.global_dir_bits,
+            int(np.ceil(np.log2(max(2, n_pts)))) + 1, cfg.max_hashbits,
+        )
+        gdi = int(np.ceil(np.log2(max(2, int(jnp.max(
+            gd[:, :, 1:] - gd[:, :, :-1])))))) + 1
+        lsh_cfg = cfg.replace(candidate_chunk=2048, filter_expand=8)
+        lidx = index.replace(
+            g_sorted_hash=gh, g_records=gr, g_dir=gd, g_dir_iters=gdi,
+            config=lsh_cfg,
+        )
+        lsh_q = min(512, NQ)
+        global_search(lidx, test[:256], k=K, delta=0.9, batch_size=256)
+        per_rep = []
+        for _ in range(3):
+            t0 = time.time()
+            d_l, _, st_l = global_search(
+                lidx, test[:lsh_q], k=K, delta=0.9, batch_size=256
+            )
+            per_rep.append(lsh_q / (time.time() - t0))
+        r_l, _, _ = recall_values(gt_d[:lsh_q], d_l, count=K)
+        out_rows["lsh-global"] = {
+            "qps": round(float(np.median(per_rep)), 1),
+            "recall": round(float(r_l), 4),
+            "delta": 0.9,
+            "dc_per_query": round(
+                float(st_l.distance_computations.mean()), 1),
+            "rep_qps": [round(q, 1) for q in per_rep],
+            "queries": lsh_q,
+        }
+        log(f"lsh-global: {out_rows['lsh-global']}")
+        del lidx, gh, gr, gd
+    except Exception as e:
+        log(f"lsh-global row failed: {type(e).__name__}: {e}")
+
+    hbm_used, hbm_src = hbm_in_use()
+
     out = {
         "target": "MS MARCO 100M x 768 on v5e-64 (BASELINE.md)",
         "shard": {"n": N_SHARD, "d": D, "queries": NQ, "k": K},
@@ -150,7 +217,18 @@ def main():
             "build_seconds": round(build_s, 1),
             "index_gb": round(mem / 1e9, 3),
             "device_bytes_in_use_gb": round(hbm_used / 1e9, 3),
+            "hbm_measurement": hbm_src,
             "rows": out_rows,
+        },
+        # capacity-planner cross-check (VERDICT r2 #2): the planner's
+        # per-device byte prediction for this shard vs what the chip
+        # actually holds (residency includes transient copies the planner
+        # deliberately excludes, so measured >= planned is the pass)
+        "plan_check": {
+            "planned_per_device_gb": round(
+                (plan.shardable_bytes / N_DEV + plan.replicated_bytes)
+                / 1e9, 3),
+            "measured_resident_gb": round(hbm_used / 1e9, 3),
         },
     }
     path = os.path.join(
