@@ -158,7 +158,14 @@ class Config:
     # engine (ops/global_query.py — same delta guarantee, one set of range
     # searches per query instead of per (query, cluster)); "both" builds
     # the structures for both so either mode can be forced at query time.
-    lsh_engine: str = "clustered"
+    # Default "global" (flipped round 3, VERDICT r2 #8): the global engine
+    # dominates the clustered walk at every measured shape — 56 vs ~5 QPS
+    # at 1.18M x 100, ~270 vs 23-45 at 200k (PERFORMANCE.md) — with the
+    # same delta guarantee evaluated with the true global k-th best (the
+    # clustered walk only approximates it via max_sim feedback). The walk
+    # stays selectable for reference-faithful comparisons, and faithful
+    # imports still force it (io/interop.py — per-cluster functions).
+    lsh_engine: str = "global"
     # Directory bits for the global tables (full 13 like the reference:
     # one directory per table, not per cluster, so memory is tiny).
     global_dir_bits: int = 13
