@@ -191,7 +191,10 @@ class TestShardedGlobal:
     def test_missing_structures_raise(self, setup):
         from clann_tpu.parallel.sharded import sharded_global_search
 
-        cfg, train, index, queries = setup  # built without global engine
+        cfg, train, _, queries = setup
+        # lsh_engine now defaults to "global"; pin the clustered engine so
+        # the index genuinely lacks global structures
+        index = build_index(train, cfg.replace(lsh_engine="clustered"))
         sharded = shard_index(index, 4)
         with pytest.raises(ValueError):
             sharded_global_search(sharded, queries, mesh=make_mesh(4))
