@@ -181,6 +181,16 @@ class Config:
     # a (Q, WL, C) one-hot. Bit-identical results (tested); requires
     # 64-bit sketches (sketch_bits=64). Off-TPU it runs interpreted.
     probe_filter_kernel: bool = False
+    # Precompute the global engine's whole block-stream mapping
+    # (position -> table/block/lane-mask) once per query batch instead of
+    # re-deriving it per loop iteration (ops/prefixmap.stream_block_map).
+    # Amortized measurement put the per-iteration bookkeeping at 8.5 of
+    # 14.4 ms/iter (scripts/exp_probe_budget.py, round 3); the maps turn
+    # it into three (Q, WB) row gathers. Bit-identical results; costs
+    # 3 * Q * tb_pad * 4 bytes of HBM per batch (tens of MB). Applies to
+    # global_search / global_search_continuous; shard_map callers keep the
+    # in-loop derivation (no host sync inside a mesh program).
+    stream_map: bool = True
     # Window range-index computation: False = scatter+cumsum
     # (O(M + W) work but rides XLA's serialized scatter lowering), True =
     # dense compare-and-sum (O(W*M) compares that fuse into one reduction

@@ -217,15 +217,33 @@ def _loop_pieces(
     def cond(s):
         return ~jnp.all(s[2])
 
+    lane_iota = jnp.arange(G, dtype=jnp.uint32)
+
     def body(s):
         topk_sims, topk_ids, qdone, off, dc, cand_ct = s
 
-        j, blk, lane_slot, lane_valid = blocked_window(
-            fc, off, WB, bstarts, starts_s, sizes_s, g_log,
-            dense_index=index.config.window_index_dense,
-        )
+        if "tmap" in streams:
+            # precomputed stream maps (ops/prefixmap.stream_block_map):
+            # the whole position->(table, block, lane-mask) mapping was
+            # built once at prepare time, so the per-iteration bookkeeping
+            # (measured 8.5 of 14.4 ms/iter, scripts/exp_probe_budget.py)
+            # collapses to three (Q, WB) row gathers + a bit expansion
+            tb = streams["tmap"].shape[1]
+            pos = off[:, None] + blk_iota[None, :]
+            posc = jnp.minimum(pos, tb - 1)
+            t_sel = jnp.take_along_axis(streams["tmap"], posc, axis=1)
+            blk = jnp.take_along_axis(streams["blkmap"], posc, axis=1)
+            lm = jnp.take_along_axis(streams["lmask"], posc, axis=1)
+            lane_valid = (
+                (lm[:, :, None] >> lane_iota[None, None, :]) & jnp.uint32(1)
+            ) != 0  # (Q, WB, G)
+        else:
+            j, blk, lane_slot, lane_valid = blocked_window(
+                fc, off, WB, bstarts, starts_s, sizes_s, g_log,
+                dense_index=index.config.window_index_dense,
+            )
+            t_sel = j % L  # (Q, WB) table of each window block
         valid = (lane_valid & ~qdone[:, None, None]).reshape(Q, WL)
-        t_sel = j % L  # (Q, WB) table of each window block
         # ONE gather per block fetches G packed records
         rec = rec_view[t_sel, jnp.clip(blk, 0, nb - 1)]  # (Q, WB, G*R)
         rec = rec.reshape(Q, WB, G, R)
@@ -433,6 +451,97 @@ global_search_batch_jit = functools.partial(
 )(global_search_batch_impl)
 
 
+_prepare_streams_jit = functools.partial(
+    jax.jit, static_argnames=("min_depth",)
+)(_prepare_streams)
+
+
+@functools.partial(jax.jit, static_argnames=("g", "L", "tb"))
+def _attach_stream_map(streams: dict, *, g: int, L: int, tb: int) -> dict:
+    """streams + precomputed position maps (prefixmap.stream_block_map)."""
+    from clann_tpu.ops.prefixmap import stream_block_map
+
+    tmap, blkmap, lmask = stream_block_map(
+        streams["fc"], streams["bstarts"], streams["starts"],
+        streams["sizes"], g, L, tb,
+    )
+    return {**streams, "tmap": tmap, "blkmap": blkmap, "lmask": lmask}
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "chunk", "min_depth", "filter_type", "filter_expand",
+    ),
+)
+def _run_loop_jit(
+    index, streams, delta, *, k, chunk, min_depth, filter_type,
+    filter_expand,
+):
+    """while_loop + finalize over prepared (and possibly mapped) streams."""
+    Q = streams["qn"].shape[0]
+    kk = k if index.vectors_q8 is None else 2 * k
+    cond, body = _loop_pieces(
+        index, streams, delta, k=k, chunk=chunk, min_depth=min_depth,
+        filter_type=filter_type, filter_expand=filter_expand,
+    )
+    state = jax.lax.while_loop(
+        cond, body, _init_state(Q, kk, streams["total"])
+    )
+    return _finalize(index, streams, state, k=k)
+
+
+def global_search_batch_mapped(
+    index,
+    queries_n: jnp.ndarray,
+    query_hashes: jnp.ndarray,
+    query_sketches: jnp.ndarray,
+    delta,
+    *,
+    k: int,
+    chunk: int,
+    min_depth: int = 1,
+    filter_type: str = "default",
+    filter_expand: int = 8,
+):
+    """global_search_batch_impl with the precomputed stream maps.
+
+    Host orchestrator (NOT jittable): it pulls the batch's max stream
+    length to size the maps — one int per batch over the relay — then
+    dispatches the mapped adaptive loop. Per-query results are
+    bit-identical to the unmapped path (the maps only precompute the same
+    count_leq/blocked_window quantities; tested in
+    tests/test_stream_map.py). Used by global_search when
+    config.stream_map is on and gather_block <= 32; shard_map callers
+    keep global_search_batch_impl (no host sync inside a mesh program).
+    """
+    G = max(1, index.config.gather_block)
+    if G > 32 or not index.config.stream_map:
+        return global_search_batch_jit(
+            index, queries_n, query_hashes, query_sketches,
+            jnp.asarray(delta, jnp.float32), k=k, chunk=chunk,
+            min_depth=min_depth, filter_type=filter_type,
+            filter_expand=filter_expand,
+        )
+    streams = _prepare_streams_jit(
+        index, queries_n, query_hashes, query_sketches, min_depth=min_depth
+    )
+    # tb must exceed every query's total block count (positions clipped to
+    # tb-1 must carry a zero mask); round up to a power of two so batches
+    # of similar depth share one compiled program
+    tbn = int(jax.device_get(jnp.max(streams["total"]))) + 1
+    tb = max(1024, 1 << (int(tbn) - 1).bit_length())
+    L = index.g_sorted_hash.shape[0]
+    streams = _attach_stream_map(
+        streams, g=int(np.log2(G)), L=L, tb=tb
+    )
+    return _run_loop_jit(
+        index, streams, jnp.asarray(delta, jnp.float32), k=k, chunk=chunk,
+        min_depth=min_depth, filter_type=filter_type,
+        filter_expand=filter_expand,
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -583,7 +692,7 @@ def global_search(
     def run_block(block):
         qh = source.hash(block)
         qs = filterer.sketch(block)
-        return global_search_batch_jit(
+        return global_search_batch_mapped(
             index,
             block,
             qh,
@@ -680,6 +789,16 @@ def global_search_continuous(
     streams_all = jax.tree_util.tree_map(
         lambda *xs: jnp.concatenate(xs, axis=0), *slabs
     )
+    G = max(1, cfg.gather_block)
+    if cfg.stream_map and G <= 32:
+        # one tb for the whole set; lane gathers pick up map rows like any
+        # other stream row, so the packed step needs no other change
+        tbn = int(jax.device_get(jnp.max(streams_all["total"]))) + 1
+        tb = max(1024, 1 << (int(tbn) - 1).bit_length())
+        streams_all = _attach_stream_map(
+            streams_all, g=int(np.log2(G)),
+            L=index.g_sorted_hash.shape[0], tb=tb,
+        )
     state_all = _init_state(Q, kk, streams_all["total"])
 
     # lane scheduling (host side, O(lanes) per round). A lane whose query

@@ -567,6 +567,77 @@ def blocked_window(
     return j, blk, lane_slot, lane_valid
 
 
+def stream_block_map(
+    fc: jnp.ndarray,
+    bstarts: jnp.ndarray,
+    starts_s: jnp.ndarray,
+    sizes_s: jnp.ndarray,
+    g: int,
+    L: int,
+    tb: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Precompute the WHOLE block-stream mapping for tb positions.
+
+    blocked_window re-derives, every loop iteration, which (table, block,
+    lane-validity) each window position maps to — a scatter+cumsum range
+    index plus five row gathers. Amortized measurement on v5e
+    (scripts/exp_probe_budget.py, round 3) put that bookkeeping at
+    8.5 ms/iter of a 14.4 ms/iter loop body — the single largest stage,
+    4x the record gather itself. But the mapping depends only on the
+    stream layout, not on the loop state: position p always lands in range
+    j = #{m: fc[m] <= p} at block bstarts[j] + (p - fc[j-1]). So it can be
+    computed ONCE per query batch for every position p < tb and the loop
+    body reduced to three (Q, WB) row gathers from these maps
+    (ops/global_query._loop_pieces fast path).
+
+    Returns (tmap, blkmap, lmask), each (Q, tb):
+      tmap   int32  table of position p            == j % L
+      blkmap int32  table block index of p         (garbage where lmask=0)
+      lmask  uint32 lane-validity bitmask: bit l set iff table slot
+             blkmap*G + l lies inside p's range and p < total_b
+
+    Bit-identical to blocked_window over valid positions (tested).
+    Requires G = 1 << g <= 32 (the mask is one uint32; production
+    gather_block is 16). tb must cover max(fc[:, -1]): positions >= tb
+    are never valid, and callers clip window positions to tb - 1, whose
+    mask is 0 whenever tb > max(total_b).
+    """
+    Q, M = fc.shape
+    G = 1 << g
+    if G > 32:
+        raise ValueError(f"stream_block_map supports G<=32, got {G}")
+    rows = jnp.arange(Q, dtype=jnp.int32)[:, None]
+    # j for every position in one pass: scatter each range boundary fc[m]
+    # and take the inclusive cumsum — j_p = #{m: fc[m] <= p} (count_leq)
+    bump = (
+        jnp.zeros((Q, tb + 1), jnp.int32)
+        .at[rows, jnp.clip(fc, 0, tb)]
+        .add(1)[:, :tb]
+    )
+    j = jnp.clip(jnp.cumsum(bump, axis=1), 0, M - 1)
+    prev = jnp.where(
+        j > 0, jnp.take_along_axis(fc, jnp.maximum(j - 1, 0), axis=1), 0
+    )
+    pos = jnp.arange(tb, dtype=jnp.int32)[None, :]
+    blk = jnp.take_along_axis(bstarts, j, axis=1) + (pos - prev)
+    st = jnp.take_along_axis(starts_s, j, axis=1)
+    en = st + jnp.take_along_axis(sizes_s, j, axis=1)
+    base = blk << g
+    lo = jnp.clip(st - base, 0, G).astype(jnp.uint32)
+    hi = jnp.maximum(jnp.clip(en - base, 0, G), 0).astype(jnp.uint32)
+    hi = jnp.maximum(hi, lo)
+    one = jnp.uint32(1)
+
+    def bits_below(b):  # (1 << b) - 1, exact at b == 32 (shift would wrap)
+        return jnp.where(
+            b >= 32, jnp.uint32(0xFFFFFFFF), (one << jnp.minimum(b, 31)) - one
+        )
+
+    mask = bits_below(hi) ^ bits_below(lo)
+    mask = jnp.where(pos < fc[:, -1:], mask, jnp.uint32(0))
+    return (j % L).astype(jnp.int32), blk, mask
+
+
 def candidate_stream(
     lo: jnp.ndarray,
     hi: jnp.ndarray,

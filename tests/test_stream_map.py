@@ -1,0 +1,133 @@
+"""Precomputed stream maps (ops/prefixmap.stream_block_map) correctness.
+
+The maps must reproduce blocked_window's (table, block, lane-validity)
+mapping bit-for-bit at every stream position — the fast path in
+ops/global_query._loop_pieces only changes WHEN the mapping is computed
+(once per batch instead of per loop iteration), never its values.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from clann_tpu.config import Config
+from clann_tpu.core.index import build_index
+from clann_tpu.data.synthetic import make_synthetic_dataset
+from clann_tpu.ops.prefixmap import blocked_window, stream_block_map
+
+
+@pytest.fixture(scope="module")
+def ds():
+    return make_synthetic_dataset(n=4000, d=32, n_queries=48, k_gt=15, seed=3)
+
+
+@pytest.fixture(scope="module")
+def prepared(ds):
+    from clann_tpu.ops.global_query import _prepare_streams
+
+    cfg = Config(
+        num_tables=10, num_clusters_factor=0.4, k=10, delta=0.9,
+        dataset_name=ds.name, lsh_engine="global", dense_layout=False,
+        gather_block=8,
+    )
+    index = build_index(ds.train, cfg)
+    source, filterer = index.rebuild_objects()
+    qn = jnp.asarray(
+        ds.test / np.linalg.norm(ds.test, axis=1, keepdims=True)
+    )
+    streams = jax.jit(
+        lambda i, q, h, s: _prepare_streams(i, q, h, s, min_depth=1)
+    )(index, qn, source.hash(qn), filterer.sketch(qn))
+    return index, streams
+
+
+class TestStreamBlockMap:
+    def test_matches_blocked_window_everywhere(self, prepared):
+        index, streams = prepared
+        fc = streams["fc"]
+        bstarts, starts_s, sizes_s = (
+            streams["bstarts"], streams["starts"], streams["sizes"],
+        )
+        G = index.config.gather_block
+        g = int(np.log2(G))
+        L = index.g_sorted_hash.shape[0]
+        Q = fc.shape[0]
+        WB = 16
+        total = np.asarray(streams["total"])
+        tb = int(total.max()) + WB + 1  # no clipping anywhere in the test
+
+        tmap, blkmap, lmask = jax.jit(
+            lambda fc, b, st, sz: stream_block_map(fc, b, st, sz, g, L, tb)
+        )(fc, bstarts, starts_s, sizes_s)
+        tmap, blkmap, lmask = (
+            np.asarray(tmap), np.asarray(blkmap), np.asarray(lmask),
+        )
+
+        lane = np.arange(G, dtype=np.uint32)
+        for off0 in (0, 1, 3, 7, int(total.min()), int(total.max())):
+            off = jnp.full((Q,), off0, jnp.int32)
+            j, blk, _, lane_valid = blocked_window(
+                fc, off, WB, bstarts, starts_s, sizes_s, g
+            )
+            j, blk = np.asarray(j), np.asarray(blk)
+            lane_valid = np.asarray(lane_valid)
+            pos = off0 + np.arange(WB)[None, :]
+            np.testing.assert_array_equal(
+                np.take_along_axis(tmap, pos, axis=1), j % L, err_msg=str(off0)
+            )
+            np.testing.assert_array_equal(
+                np.take_along_axis(blkmap, pos, axis=1), blk,
+                err_msg=str(off0),
+            )
+            m = np.take_along_axis(lmask, pos, axis=1)
+            bits = ((m[:, :, None] >> lane[None, None, :]) & 1) != 0
+            np.testing.assert_array_equal(bits, lane_valid, err_msg=str(off0))
+
+    def test_positions_past_total_are_masked(self, prepared):
+        index, streams = prepared
+        G = index.config.gather_block
+        g = int(np.log2(G))
+        L = index.g_sorted_hash.shape[0]
+        total = np.asarray(streams["total"])
+        tb = int(total.max()) + 64
+        _, _, lmask = stream_block_map(
+            streams["fc"], streams["bstarts"], streams["starts"],
+            streams["sizes"], g, L, tb,
+        )
+        lmask = np.asarray(lmask)
+        pos = np.arange(tb)[None, :]
+        assert (lmask[pos >= total[:, None]] == 0).all()
+
+
+class TestEndToEndAB:
+    """stream_map on vs off through the full engine: identical results."""
+
+    @pytest.mark.parametrize("driver", ["batched", "continuous"])
+    def test_global_search_bit_identical(self, ds, driver):
+        from clann_tpu.ops.global_query import (
+            global_search,
+            global_search_continuous,
+        )
+
+        base = dict(
+            num_tables=10, num_clusters_factor=0.4, k=10, delta=0.9,
+            dataset_name=ds.name, lsh_engine="global", dense_layout=False,
+        )
+        idx_on = build_index(ds.train, Config(**base))
+        idx_off = idx_on.replace(config=Config(**base, stream_map=False))
+        if driver == "batched":
+            run = lambda idx: global_search(idx, ds.test, k=10, delta=0.9)
+        else:
+            run = lambda idx: global_search_continuous(
+                idx, ds.test, k=10, delta=0.9, lanes=16, step_iters=2
+            )
+        d0, i0, s0 = run(idx_off)
+        d1, i1, s1 = run(idx_on)
+        np.testing.assert_array_equal(i0, i1)
+        np.testing.assert_array_equal(d0, d1)
+        np.testing.assert_array_equal(
+            np.asarray(s0.distance_computations),
+            np.asarray(s1.distance_computations),
+        )
