@@ -191,6 +191,14 @@ class Config:
     # global_search / global_search_continuous; shard_map callers keep the
     # in-loop derivation (no host sync inside a mesh program).
     stream_map: bool = True
+    # Map length cap in gather blocks. The FULL stream extent is the
+    # exhaustion bound (~n*L/gather_block positions — gigabytes of maps at
+    # bench scale), while the failure-prob stop consumes a short prefix;
+    # iterations whose live cursors overrun the cap fall back to the
+    # in-loop derivation (bit-identical, lax.cond-selected). 65536 blocks
+    # = ~200MB of maps at the production batch (Q=256, G=16) and covers
+    # ~1M candidate slots per query.
+    stream_map_blocks: int = 65536
     # Window range-index computation: False = scatter+cumsum
     # (O(M + W) work but rides XLA's serialized scatter lowering), True =
     # dense compare-and-sum (O(W*M) compares that fuse into one reduction

@@ -222,27 +222,45 @@ def _loop_pieces(
     def body(s):
         topk_sims, topk_ids, qdone, off, dc, cand_ct = s
 
-        if "tmap" in streams:
-            # precomputed stream maps (ops/prefixmap.stream_block_map):
-            # the whole position->(table, block, lane-mask) mapping was
-            # built once at prepare time, so the per-iteration bookkeeping
-            # (measured 8.5 of 14.4 ms/iter, scripts/exp_probe_budget.py)
-            # collapses to three (Q, WB) row gathers + a bit expansion
-            tb = streams["tmap"].shape[1]
-            pos = off[:, None] + blk_iota[None, :]
-            posc = jnp.minimum(pos, tb - 1)
-            t_sel = jnp.take_along_axis(streams["tmap"], posc, axis=1)
-            blk = jnp.take_along_axis(streams["blkmap"], posc, axis=1)
-            lm = jnp.take_along_axis(streams["lmask"], posc, axis=1)
-            lane_valid = (
-                (lm[:, :, None] >> lane_iota[None, None, :]) & jnp.uint32(1)
-            ) != 0  # (Q, WB, G)
-        else:
-            j, blk, lane_slot, lane_valid = blocked_window(
+        def window_fallback(off):
+            j, blk, _, lane_valid = blocked_window(
                 fc, off, WB, bstarts, starts_s, sizes_s, g_log,
                 dense_index=index.config.window_index_dense,
             )
-            t_sel = j % L  # (Q, WB) table of each window block
+            return (j % L), blk, lane_valid
+
+        if "tmap" in streams:
+            # precomputed stream maps (ops/prefixmap.stream_block_map):
+            # the position->(table, block, lane-mask) mapping for the
+            # stream PREFIX the adaptive loop actually walks was built
+            # once at prepare time, so the per-iteration bookkeeping
+            # (measured 8.5 of 14.4 ms/iter, scripts/exp_probe_budget.py)
+            # collapses to three (Q, WB) row gathers + a bit expansion.
+            # The full stream extent (the walk run to exhaustion) is
+            # ~n*L/G blocks — far past where the failure-prob stop lands —
+            # so the maps cover config.stream_map_blocks positions and the
+            # rare iteration whose live cursors overrun them falls back to
+            # the in-loop derivation (same values, lax.cond-selected).
+            tb = streams["tmap"].shape[1]
+
+            def window_mapped(off):
+                pos = off[:, None] + blk_iota[None, :]
+                posc = jnp.minimum(pos, tb - 1)
+                t_sel = jnp.take_along_axis(streams["tmap"], posc, axis=1)
+                blk = jnp.take_along_axis(streams["blkmap"], posc, axis=1)
+                lm = jnp.take_along_axis(streams["lmask"], posc, axis=1)
+                lane_valid = (
+                    (lm[:, :, None] >> lane_iota[None, None, :])
+                    & jnp.uint32(1)
+                ) != 0  # (Q, WB, G)
+                return t_sel, blk, lane_valid
+
+            live_max = jnp.max(jnp.where(qdone, 0, off))
+            t_sel, blk, lane_valid = jax.lax.cond(
+                live_max + WB <= tb, window_mapped, window_fallback, off
+            )
+        else:
+            t_sel, blk, lane_valid = window_fallback(off)
         valid = (lane_valid & ~qdone[:, None, None]).reshape(Q, WL)
         # ONE gather per block fetches G packed records
         rec = rec_view[t_sel, jnp.clip(blk, 0, nb - 1)]  # (Q, WB, G*R)
@@ -364,7 +382,10 @@ def _loop_pieces(
             valid & in_window, axis=1, dtype=jnp.int32
         )
 
-        off_new = off + consumed
+        # freeze finished queries' cursors: their windows are fully masked
+        # anyway, and an ever-advancing done cursor would spuriously push
+        # the mapped fast path above into its fallback branch
+        off_new = jnp.where(qdone, off, off + consumed)
         exhausted = off_new >= total
         r_star = count_leq(fc, off_new[:, None])[:, 0]
         depth_cur = jnp.maximum(d_entry - r_star // L, min_depth)
@@ -526,11 +547,15 @@ def global_search_batch_mapped(
     streams = _prepare_streams_jit(
         index, queries_n, query_hashes, query_sketches, min_depth=min_depth
     )
-    # tb must exceed every query's total block count (positions clipped to
-    # tb-1 must carry a zero mask); round up to a power of two so batches
-    # of similar depth share one compiled program
+    # tb ideally exceeds every query's total block count (positions
+    # clipped to tb-1 must carry a zero mask), but the FULL stream extent
+    # is ~n*L/G blocks — the exhaustion bound, not the failure-prob stop —
+    # so it is capped at config.stream_map_blocks; beyond-map iterations
+    # use the loop's fallback derivation. Round up to a power of two so
+    # batches of similar depth share one compiled program.
     tbn = int(jax.device_get(jnp.max(streams["total"]))) + 1
     tb = max(1024, 1 << (int(tbn) - 1).bit_length())
+    tb = min(tb, max(1024, index.config.stream_map_blocks))
     L = index.g_sorted_hash.shape[0]
     streams = _attach_stream_map(
         streams, g=int(np.log2(G)), L=L, tb=tb
@@ -792,9 +817,14 @@ def global_search_continuous(
     G = max(1, cfg.gather_block)
     if cfg.stream_map and G <= 32:
         # one tb for the whole set; lane gathers pick up map rows like any
-        # other stream row, so the packed step needs no other change
+        # other stream row, so the packed step needs no other change. The
+        # maps are (Q_total, tb) — bound their footprint at ~512MB on top
+        # of the per-batch cap (overruns use the loop's fallback path).
         tbn = int(jax.device_get(jnp.max(streams_all["total"]))) + 1
         tb = max(1024, 1 << (int(tbn) - 1).bit_length())
+        tb = min(tb, max(1024, cfg.stream_map_blocks))
+        mem_cap = (512 << 20) // (12 * Q)
+        tb = min(tb, max(1024, 1 << (max(1, int(mem_cap)).bit_length() - 1)))
         streams_all = _attach_stream_map(
             streams_all, g=int(np.log2(G)),
             L=index.g_sorted_hash.shape[0], tb=tb,

@@ -285,22 +285,46 @@ ALL = {"gather": True, "sketch": True, "feas": True, "compact": True,
 log(f"shapes: Q={Q} N={N} WB={WB} WL={WL} CB={CB} C={C} "
     f"M={streams['starts'].shape[1]}")
 
+ONLY_MAP = os.environ.get("PROF_ONLY") == "map"
+
 results = {}
 _, real_body = _loop_pieces(index, streams, delta, k=K, chunk=CHUNK,
                             min_depth=min_depth, filter_type="default",
                             filter_expand=FX)
 results["real_body"] = timed("REAL body (_loop_pieces)", real_body)
-results["replica_all"] = timed("replica (all on)", make_body(dict(ALL)))
-for stage in ("gather", "sketch", "feas", "compact", "rescore", "merge",
-              "probs", "bookkeeping", "consume"):
-    off_t = dict(ALL)
-    off_t[stage] = False
-    results[f"no_{stage}"] = timed(f"  without {stage}", make_body(off_t))
-results["dense_index"] = timed(
-    "  dense window index", make_body({**ALL, "dense_index": True}))
+if not ONLY_MAP:
+    results["replica_all"] = timed("replica (all on)", make_body(dict(ALL)))
+    for stage in ("gather", "sketch", "feas", "compact", "rescore", "merge",
+                  "probs", "bookkeeping", "consume"):
+        off_t = dict(ALL)
+        off_t[stage] = False
+        results[f"no_{stage}"] = timed(f"  without {stage}", make_body(off_t))
+    results["dense_index"] = timed(
+        "  dense window index", make_body({**ALL, "dense_index": True}))
+
+# REAL body over precomputed stream maps (round-3 fast path): the
+# bookkeeping stage collapses to three (Q, WB) row gathers
+from clann_tpu.ops.global_query import _attach_stream_map
+
+_tbn = int(np.asarray(jnp.max(streams["total"]))) + 1
+_tb = max(1024, 1 << (_tbn - 1).bit_length())
+# cap like the production orchestrator: the full-stream extent is the
+# exhaustion bound (~n*L/G positions), not what the loop walks. run_iters
+# advances off by WB/2 per iteration, so ITERS*WB/2 + WB positions bound
+# the exercised prefix — stay mapped for the whole measurement.
+_tb = min(_tb, max(1024, 1 << ((ITERS + 4) * WB // 2 - 1).bit_length()))
+streams_m = _attach_stream_map(
+    streams, g=g_log, L=L, tb=_tb
+)
+_, map_body = _loop_pieces(index, streams_m, delta, k=K, chunk=CHUNK,
+                           min_depth=min_depth, filter_type="default",
+                           filter_expand=FX)
+results["stream_map"] = timed("REAL body + stream maps", map_body)
 try:
     import dataclasses as _dc
 
+    if ONLY_MAP:
+        raise RuntimeError("PROF_ONLY=map skips the kernel variants")
     idx_k = index.replace(
         config=_dc.replace(index.config, probe_filter_kernel=True)
     )
@@ -323,7 +347,8 @@ except Exception as e:
 
 deltas = {s: round(results["replica_all"] - results[f"no_{s}"], 2)
           for s in ("gather", "sketch", "feas", "compact", "rescore",
-                    "merge", "probs", "bookkeeping", "consume")}
+                    "merge", "probs", "bookkeeping", "consume")
+          if f"no_{s}" in results} if "replica_all" in results else {}
 summary = {"shapes": {"Q": Q, "N": N, "chunk": CHUNK, "fx": FX, "G": G,
                       "WB": WB, "WL": WL, "CB": CB, "C": C},
            "ms_per_iter": {k: round(v, 2) for k, v in results.items()

@@ -131,3 +131,30 @@ class TestEndToEndAB:
             np.asarray(s0.distance_computations),
             np.asarray(s1.distance_computations),
         )
+
+    def test_capped_map_fallback_bit_identical(self, ds):
+        """A map far shorter than the walk forces the lax.cond fallback
+        mid-search; results must still match the unmapped path exactly."""
+        from clann_tpu.ops.global_query import global_search
+
+        base = dict(
+            num_tables=10, num_clusters_factor=0.4, k=10, delta=0.975,
+            dataset_name=ds.name, lsh_engine="global", dense_layout=False,
+        )
+        idx_off = build_index(
+            ds.train, Config(**base, stream_map=False)
+        )
+        # stream_map_blocks floors at 1024 in the orchestrator; with
+        # chunk=512/fx=8/G=16 the window alone is 256 blocks, so deep
+        # delta=0.975 walks overrun 1024 and exercise the fallback branch
+        idx_capped = idx_off.replace(
+            config=Config(**base, stream_map_blocks=1)
+        )
+        d0, i0, s0 = global_search(idx_off, ds.test, k=10, delta=0.975)
+        d1, i1, s1 = global_search(idx_capped, ds.test, k=10, delta=0.975)
+        np.testing.assert_array_equal(i0, i1)
+        np.testing.assert_array_equal(d0, d1)
+        np.testing.assert_array_equal(
+            np.asarray(s0.distance_computations),
+            np.asarray(s1.distance_computations),
+        )
