@@ -229,26 +229,33 @@ def _loop_pieces(
             )
             return (j % L), blk, lane_valid
 
-        if "tmap" in streams:
-            # precomputed stream maps (ops/prefixmap.stream_block_map):
+        if "smap" in streams:
+            # precomputed stream map (ops/prefixmap.stream_block_map):
             # the position->(table, block, lane-mask) mapping for the
             # stream PREFIX the adaptive loop actually walks was built
             # once at prepare time, so the per-iteration bookkeeping
             # (measured 8.5 of 14.4 ms/iter, scripts/exp_probe_budget.py)
-            # collapses to three (Q, WB) row gathers + a bit expansion.
-            # The full stream extent (the walk run to exhaustion) is
-            # ~n*L/G blocks — far past where the failure-prob stop lands —
-            # so the maps cover config.stream_map_blocks positions and the
-            # rare iteration whose live cursors overrun them falls back to
-            # the in-loop derivation (same values, lax.cond-selected).
-            tb = streams["tmap"].shape[1]
+            # collapses to ONE contiguous per-row dynamic slice + a bit
+            # expansion (window positions are consecutive — a slice, not
+            # a gather; element-wise gathers of the same window measured
+            # ~1.2ms each). The full stream extent (the walk run to
+            # exhaustion) is ~n*L/G blocks — far past where the
+            # failure-prob stop lands — so the map covers
+            # config.stream_map_blocks positions and the rare iteration
+            # whose live cursors overrun them falls back to the in-loop
+            # derivation (same values, lax.cond-selected).
+            smap = streams["smap"]
+            tb = smap.shape[1]
 
             def window_mapped(off):
-                pos = off[:, None] + blk_iota[None, :]
-                posc = jnp.minimum(pos, tb - 1)
-                t_sel = jnp.take_along_axis(streams["tmap"], posc, axis=1)
-                blk = jnp.take_along_axis(streams["blkmap"], posc, axis=1)
-                lm = jnp.take_along_axis(streams["lmask"], posc, axis=1)
+                win = jax.vmap(
+                    lambda rows, o: jax.lax.dynamic_slice_in_dim(
+                        rows, o, WB, axis=0
+                    )
+                )(smap, jnp.clip(off, 0, tb - WB))  # (Q, WB, 3)
+                t_sel = win[..., 0]
+                blk = win[..., 1]
+                lm = jax.lax.bitcast_convert_type(win[..., 2], jnp.uint32)
                 lane_valid = (
                     (lm[:, :, None] >> lane_iota[None, None, :])
                     & jnp.uint32(1)
@@ -479,14 +486,14 @@ _prepare_streams_jit = functools.partial(
 
 @functools.partial(jax.jit, static_argnames=("g", "L", "tb"))
 def _attach_stream_map(streams: dict, *, g: int, L: int, tb: int) -> dict:
-    """streams + precomputed position maps (prefixmap.stream_block_map)."""
+    """streams + precomputed position map (prefixmap.stream_block_map)."""
     from clann_tpu.ops.prefixmap import stream_block_map
 
-    tmap, blkmap, lmask = stream_block_map(
+    smap = stream_block_map(
         streams["fc"], streams["bstarts"], streams["starts"],
         streams["sizes"], g, L, tb,
     )
-    return {**streams, "tmap": tmap, "blkmap": blkmap, "lmask": lmask}
+    return {**streams, "smap": smap}
 
 
 @functools.partial(
@@ -556,6 +563,8 @@ def global_search_batch_mapped(
     tbn = int(jax.device_get(jnp.max(streams["total"]))) + 1
     tb = max(1024, 1 << (int(tbn) - 1).bit_length())
     tb = min(tb, max(1024, index.config.stream_map_blocks))
+    wb = max(1, (chunk * filter_expand) // G)
+    tb = max(tb, 1 << (wb - 1).bit_length())  # window slice must fit
     L = index.g_sorted_hash.shape[0]
     streams = _attach_stream_map(
         streams, g=int(np.log2(G)), L=L, tb=tb
@@ -825,6 +834,8 @@ def global_search_continuous(
         tb = min(tb, max(1024, cfg.stream_map_blocks))
         mem_cap = (512 << 20) // (12 * Q)
         tb = min(tb, max(1024, 1 << (max(1, int(mem_cap)).bit_length() - 1)))
+        wb = max(1, (cfg.candidate_chunk * cfg.filter_expand) // G)
+        tb = max(tb, 1 << (wb - 1).bit_length())  # window slice must fit
         streams_all = _attach_stream_map(
             streams_all, g=int(np.log2(G)),
             L=index.g_sorted_hash.shape[0], tb=tb,

@@ -316,10 +316,33 @@ _tb = min(_tb, max(1024, 1 << ((ITERS + 4) * WB // 2 - 1).bit_length()))
 streams_m = _attach_stream_map(
     streams, g=g_log, L=L, tb=_tb
 )
-_, map_body = _loop_pieces(index, streams_m, delta, k=K, chunk=CHUNK,
-                           min_depth=min_depth, filter_type="default",
-                           filter_expand=FX)
-results["stream_map"] = timed("REAL body + stream maps", map_body)
+
+
+def _timed_map():
+    # the ~25MB maps must be jit ARGUMENTS: closed-over arrays are
+    # embedded as HLO constants and the relay's remote_compile rejects
+    # the oversized payload (HTTP 413, measured)
+    def f_impl(s):
+        _, body = _loop_pieces(index, s, delta, k=K, chunk=CHUNK,
+                               min_depth=min_depth, filter_type="default",
+                               filter_expand=FX)
+        return jax.tree_util.tree_reduce(
+            lambda a, b: a + jnp.sum(b.astype(jnp.float32)),
+            run_iters(body, ITERS), jnp.float32(0))
+
+    f = jax.jit(f_impl)
+    float(f(streams_m))
+    best = np.inf
+    for _ in range(REPS):
+        t0 = time.time()
+        float(f(streams_m))
+        best = min(best, time.time() - t0)
+    per_iter = best * 1000 / ITERS
+    log(f"{'REAL body + stream maps':30s} {per_iter:7.2f} ms/iter")
+    return per_iter
+
+
+results["stream_map"] = _timed_map()
 try:
     import dataclasses as _dc
 

@@ -58,12 +58,11 @@ class TestStreamBlockMap:
         total = np.asarray(streams["total"])
         tb = int(total.max()) + WB + 1  # no clipping anywhere in the test
 
-        tmap, blkmap, lmask = jax.jit(
+        smap = np.asarray(jax.jit(
             lambda fc, b, st, sz: stream_block_map(fc, b, st, sz, g, L, tb)
-        )(fc, bstarts, starts_s, sizes_s)
-        tmap, blkmap, lmask = (
-            np.asarray(tmap), np.asarray(blkmap), np.asarray(lmask),
-        )
+        )(fc, bstarts, starts_s, sizes_s))
+        tmap, blkmap = smap[..., 0], smap[..., 1]
+        lmask = smap[..., 2].view(np.uint32)
 
         lane = np.arange(G, dtype=np.uint32)
         for off0 in (0, 1, 3, 7, int(total.min()), int(total.max())):
@@ -92,11 +91,11 @@ class TestStreamBlockMap:
         L = index.g_sorted_hash.shape[0]
         total = np.asarray(streams["total"])
         tb = int(total.max()) + 64
-        _, _, lmask = stream_block_map(
+        smap = np.asarray(stream_block_map(
             streams["fc"], streams["bstarts"], streams["starts"],
             streams["sizes"], g, L, tb,
-        )
-        lmask = np.asarray(lmask)
+        ))
+        lmask = smap[..., 2].view(np.uint32)
         pos = np.arange(tb)[None, :]
         assert (lmask[pos >= total[:, None]] == 0).all()
 
