@@ -268,6 +268,16 @@ def _loop_pieces(
             )
         else:
             t_sel, blk, lane_valid = window_fallback(off)
+        # route dead blocks' gathers to one cached row: the batch loop
+        # runs to its SLOWEST query, so late iterations gather mostly for
+        # already-done queries (and fully-masked edge blocks) — random
+        # gathers at the ~45ns/lane issue rate are the 1.18M-scale body's
+        # dominant cost, while a repeated single-row gather is ~free. The
+        # fetched values are garbage only where `valid` already masks
+        # every consumer (passes/take/dc), so results are bit-identical.
+        block_live = jnp.any(lane_valid, axis=2) & ~qdone[:, None]
+        blk = jnp.where(block_live, blk, 0)
+        t_sel = jnp.where(block_live, t_sel, 0)
         valid = (lane_valid & ~qdone[:, None, None]).reshape(Q, WL)
         # ONE gather per block fetches G packed records
         rec = rec_view[t_sel, jnp.clip(blk, 0, nb - 1)]  # (Q, WB, G*R)
