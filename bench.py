@@ -418,8 +418,10 @@ def main():
         # single-shot timing under relay jitter): 512 queries, batch 256,
         # chunk=2048/fx=8, median of BENCH_LSH_REPS timed runs after one
         # warm-up. The same helper is used by scripts/sweep_lsh09.py and
-        # scripts/sweep_global_knobs.py.
-        lsh_reps = int(os.environ.get("BENCH_LSH_REPS", 3))
+        # scripts/sweep_global_knobs.py. Default raised 3 -> 7 for round 4
+        # (VERDICT r3 #6): round-3 same-knob artifacts still spanned the
+        # claimed ~1.4x relay jitter with a median of 3.
+        lsh_reps = int(os.environ.get("BENCH_LSH_REPS", 7))
 
         def timed_lsh(delta):
             global_search(index, test[:256], k=K, delta=delta,

@@ -199,6 +199,14 @@ class Config:
     # = ~200MB of maps at the production batch (Q=256, G=16) and covers
     # ~1M candidate slots per query.
     stream_map_blocks: int = 65536
+    # Route dead blocks' gathers (done queries' lanes and fully-masked
+    # edge blocks) to table-0/block-0, which stays cache-resident: the
+    # batch loop runs to its slowest query, so late iterations gather
+    # mostly for dead lanes, and random gathers at ~45ns/lane dominate
+    # the 1.18M-scale body. Bit-identical — `valid` masks every consumer
+    # of routed record data (pinned by tests/test_stream_map.py's
+    # routing A/B). Off only for A/B measurement.
+    dead_block_routing: bool = True
     # Window range-index computation: False = scatter+cumsum
     # (O(M + W) work but rides XLA's serialized scatter lowering), True =
     # dense compare-and-sum (O(W*M) compares that fuse into one reduction

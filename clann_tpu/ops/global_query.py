@@ -275,9 +275,10 @@ def _loop_pieces(
         # dominant cost, while a repeated single-row gather is ~free. The
         # fetched values are garbage only where `valid` already masks
         # every consumer (passes/take/dc), so results are bit-identical.
-        block_live = jnp.any(lane_valid, axis=2) & ~qdone[:, None]
-        blk = jnp.where(block_live, blk, 0)
-        t_sel = jnp.where(block_live, t_sel, 0)
+        if index.config.dead_block_routing:
+            block_live = jnp.any(lane_valid, axis=2) & ~qdone[:, None]
+            blk = jnp.where(block_live, blk, 0)
+            t_sel = jnp.where(block_live, t_sel, 0)
         valid = (lane_valid & ~qdone[:, None, None]).reshape(Q, WL)
         # ONE gather per block fetches G packed records
         rec = rec_view[t_sel, jnp.clip(blk, 0, nb - 1)]  # (Q, WB, G*R)
@@ -448,6 +449,23 @@ def _finalize(index, streams, state, *, k):
     return topk_sims, topk_ids, SearchStats(dc, cand_ct, visited)
 
 
+def _run_loop(
+    index, streams, delta, *, k, chunk, min_depth, filter_type,
+    filter_expand,
+):
+    """while_loop + finalize over prepared (and possibly mapped) streams."""
+    Q = streams["qn"].shape[0]
+    kk = k if index.vectors_q8 is None else 2 * k
+    cond, body = _loop_pieces(
+        index, streams, delta, k=k, chunk=chunk, min_depth=min_depth,
+        filter_type=filter_type, filter_expand=filter_expand,
+    )
+    state = jax.lax.while_loop(
+        cond, body, _init_state(Q, kk, streams["total"])
+    )
+    return _finalize(index, streams, state, k=k)
+
+
 def global_search_batch_impl(
     index,
     queries_n: jnp.ndarray,
@@ -466,19 +484,13 @@ def global_search_batch_impl(
     Same contract as ops/query.search_batch_impl; requires the index to be
     built with global LSH structures (config.lsh_engine == "global").
     """
-    Q = queries_n.shape[0]
-    kk = k if index.vectors_q8 is None else 2 * k
     streams = _prepare_streams(
         index, queries_n, query_hashes, query_sketches, min_depth=min_depth
     )
-    cond, body = _loop_pieces(
+    return _run_loop(
         index, streams, delta, k=k, chunk=chunk, min_depth=min_depth,
         filter_type=filter_type, filter_expand=filter_expand,
     )
-    state = jax.lax.while_loop(
-        cond, body, _init_state(Q, kk, streams["total"])
-    )
-    return _finalize(index, streams, state, k=k)
 
 
 global_search_batch_jit = functools.partial(
@@ -506,27 +518,32 @@ def _attach_stream_map(streams: dict, *, g: int, L: int, tb: int) -> dict:
     return {**streams, "smap": smap}
 
 
-@functools.partial(
+_run_loop_jit = functools.partial(
     jax.jit,
     static_argnames=(
         "k", "chunk", "min_depth", "filter_type", "filter_expand",
     ),
-)
-def _run_loop_jit(
-    index, streams, delta, *, k, chunk, min_depth, filter_type,
-    filter_expand,
-):
-    """while_loop + finalize over prepared (and possibly mapped) streams."""
-    Q = streams["qn"].shape[0]
-    kk = k if index.vectors_q8 is None else 2 * k
-    cond, body = _loop_pieces(
-        index, streams, delta, k=k, chunk=chunk, min_depth=min_depth,
-        filter_type=filter_type, filter_expand=filter_expand,
-    )
-    state = jax.lax.while_loop(
-        cond, body, _init_state(Q, kk, streams["total"])
-    )
-    return _finalize(index, streams, state, k=k)
+)(_run_loop)
+
+
+def _map_tb(total_max: int, cap: int, wb: int, q: int) -> int:
+    """Position count (map depth) for a batch's stream maps.
+
+    One sizing rule for every stream_block_map call site: pow2-rounded
+    past the batch's deepest stream so batches of similar depth share a
+    compiled program; capped by `cap` (config.stream_map_blocks for the
+    production paths) AND a ~512MB total map footprint (12 bytes per
+    (query, position)); floored only by the window slice width `wb`,
+    which must fit inside the map. Iterations whose live cursors overrun
+    the map use the loop's in-place fallback derivation, so every cap
+    here is a performance choice, not a correctness one.
+    """
+    tb = max(1024, 1 << int(max(0, total_max)).bit_length())
+    tb = min(tb, max(1024, cap))
+    mem_cap = (512 << 20) // (12 * max(1, q))
+    tb = min(tb, 1 << max(0, int(mem_cap).bit_length() - 1))
+    tb = max(tb, 1 << max(0, wb - 1).bit_length())
+    return tb
 
 
 def global_search_batch_mapped(
@@ -567,14 +584,13 @@ def global_search_batch_mapped(
     # tb ideally exceeds every query's total block count (positions
     # clipped to tb-1 must carry a zero mask), but the FULL stream extent
     # is ~n*L/G blocks — the exhaustion bound, not the failure-prob stop —
-    # so it is capped at config.stream_map_blocks; beyond-map iterations
-    # use the loop's fallback derivation. Round up to a power of two so
-    # batches of similar depth share one compiled program.
-    tbn = int(jax.device_get(jnp.max(streams["total"]))) + 1
-    tb = max(1024, 1 << (int(tbn) - 1).bit_length())
-    tb = min(tb, max(1024, index.config.stream_map_blocks))
+    # so it is capped (stream_map_blocks + footprint; see _map_tb) and
+    # beyond-map iterations use the loop's fallback derivation.
+    total_max = int(jax.device_get(jnp.max(streams["total"])))
     wb = max(1, (chunk * filter_expand) // G)
-    tb = max(tb, 1 << (wb - 1).bit_length())  # window slice must fit
+    tb = _map_tb(
+        total_max, index.config.stream_map_blocks, wb, queries_n.shape[0]
+    )
     L = index.g_sorted_hash.shape[0]
     streams = _attach_stream_map(
         streams, g=int(np.log2(G)), L=L, tb=tb
@@ -837,15 +853,11 @@ def global_search_continuous(
     if cfg.stream_map and G <= 32:
         # one tb for the whole set; lane gathers pick up map rows like any
         # other stream row, so the packed step needs no other change. The
-        # maps are (Q_total, tb) — bound their footprint at ~512MB on top
-        # of the per-batch cap (overruns use the loop's fallback path).
-        tbn = int(jax.device_get(jnp.max(streams_all["total"]))) + 1
-        tb = max(1024, 1 << (int(tbn) - 1).bit_length())
-        tb = min(tb, max(1024, cfg.stream_map_blocks))
-        mem_cap = (512 << 20) // (12 * Q)
-        tb = min(tb, max(1024, 1 << (max(1, int(mem_cap)).bit_length() - 1)))
+        # maps are (Q_total, tb) — _map_tb bounds their footprint at
+        # ~512MB on top of the per-batch cap (overruns fall back).
+        total_max = int(jax.device_get(jnp.max(streams_all["total"])))
         wb = max(1, (cfg.candidate_chunk * cfg.filter_expand) // G)
-        tb = max(tb, 1 << (wb - 1).bit_length())  # window slice must fit
+        tb = _map_tb(total_max, cfg.stream_map_blocks, wb, Q)
         streams_all = _attach_stream_map(
             streams_all, g=int(np.log2(G)),
             L=index.g_sorted_hash.shape[0], tb=tb,

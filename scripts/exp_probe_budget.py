@@ -304,15 +304,14 @@ if not ONLY_MAP:
 
 # REAL body over precomputed stream maps (round-3 fast path): the
 # bookkeeping stage collapses to three (Q, WB) row gathers
-from clann_tpu.ops.global_query import _attach_stream_map
+from clann_tpu.ops.global_query import _attach_stream_map, _map_tb
 
-_tbn = int(np.asarray(jnp.max(streams["total"]))) + 1
-_tb = max(1024, 1 << (_tbn - 1).bit_length())
-# cap like the production orchestrator: the full-stream extent is the
-# exhaustion bound (~n*L/G positions), not what the loop walks. run_iters
-# advances off by WB/2 per iteration, so ITERS*WB/2 + WB positions bound
-# the exercised prefix — stay mapped for the whole measurement.
-_tb = min(_tb, max(1024, 1 << ((ITERS + 4) * WB // 2 - 1).bit_length()))
+# cap like the production orchestrator (_map_tb), but at the exercised
+# prefix rather than stream_map_blocks: run_iters advances off by WB/2
+# per iteration, so ITERS*WB/2 + WB positions bound what the measurement
+# walks — stay mapped for the whole measurement.
+_total_max = int(np.asarray(jnp.max(streams["total"])))
+_tb = _map_tb(_total_max, (ITERS + 4) * WB // 2, WB, Q)
 streams_m = _attach_stream_map(
     streams, g=g_log, L=L, tb=_tb
 )

@@ -36,7 +36,7 @@ CHUNKS = tuple(
     int(c) for c in os.environ.get("SWEEP_CHUNKS", "512,1024,2048,4096").split(",")
 )
 FXS = tuple(int(f) for f in os.environ.get("SWEEP_FXS", "4,8").split(","))
-REPS = int(os.environ.get("BENCH_LSH_REPS", 3))
+REPS = int(os.environ.get("BENCH_LSH_REPS", 7))
 DELTAS = tuple(
     float(d) for d in os.environ.get("SWEEP_DELTAS", "0.9,0.95").split(",")
 )

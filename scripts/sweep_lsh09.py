@@ -85,7 +85,7 @@ def main():
 
     rows = []
     best = None
-    reps = int(os.environ.get("BENCH_LSH_REPS", 3))
+    reps = int(os.environ.get("BENCH_LSH_REPS", 7))
     for delta in (0.9, 0.95, 0.975, 0.99):
         global_search(index, test[:256], k=K, delta=delta,
                       batch_size=256)  # warm/compile

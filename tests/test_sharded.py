@@ -54,6 +54,28 @@ class TestPartition:
         got = sorted(int(c) for g in groups for c in g)
         assert got == list(range(13))
 
+    def test_lpt_spread_invariant_random(self):
+        """The greedy packer's exact guarantee (assert_balanced doc):
+        max_load - min_load <= max cluster size, for any input."""
+        rng = np.random.default_rng(7)
+        for m in (2, 4, 8, 16):
+            for _ in range(20):
+                sizes = rng.integers(1, 500, size=rng.integers(1, 60))
+                groups = partition_clusters(sizes, m)
+                loads = np.array(
+                    [int(sizes[g].sum()) if len(g) else 0 for g in groups]
+                )
+                assert loads.max() - loads.min() <= sizes.max()
+
+    def test_assert_balanced_on_real_shard(self, setup):
+        from clann_tpu.parallel.sharded import assert_balanced
+
+        _, _, index, _ = setup
+        sharded = shard_index(index, 4)
+        sizes = np.diff(np.asarray(index.cluster_starts))
+        bound = assert_balanced(sharded, sizes)
+        assert bound == int(sizes.max())
+
 
 class TestShardedSearch:
     def test_shard_structure(self, setup):

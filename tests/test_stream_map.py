@@ -133,8 +133,20 @@ class TestEndToEndAB:
 
     def test_capped_map_fallback_bit_identical(self, ds):
         """A map far shorter than the walk forces the lax.cond fallback
-        mid-search; results must still match the unmapped path exactly."""
-        from clann_tpu.ops.global_query import global_search
+        mid-search; results must still match the unmapped path exactly.
+
+        Also PROVES the fallback branch ran: the loop's final cursors are
+        inspected directly, and a cursor that ended past the map depth
+        must have crossed the `live_max + WB > tb` predicate while live
+        (off advances by at most WB per iteration and freezes at done)."""
+        from clann_tpu.ops.global_query import (
+            _attach_stream_map,
+            _init_state,
+            _loop_pieces,
+            _map_tb,
+            _prepare_streams,
+            global_search,
+        )
 
         base = dict(
             num_tables=10, num_clusters_factor=0.4, k=10, delta=0.975,
@@ -151,6 +163,71 @@ class TestEndToEndAB:
         )
         d0, i0, s0 = global_search(idx_off, ds.test, k=10, delta=0.975)
         d1, i1, s1 = global_search(idx_capped, ds.test, k=10, delta=0.975)
+        np.testing.assert_array_equal(i0, i1)
+        np.testing.assert_array_equal(d0, d1)
+        np.testing.assert_array_equal(
+            np.asarray(s0.distance_computations),
+            np.asarray(s1.distance_computations),
+        )
+
+        # fallback-taken witness: replay the capped loop keeping the raw
+        # state, mirroring global_search_batch_mapped's map sizing
+        cfg = idx_capped.config
+        source, filterer = idx_capped.rebuild_objects()
+        qn = jnp.asarray(
+            ds.test / np.linalg.norm(ds.test, axis=1, keepdims=True),
+            jnp.float32,
+        )
+        streams = _prepare_streams(
+            idx_capped, qn, source.hash(qn), filterer.sketch(qn),
+            min_depth=cfg.min_depth,
+        )
+        G = cfg.gather_block
+        wb = max(1, (cfg.candidate_chunk * cfg.filter_expand) // G)
+        tb = _map_tb(
+            int(jnp.max(streams["total"])), cfg.stream_map_blocks, wb,
+            qn.shape[0],
+        )
+        streams = _attach_stream_map(
+            streams, g=int(np.log2(G)),
+            L=idx_capped.g_sorted_hash.shape[0], tb=tb,
+        )
+        cond, body = _loop_pieces(
+            idx_capped, streams, jnp.float32(0.975), k=10,
+            chunk=cfg.candidate_chunk, min_depth=cfg.min_depth,
+            filter_type="default", filter_expand=cfg.filter_expand,
+        )
+        state = jax.lax.while_loop(
+            cond, body,
+            _init_state(qn.shape[0], 10, streams["total"]),
+        )
+        final_off = np.asarray(state[3])
+        assert final_off.max() > tb, (
+            f"no cursor overran the {tb}-position map "
+            f"(max off {final_off.max()}); the test no longer exercises "
+            "the lax.cond fallback — deepen delta or shrink the cap"
+        )
+
+    def test_dead_block_routing_bit_identical(self, ds):
+        """Routing dead blocks' gathers to table-0/block-0 must be
+        invisible: `valid` masks every consumer of gathered record data.
+        A future consumer of unmasked records would break this equality
+        (the routed lanes then read block 0's records, not their own),
+        which is exactly the invariant ADVICE r3 asked to pin directly —
+        both arms of the other A/B tests include the routing."""
+        from clann_tpu.ops.global_query import global_search
+
+        base = dict(
+            num_tables=10, num_clusters_factor=0.4, k=10, delta=0.9,
+            dataset_name=ds.name, lsh_engine="global", dense_layout=False,
+        )
+        idx_on = build_index(ds.train, Config(**base))
+        assert idx_on.config.dead_block_routing
+        idx_off = idx_on.replace(
+            config=Config(**base, dead_block_routing=False)
+        )
+        d0, i0, s0 = global_search(idx_off, ds.test, k=10, delta=0.9)
+        d1, i1, s1 = global_search(idx_on, ds.test, k=10, delta=0.9)
         np.testing.assert_array_equal(i0, i1)
         np.testing.assert_array_equal(d0, d1)
         np.testing.assert_array_equal(
