@@ -394,9 +394,45 @@ def main():
         from clann_tpu.ops.prefixmap import build_prefix_directory
 
         log("attaching global LSH structures for the secondary metric...")
-        hashes_T = unsort_hashes(index.sorted_hash, index.sorted_idx)
+        # the (L, delta) sweep (scripts/sweep_lsh09.py, VERDICT r3 #2) may
+        # have chosen a table count other than the build's NUM_TABLES;
+        # honor it by re-hashing at that L (same PRNG key -> the sweep's
+        # exact tables), mirroring the reference's rebuild(num_tables)
+        lsh_tables = NUM_TABLES
+        lsh_params = index.hash_params
+        lsh_gblock = cfg.gather_block
+        try:
+            with open(os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "LSH_AT_09.json"
+            )) as f:
+                _chosen = json.load(f).get("chosen") or {}
+            lsh_tables = int(_chosen.get("num_tables", NUM_TABLES))
+            lsh_gblock = int(_chosen.get("gather_block", cfg.gather_block))
+        except (OSError, KeyError, ValueError, TypeError):
+            pass
+        if lsh_tables != NUM_TABLES:
+            from clann_tpu.core.index import _hash_in_blocks
+            from clann_tpu.ops.hashing import make_hash_family
+            from clann_tpu.ops.sources import make_hash_source
+
+            log(f"re-hashing at swept num_tables={lsh_tables}...")
+            family = make_hash_family(
+                cfg.hash_family, int(index.vectors.shape[1]),
+                num_rotations=cfg.num_rotations,
+                estimation_repetitions=cfg.estimation_repetitions,
+                estimation_eps=cfg.estimation_eps,
+            )
+            k_hash, _ = jax.random.split(jax.random.PRNGKey(cfg.seed))
+            src = make_hash_source(
+                cfg.hash_source, family, lsh_tables, cfg.max_hashbits,
+                pool_size=cfg.pool_size,
+            ).init(k_hash)
+            hashes_T = _hash_in_blocks(src.hash, index.vectors, 8192).T
+            lsh_params = src.params
+        else:
+            hashes_T = unsort_hashes(index.sorted_hash, index.sorted_idx)
         gh, gr = make_global_tables(hashes_T, index.sketches, index.assignment,
-                                    pad_to=cfg.gather_block)
+                                    pad_to=lsh_gblock)
         n_pts = index.vectors.shape[0]
         gd = build_prefix_directory(
             gh, jnp.asarray(np.asarray([0, n_pts], np.int32)),
@@ -408,10 +444,12 @@ def main():
         # knob surface measured in GLOBAL_KNOBS{,_FX}.json: fx=8 is the
         # peak (1.24-1.65x over fx=4 depending on delta), fx=12/16 and
         # chunk=4096 regress; dc/q moves ~1%
-        lsh_cfg = cfg.replace(candidate_chunk=2048, filter_expand=8)
+        lsh_cfg = cfg.replace(candidate_chunk=2048, filter_expand=8,
+                              num_tables=lsh_tables,
+                              gather_block=lsh_gblock)
         index = index.replace(
             g_sorted_hash=gh, g_records=gr, g_dir=gd, g_dir_iters=gdi,
-            config=lsh_cfg,
+            config=lsh_cfg, hash_params=lsh_params,
         )
         # ONE protocol for every LSH artifact (VERDICT r2 #5 —
         # GLOBAL_KNOBS vs LSH_AT_09 differed 1.4x at delta=0.9 from
@@ -456,8 +494,11 @@ def main():
                 os.path.dirname(os.path.abspath(__file__)), "LSH_AT_09.json"
             )) as f:
                 chosen = json.load(f).get("chosen")
-            if chosen and chosen["delta"] in deltas:
-                deltas.remove(chosen["delta"])
+            if chosen:
+                if chosen["delta"] in deltas:
+                    deltas.remove(chosen["delta"])
+                # the (L, delta) surface can pick deltas below 0.95
+                # (e.g. 0.9 at L=84); always try the sweep winner first
                 deltas.insert(0, chosen["delta"])
         except (OSError, KeyError, ValueError, TypeError):
             pass
