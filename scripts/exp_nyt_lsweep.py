@@ -30,7 +30,7 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 N, D, NQ, K, DELTA = 290_000, 256, 10_000, 100, 0.99
 LS = tuple(int(x) for x in os.environ.get("NYT_LS", "50,84,128,200").split(","))
 LSH_Q = int(os.environ.get("NYT_LSH_Q", 512))
-REPS = int(os.environ.get("BENCH_LSH_REPS", 3))
+REPS = int(os.environ.get("BENCH_LSH_REPS", 5))
 
 
 def log(m):

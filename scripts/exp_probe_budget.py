@@ -59,18 +59,19 @@ Q = 256
 CHUNK = int(os.environ.get("PROF_CHUNK", 1024))
 FX = int(os.environ.get("PROF_FX", 8))
 G = int(os.environ.get("PROF_G", 16))
+L = int(os.environ.get("PROF_L", 50))
 ITERS = int(os.environ.get("PROF_ITERS", 20))
 REPS = int(os.environ.get("PROF_REPS", 8))
 
 cache = os.path.expanduser("~/.cache/clann_tpu/tune_200k_flat.npz")
-if not os.path.exists(cache):
+if N > 200_000 or not os.path.exists(cache):
     cache = os.path.expanduser(
         "~/.cache/clann_tpu/bench_1183514x100_q10000.npz"
     )
 z = np.load(cache)
 train, test = z["train"][:N], z["test"][:Q]
 
-cfg = Config(num_tables=50, num_clusters_factor=0.4, k=10, delta=0.9,
+cfg = Config(num_tables=L, num_clusters_factor=0.4, k=10, delta=0.9,
              candidate_chunk=CHUNK, filter_expand=FX, gather_block=G,
              lsh_engine="global", seed=0, dense_layout=False)
 t0 = time.time()
