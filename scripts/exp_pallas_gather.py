@@ -6,28 +6,29 @@ whether Mosaic can issue gathers at the ~40-50ns/lane rate XLA's gather
 achieves (the global LSH engine's two gathers sit at that floor and are
 >50% of its per-iteration budget; the rest is XLA glue worth ~1.5-1.9x).
 
-Round-4 rewrite: the first attempt's per-row DMAs did not COMPILE —
-Mosaic tiles i32 HBM memrefs as (8, 128) and rejects slices that are not
-tile-aligned ("Slice shape along dimension 0 must be aligned to tiling
-(8), but is 1"; dim 1 must be a multiple of 128). So the DMA designs here
-are the tile-legal ones a production kernel could actually use:
+Round-4 rewrite, round 2 of kernel-shape fixes. Mosaic/Pallas constraints
+hit so far (each recorded because the next kernel author will hit them):
+  - i32 HBM memrefs are (8, 128)-tiled; async-copy slices must be
+    tile-aligned: a (1, W) row slice of a (T, 256) table is rejected on
+    dim 0 (not 8-aligned), W=64 rejected on dim 1 (not 128-divisible).
+  - SMEM BlockSpecs are shape-checked like any other: a (1, CHUNK) block
+    of a 2-D index array is rejected; index blocks must be 1-D.
+  - Single-dispatch timing on the relay hides everything under the
+    ~20-25ms dispatch floor; every variant here runs ITERS times inside
+    one jit (lax.fori_loop, iteration-rotated indices).
 
-  A. XLA one-axis take at block widths G in {16, 32, 64} — the baseline
-     (full curve in GATHER_RATE.json: 22.1 / 17.9 / 23.6 ns/row; the
-     floor is ISSUE RATE, not bandwidth — 28 GB/s << HBM).
+Tile-legal DMA designs measured (vs the XLA take baseline, re-measured
+in the same amortized harness):
   B. "page4k": records padded to one full (8, 128) i32 tile per row
-     (4 KB); per-row DMA table.at[idx] is tile-aligned. Measures the
-     pure DMA issue rate at 8x memory inflation.
+     (4 KB); per-row DMA table.at[idx] is tile-aligned. Pure DMA issue
+     rate at 8x memory inflation.
   C. "group8": the PRODUCTION (T, 128) u32 table (G=32 blocks); each DMA
-     fetches the aligned 8-row group containing the target row
-     (table.at[ds(8*(idx//8), 8), :]) — tile-aligned, no memory
-     inflation, 8x byte overfetch. If DMA count is the bottleneck this
-     is the engine-usable shape.
+     fetches the aligned 8-row group containing the target row — no
+     memory inflation, 8x byte overfetch.
   D. "flat1d": 1-D (T*128,) u32 view, 128-aligned 128-word slices — the
      exact production row, IF Mosaic accepts lane-aligned 1-D slices.
 
-Each variant sweeps NSEM copies in flight. Reference analog: the
-ring-buffered prefetch loop of collection.hpp:793-904.
+Reference analog: the ring-buffered prefetch loop of collection.hpp:793-904.
 
 Run: python -m scripts.exp_pallas_gather
 """
@@ -44,36 +45,25 @@ os.environ.setdefault(
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
-REPS = int(os.environ.get("REPS", 8))
+REPS = int(os.environ.get("REPS", 6))
+ITERS = int(os.environ.get("ITERS", 10))
 
 
 def log(m):
     print(f"[exp_pallas_gather] {m}", file=sys.stderr, flush=True)
 
 
-def median_time(fn, reps=REPS):
-    fn()
-    ts = []
-    for _ in range(reps):
-        t0 = time.time()
-        fn()
-        ts.append(time.time() - t0)
-    return float(np.median(ts))
-
-
-def make_page_dma(CHUNK, NSEM, interpret, *, page=(8, 128)):
-    """B: out[i] = table[idx[i]] where each row is one full (8,128) tile."""
+def make_page_dma(CHUNK, NSEM, interpret):
+    """B: out[i] = pages[idx[i]] where each row is one full (8,128) tile."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    P0, P1 = page
-
-    def kernel(idx_ref, table_ref, out_ref, sems):
+    def kernel(idx_ref, pages_ref, out_ref, sems):
         def copy(i):
             return pltpu.make_async_copy(
-                table_ref.at[idx_ref[0, i]],
+                pages_ref.at[idx_ref[i]],
                 out_ref.at[i],
                 sems.at[jax.lax.rem(i, NSEM)],
             )
@@ -92,28 +82,28 @@ def make_page_dma(CHUNK, NSEM, interpret, *, page=(8, 128)):
 
         jax.lax.fori_loop(0, CHUNK, body, 0)
 
-    def run(idx2d, table):
-        n_chunks = idx2d.shape[0]
+    def run(idx_flat, pages):
+        n_chunks = idx_flat.shape[0] // CHUNK
         return pl.pallas_call(
             kernel,
             grid=(n_chunks,),
             in_specs=[
                 pl.BlockSpec(
-                    (1, CHUNK), lambda i: (i, 0), memory_space=pltpu.SMEM
+                    (CHUNK,), lambda i: (i,), memory_space=pltpu.SMEM
                 ),
                 pl.BlockSpec(memory_space=pltpu.ANY),
             ],
             out_specs=pl.BlockSpec(
-                (CHUNK, P0, P1), lambda i: (i, 0, 0),
+                (CHUNK, 8, 128), lambda i: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             out_shape=jax.ShapeDtypeStruct(
-                (n_chunks * CHUNK, P0, P1), jnp.uint32
+                (n_chunks * CHUNK, 8, 128), jnp.uint32
             ),
             scratch_shapes=[pltpu.SemaphoreType.DMA((NSEM,))],
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
             interpret=interpret,
-        )(idx2d, table)
+        )(idx_flat, pages)
 
     return run
 
@@ -121,9 +111,9 @@ def make_page_dma(CHUNK, NSEM, interpret, *, page=(8, 128)):
 def make_group8_dma(W, CHUNK, NSEM, interpret):
     """C: per-DMA fetch of the aligned 8-row group holding row idx[i].
 
-    Source is the PRODUCTION (T, W) u32 table; the group slice
-    (8, W) is tile-aligned for any W % 128 == 0. idx values here are
-    PRE-DIVIDED group indices (idx//8 done outside)."""
+    Source is the PRODUCTION (T, W) u32 table; the group slice (8, W) is
+    tile-aligned for any W % 128 == 0. idx values are PRE-DIVIDED group
+    indices (idx//8 done outside)."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -132,7 +122,7 @@ def make_group8_dma(W, CHUNK, NSEM, interpret):
     def kernel(gidx_ref, table_ref, out_ref, sems):
         def copy(i):
             return pltpu.make_async_copy(
-                table_ref.at[pl.ds(gidx_ref[0, i] * 8, 8), :],
+                table_ref.at[pl.ds(gidx_ref[i] * 8, 8), :],
                 out_ref.at[pl.ds(i * 8, 8), :],
                 sems.at[jax.lax.rem(i, NSEM)],
             )
@@ -151,14 +141,14 @@ def make_group8_dma(W, CHUNK, NSEM, interpret):
 
         jax.lax.fori_loop(0, CHUNK, body, 0)
 
-    def run(gidx2d, table):
-        n_chunks = gidx2d.shape[0]
+    def run(gidx_flat, table):
+        n_chunks = gidx_flat.shape[0] // CHUNK
         return pl.pallas_call(
             kernel,
             grid=(n_chunks,),
             in_specs=[
                 pl.BlockSpec(
-                    (1, CHUNK), lambda i: (i, 0), memory_space=pltpu.SMEM
+                    (CHUNK,), lambda i: (i,), memory_space=pltpu.SMEM
                 ),
                 pl.BlockSpec(memory_space=pltpu.ANY),
             ],
@@ -171,7 +161,7 @@ def make_group8_dma(W, CHUNK, NSEM, interpret):
             scratch_shapes=[pltpu.SemaphoreType.DMA((NSEM,))],
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
             interpret=interpret,
-        )(gidx2d, table)
+        )(gidx_flat, table)
 
     return run
 
@@ -186,7 +176,7 @@ def make_flat1d_dma(W, CHUNK, NSEM, interpret):
     def kernel(idx_ref, flat_ref, out_ref, sems):
         def copy(i):
             return pltpu.make_async_copy(
-                flat_ref.at[pl.ds(idx_ref[0, i] * W, W)],
+                flat_ref.at[pl.ds(idx_ref[i] * W, W)],
                 out_ref.at[pl.ds(i * W, W)],
                 sems.at[jax.lax.rem(i, NSEM)],
             )
@@ -205,25 +195,27 @@ def make_flat1d_dma(W, CHUNK, NSEM, interpret):
 
         jax.lax.fori_loop(0, CHUNK, body, 0)
 
-    def run(idx2d, flat):
-        n_chunks = idx2d.shape[0]
+    def run(idx_flat, flat):
+        n_chunks = idx_flat.shape[0] // CHUNK
         return pl.pallas_call(
             kernel,
             grid=(n_chunks,),
             in_specs=[
                 pl.BlockSpec(
-                    (1, CHUNK), lambda i: (i, 0), memory_space=pltpu.SMEM
+                    (CHUNK,), lambda i: (i,), memory_space=pltpu.SMEM
                 ),
                 pl.BlockSpec(memory_space=pltpu.ANY),
             ],
             out_specs=pl.BlockSpec(
                 (CHUNK * W,), lambda i: (i,), memory_space=pltpu.VMEM
             ),
-            out_shape=jax.ShapeDtypeStruct((n_chunks * CHUNK * W,), jnp.uint32),
+            out_shape=jax.ShapeDtypeStruct(
+                (n_chunks * CHUNK * W,), jnp.uint32
+            ),
             scratch_shapes=[pltpu.SemaphoreType.DMA((NSEM,))],
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
             interpret=interpret,
-        )(idx2d, flat)
+        )(idx_flat, flat)
 
     return run
 
@@ -247,60 +239,79 @@ def main():
     n_slots, L, R, G = 1_183_520, 50, 4, 32
     nb = n_slots // G
     T, W = L * nb, G * R  # W = 128
-    NROWS = (512 * 1024 // 2) if not interp else 2048  # DMA rows per run
-    CHUNK = 512
+    NROWS = (128 * 1024) if not interp else 2048  # DMA rows per invocation
+    CHUNK = 1024
     rng = np.random.default_rng(0)
     results = {}
 
-    def bench_variant(tag, runj, args, rows, bytes_per_row, useful_bytes):
-        out = runj(*args)
-        el = median_time(
-            lambda: np.asarray(jax.tree_util.tree_leaves(runj(*args))[0])[:1]
-        )
-        ns = el * 1e9 / rows
-        results[tag] = dict(
-            rows=int(rows), row_bytes=int(bytes_per_row), ms=el * 1e3,
-            ns_per_row=ns,
-            gbps=rows * bytes_per_row / el / 1e9,
-            useful_gbps=rows * useful_bytes / el / 1e9,
-        )
-        log(f"{tag}: {el*1e3:7.1f}ms for {rows} rows = {ns:6.1f}ns/row "
-            f"({rows * bytes_per_row / el / 1e9:6.1f} GB/s moved, "
-            f"{rows * useful_bytes / el / 1e9:6.1f} GB/s useful)")
-        return out
+    def amortized(fn_one, *args):
+        """Best per-iteration seconds of ITERS invocations in one jit."""
 
-    # ---- A: XLA take on the production (T, 128) table ----
+        def run(*a):
+            def step(i, acc):
+                return acc + fn_one(i, *a)
+
+            return jax.lax.fori_loop(
+                0, ITERS, step, jnp.uint32(0)
+            )[None]
+
+        g = jax.jit(run)
+        float(np.asarray(g(*args))[0])  # compile + warm
+        best = np.inf
+        for _ in range(REPS):
+            t0 = time.time()
+            float(np.asarray(g(*args))[0])
+            best = min(best, time.time() - t0)
+        return best / ITERS
+
+    def record(tag, per_iter, rows, bytes_per_row, useful_bytes, extra=()):
+        ns = per_iter * 1e9 / rows
+        results[tag] = dict(
+            rows=int(rows), row_bytes=int(bytes_per_row),
+            ms_per_iter=per_iter * 1e3, ns_per_row=ns,
+            gbps=rows * bytes_per_row / per_iter / 1e9,
+            useful_gbps=rows * useful_bytes / per_iter / 1e9,
+            **dict(extra),
+        )
+        log(f"{tag}: {per_iter*1e3:7.2f}ms/iter for {rows} rows = "
+            f"{ns:6.1f}ns/row "
+            f"({rows * bytes_per_row / per_iter / 1e9:6.1f} GB/s moved, "
+            f"{rows * useful_bytes / per_iter / 1e9:6.1f} GB/s useful)")
+
+    # ---- A: XLA take on the production (T, 128) table (amortized) ----
     table = jnp.asarray(
         rng.integers(0, 2**32, size=(T, W), dtype=np.uint32)
     )
     idx = jnp.asarray(rng.integers(0, T, size=(NROWS,), dtype=np.int32))
-    take = jax.jit(lambda t, i: t[i])
-    el = median_time(lambda: np.asarray(take(table, idx)[:1, :1]))
-    ns = el * 1e9 / NROWS
-    results["xla_take_G32"] = dict(
-        rows=NROWS, row_bytes=W * 4, ms=el * 1e3, ns_per_row=ns,
-        gbps=NROWS * W * 4 / el / 1e9,
-    )
-    log(f"A: XLA take G=32 (512B rows): {el*1e3:7.1f}ms = {ns:6.1f}ns/row")
+
+    def xla_one(i, table, idx):
+        out = table[(idx + i) % T]
+        return jnp.sum(out, dtype=jnp.uint32)
+
+    record("xla_take_G32", amortized(xla_one, table, idx), NROWS, W * 4,
+           W * 4)
 
     # ---- B: page4k ----
-    idx2d = idx[: (NROWS // CHUNK) * CHUNK].reshape(-1, CHUNK)
-    n_pages = T // 8  # bound HBM: pages table replaces 8 rows per page
-    pidx2d = jnp.asarray(
-        rng.integers(0, n_pages, size=idx2d.shape, dtype=np.int32)
-    )
+    n_pages = T // 8  # bound HBM: page table replaces 8 rows per page
     pages = jnp.asarray(
         rng.integers(0, 2**32, size=(n_pages, 8, 128), dtype=np.uint32)
     )
+    pidx = jnp.asarray(
+        rng.integers(0, n_pages, size=(NROWS,), dtype=np.int32)
+    )
     for NSEM in (8, 16, 32):
         try:
-            runj = jax.jit(make_page_dma(CHUNK, NSEM, interp))
-            out = bench_variant(
-                f"page4k_s{NSEM}", runj, (pidx2d, pages), pidx2d.size,
-                4096, 4096,
-            )
-            ok = bool(jnp.array_equal(out[:CHUNK], pages[pidx2d[0]]))
-            results[f"page4k_s{NSEM}"]["correct"] = ok
+            run = make_page_dma(CHUNK, NSEM, interp)
+            out = jax.jit(run)(pidx, pages)
+            ok = bool(jnp.array_equal(out[:CHUNK], pages[pidx[:CHUNK]]))
+
+            def one(i, pidx, pages):
+                return jnp.sum(
+                    run((pidx + i) % n_pages, pages), dtype=jnp.uint32
+                )
+
+            record(f"page4k_s{NSEM}", amortized(one, pidx, pages), NROWS,
+                   4096, 4096, extra=[("correct", ok)])
             if not ok:
                 log(f"page4k_s{NSEM}: WRONG RESULTS")
         except Exception as e:  # noqa: BLE001 — record the failure mode
@@ -309,23 +320,26 @@ def main():
     del pages
 
     # ---- C: group8 on the production table ----
-    gidx2d = jnp.asarray(
-        rng.integers(0, T // 8, size=idx2d.shape, dtype=np.int32)
+    n_groups = T // 8
+    gidx = jnp.asarray(
+        rng.integers(0, n_groups, size=(NROWS,), dtype=np.int32)
     )
     for NSEM in (8, 16, 32):
         try:
-            runj = jax.jit(make_group8_dma(W, CHUNK, NSEM, interp))
-            out = bench_variant(
-                f"group8_s{NSEM}", runj, (gidx2d, table), gidx2d.size,
-                8 * W * 4, W * 4,  # 4KB moved, 512B useful
-            )
-            ok = bool(jnp.array_equal(
-                out[: 8 * CHUNK].reshape(CHUNK, 8, W),
-                table[(gidx2d[0][:, None] * 8
-                       + jnp.arange(8)[None, :]).reshape(-1)].reshape(
-                    CHUNK, 8, W),
-            ))
-            results[f"group8_s{NSEM}"]["correct"] = ok
+            run = make_group8_dma(W, CHUNK, NSEM, interp)
+            out = jax.jit(run)(gidx, table)
+            want = table[
+                (gidx[:CHUNK, None] * 8 + jnp.arange(8)[None, :]).reshape(-1)
+            ]
+            ok = bool(jnp.array_equal(out[: 8 * CHUNK], want))
+
+            def one(i, gidx, table):
+                return jnp.sum(
+                    run((gidx + i) % n_groups, table), dtype=jnp.uint32
+                )
+
+            record(f"group8_s{NSEM}", amortized(one, gidx, table), NROWS,
+                   8 * W * 4, W * 4, extra=[("correct", ok)])
             if not ok:
                 log(f"group8_s{NSEM}: WRONG RESULTS")
         except Exception as e:  # noqa: BLE001
@@ -336,15 +350,17 @@ def main():
     flat = table.reshape(-1)
     for NSEM in (8, 16, 32):
         try:
-            runj = jax.jit(make_flat1d_dma(W, CHUNK, NSEM, interp))
-            out = bench_variant(
-                f"flat1d_s{NSEM}", runj, (idx2d, flat), idx2d.size,
-                W * 4, W * 4,
-            )
+            run = make_flat1d_dma(W, CHUNK, NSEM, interp)
+            out = jax.jit(run)(idx, flat)
             ok = bool(jnp.array_equal(
-                out[: CHUNK * W].reshape(CHUNK, W), table[idx2d[0]]
+                out[: CHUNK * W].reshape(CHUNK, W), table[idx[:CHUNK]]
             ))
-            results[f"flat1d_s{NSEM}"]["correct"] = ok
+
+            def one(i, idx, flat):
+                return jnp.sum(run((idx + i) % T, flat), dtype=jnp.uint32)
+
+            record(f"flat1d_s{NSEM}", amortized(one, idx, flat), NROWS,
+                   W * 4, W * 4, extra=[("correct", ok)])
             if not ok:
                 log(f"flat1d_s{NSEM}: WRONG RESULTS")
         except Exception as e:  # noqa: BLE001
@@ -357,14 +373,13 @@ def main():
         json.dump(
             dict(
                 shapes=dict(n_slots=n_slots, L=L, R=R, G=G, T=T, W=W,
-                            rows=NROWS, chunk=CHUNK),
+                            rows=NROWS, chunk=CHUNK, iters=ITERS),
                 reps=REPS,
                 backend=jax.default_backend(),
                 results=results,
                 note=(
-                    "tile-legal DMA designs after Mosaic rejected per-row "
-                    "slices of (T,256)-i32 (8,128)-tiled memrefs; "
-                    "XLA-take baseline curve in GATHER_RATE.json"
+                    "tile-legal DMA designs; amortized (fori_loop) "
+                    "timings. XLA-take baseline curve in GATHER_RATE.json"
                 ),
             ),
             f,
