@@ -174,13 +174,10 @@ class Config:
     # ops/global_query.global_search_batch_impl; measure dc/QPS before
     # enabling (global buckets hold n/2^cap points).
     global_entry_cap: int = 0
-    # Fused probe-filter Pallas kernel for the global engine's window
-    # filter (ops/pallas/probe_filter.py): sketch hamming + ball
-    # feasibility + lane validity in ONE pass, with the per-cluster
-    # feasibility bits bit-packed per query instead of contracted through
-    # a (Q, WL, C) one-hot. Bit-identical results (tested); requires
-    # 64-bit sketches (sketch_bits=64). Off-TPU it runs interpreted.
-    probe_filter_kernel: bool = False
+    # (A probe_filter_kernel flag lived here through round 3: a fused
+    # Pallas window-filter kernel, bit-identical and default-off. Removed
+    # in round 4 with its measured negative result — see PERFORMANCE.md
+    # "Fused probe kernel: the measured dead end".)
     # Precompute the global engine's whole block-stream mapping
     # (position -> table/block/lane-mask) once per query batch instead of
     # re-deriving it per loop iteration (ops/prefixmap.stream_block_map).

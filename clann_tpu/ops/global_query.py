@@ -311,68 +311,41 @@ def _loop_pieces(
             )[:, :, None, :],
             (Q, WB, G, Wd),
         ).reshape(Q, WL, Wd)
-        if index.config.probe_filter_kernel and Wd == 2:
-            # fused single-pass filter (ops/pallas/probe_filter.py):
-            # sketch + ball feasibility + validity in one kernel, the
-            # ball bits bit-packed per query instead of one-hot-contracted
-            from clann_tpu.ops.pallas.probe_filter import (
-                pack_feasibility,
-                probe_filter,
-            )
+        # window filter: sketch hamming + per-candidate ball feasibility.
+        # (A fused Pallas probe-filter kernel for these stages was built,
+        # tested bit-identical, and REMOVED in round 4: the amortized
+        # budget showed the stages it fuses cost ~0.1-0.2ms of an 8-14ms
+        # body, and PALLAS_GATHER.json measured per-row DMA — the only
+        # fusion that could have reached the dominant gather cost — at
+        # 2.2x SLOWER than XLA's gather. Lesson in PERFORMANCE.md.)
+        ham = jnp.sum(
+            jax.lax.population_count(jnp.bitwise_xor(cand_sk, q_sk)),
+            axis=-1,
+        ).astype(jnp.int32)
 
-            okp = pack_feasibility(feas_bound <= kth_dist[:, None])
-            md = (
-                jnp.full_like(maxdiff, 2 * 32 * Wd)
-                if filter_type == "none"
-                else maxdiff
+        # ball feasibility per candidate (index.rs:342-361 per
+        # candidate). Gather-free: the exact (Q, C) feasibility
+        # booleans are contracted with a one-hot of the candidate's
+        # cluster on the MXU — a (Q, WL) f32 gather costs ~25ms per
+        # window at these shapes, the one-hot einsum ~4ms. Exact: 0/1
+        # are exactly representable in bf16 and each one-hot row has
+        # exactly one nonzero.
+        ok = (feas_bound <= kth_dist[:, None]).astype(jnp.bfloat16)
+        feas = (
+            jnp.einsum(
+                "qwc,qc->qw",
+                jax.nn.one_hot(
+                    cand_cluster, feas_bound.shape[1], dtype=jnp.bfloat16
+                ),
+                ok,
+                preferred_element_type=jnp.float32,
             )
-            q_t = 8
-            while Q % q_t:
-                q_t //= 2
-            passes = (
-                probe_filter(
-                    cand_sk[..., 0],
-                    cand_sk[..., 1],
-                    q_sk[..., 0],
-                    q_sk[..., 1],
-                    cand_cluster,
-                    valid.astype(jnp.uint8),
-                    okp,
-                    md[:, None],
-                    q_tile=q_t,
-                    interpret=jax.default_backend() != "tpu",
-                )
-                != 0
-            )
+            >= 0.5
+        )
+        if filter_type == "none":
+            passes = valid & feas
         else:
-            ham = jnp.sum(
-                jax.lax.population_count(jnp.bitwise_xor(cand_sk, q_sk)),
-                axis=-1,
-            ).astype(jnp.int32)
-
-            # ball feasibility per candidate (index.rs:342-361 per
-            # candidate). Gather-free: the exact (Q, C) feasibility
-            # booleans are contracted with a one-hot of the candidate's
-            # cluster on the MXU — a (Q, WL) f32 gather costs ~25ms per
-            # window at these shapes, the one-hot einsum ~4ms. Exact: 0/1
-            # are exactly representable in bf16 and each one-hot row has
-            # exactly one nonzero.
-            ok = (feas_bound <= kth_dist[:, None]).astype(jnp.bfloat16)
-            feas = (
-                jnp.einsum(
-                    "qwc,qc->qw",
-                    jax.nn.one_hot(
-                        cand_cluster, feas_bound.shape[1], dtype=jnp.bfloat16
-                    ),
-                    ok,
-                    preferred_element_type=jnp.float32,
-                )
-                >= 0.5
-            )
-            if filter_type == "none":
-                passes = valid & feas
-            else:
-                passes = valid & feas & (ham <= maxdiff[:, None])
+            passes = valid & feas & (ham <= maxdiff[:, None])
 
         # consume whole blocks until ~chunk passing candidates accumulate;
         # always at least one block so the cursor advances

@@ -343,28 +343,12 @@ def _timed_map():
 
 
 results["stream_map"] = _timed_map()
+# (round 4: the probe_filter_kernel variants were removed with the kernel
+# itself — the fused stages cost ~0.1-0.2ms of the body and the only
+# fusion that could matter, the gather, is DMA-measured slower in
+# PALLAS_GATHER.json.)
 try:
-    import dataclasses as _dc
-
-    if ONLY_MAP:
-        raise RuntimeError("PROF_ONLY=map skips the kernel variants")
-    idx_k = index.replace(
-        config=_dc.replace(index.config, probe_filter_kernel=True)
-    )
-    _, kbody = _loop_pieces(idx_k, streams, delta, k=K, chunk=CHUNK,
-                            min_depth=min_depth, filter_type="default",
-                            filter_expand=FX)
-    results["kernel_filter"] = timed("REAL body + probe_filter kernel",
-                                     kbody)
-    idx_kd = index.replace(
-        config=_dc.replace(index.config, probe_filter_kernel=True,
-                           window_index_dense=True)
-    )
-    _, kdbody = _loop_pieces(idx_kd, streams, delta, k=K, chunk=CHUNK,
-                             min_depth=min_depth, filter_type="default",
-                             filter_expand=FX)
-    results["kernel_filter_dense"] = timed(
-        "REAL body + kernel + dense idx", kdbody)
+    pass
 except Exception as e:
     log(f"kernel variant failed: {type(e).__name__}: {e}")
 
