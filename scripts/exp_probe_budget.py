@@ -108,7 +108,7 @@ blk_iota = jnp.arange(WB, dtype=jnp.int32)
 min_depth = cfg.min_depth
 
 
-def make_body(on):
+def make_body(on, index, streams):
     """Replica body; `on` toggles {gather, sketch, feas, compact, rescore,
     merge, probs, bookkeeping, consume, dense_index} — each off-path
     substitutes the cheapest shape-correct stand-in so the rest of the
@@ -117,6 +117,7 @@ def make_body(on):
     window-mapping cost); consume=False uses a constant consumed=WB/2;
     dense_index=True keeps bookkeeping but swaps the scatter-based
     window_range_index for the compare-and-sum variant."""
+    rec_view = index.g_records.reshape(L, nb, G * R)
     feas_bound = streams["feas_bound"]
     ball_floor = streams["ball_floor"]
     starts_s, sizes_s = streams["starts"], streams["sizes"]
@@ -252,28 +253,38 @@ def make_body(on):
     return body
 
 
-def run_iters(body, iters):
+def run_iters(body, iters, strm, st0):
     def step(_, s):
         topk_sims, topk_ids, qdone, off, dc, cand_ct = body(s)
         # force ITERS live iterations: cursor advances by a fixed stride,
         # qdone stays False, so every iteration pays full cost like the
         # pre-termination phase of a real search
-        off = jnp.clip(s[3] + WB // 2, 0, jnp.maximum(streams["total"] - WB, 0))
+        off = jnp.clip(s[3] + WB // 2, 0, jnp.maximum(strm["total"] - WB, 0))
         qdone = jnp.zeros_like(qdone)
         return (topk_sims, topk_ids, qdone, off, dc, cand_ct)
 
-    return jax.lax.fori_loop(0, iters, step, state0)
+    return jax.lax.fori_loop(0, iters, step, st0)
 
 
-def timed(name, body):
-    f = jax.jit(lambda: jax.tree_util.tree_reduce(
-        lambda a, b: a + jnp.sum(b.astype(jnp.float32)),
-        run_iters(body, ITERS), jnp.float32(0)))
-    float(f())  # compile
+def timed(name, body_maker, strm=None):
+    """body_maker(index, streams) -> body. index/streams/state0 are jit
+    ARGUMENTS, not closures: closed-over arrays are embedded as HLO
+    constants (2.9GB at 1.18M/L=128) and the relay's remote_compile
+    rejects or crawls on oversized payloads (round-3/4 lesson)."""
+    strm = streams if strm is None else strm
+
+    def f_impl(idx, s, st0):
+        body = body_maker(idx, s)
+        return jax.tree_util.tree_reduce(
+            lambda a, b: a + jnp.sum(b.astype(jnp.float32)),
+            run_iters(body, ITERS, s, st0), jnp.float32(0))
+
+    f = jax.jit(f_impl)
+    float(f(index, strm, state0))  # compile
     best = np.inf
     for _ in range(REPS):
         t0 = time.time()
-        float(f())
+        float(f(index, strm, state0))
         best = min(best, time.time() - t0)
     per_iter = best * 1000 / ITERS
     log(f"{name:30s} {per_iter:7.2f} ms/iter")
@@ -289,19 +300,25 @@ log(f"shapes: Q={Q} N={N} WB={WB} WL={WL} CB={CB} C={C} "
 ONLY_MAP = os.environ.get("PROF_ONLY") == "map"
 
 results = {}
-_, real_body = _loop_pieces(index, streams, delta, k=K, chunk=CHUNK,
-                            min_depth=min_depth, filter_type="default",
-                            filter_expand=FX)
-results["real_body"] = timed("REAL body (_loop_pieces)", real_body)
+def _real_maker(idx, s):
+    return _loop_pieces(idx, s, delta, k=K, chunk=CHUNK,
+                        min_depth=min_depth, filter_type="default",
+                        filter_expand=FX)[1]
+
+
+results["real_body"] = timed("REAL body (_loop_pieces)", _real_maker)
 if not ONLY_MAP:
-    results["replica_all"] = timed("replica (all on)", make_body(dict(ALL)))
+    results["replica_all"] = timed(
+        "replica (all on)", functools.partial(make_body, dict(ALL)))
     for stage in ("gather", "sketch", "feas", "compact", "rescore", "merge",
                   "probs", "bookkeeping", "consume"):
         off_t = dict(ALL)
         off_t[stage] = False
-        results[f"no_{stage}"] = timed(f"  without {stage}", make_body(off_t))
+        results[f"no_{stage}"] = timed(
+            f"  without {stage}", functools.partial(make_body, off_t))
     results["dense_index"] = timed(
-        "  dense window index", make_body({**ALL, "dense_index": True}))
+        "  dense window index",
+        functools.partial(make_body, {**ALL, "dense_index": True}))
 
 # REAL body over precomputed stream maps (round-3 fast path): the
 # bookkeeping stage collapses to three (Q, WB) row gathers
@@ -318,31 +335,8 @@ streams_m = _attach_stream_map(
 )
 
 
-def _timed_map():
-    # the ~25MB maps must be jit ARGUMENTS: closed-over arrays are
-    # embedded as HLO constants and the relay's remote_compile rejects
-    # the oversized payload (HTTP 413, measured)
-    def f_impl(s):
-        _, body = _loop_pieces(index, s, delta, k=K, chunk=CHUNK,
-                               min_depth=min_depth, filter_type="default",
-                               filter_expand=FX)
-        return jax.tree_util.tree_reduce(
-            lambda a, b: a + jnp.sum(b.astype(jnp.float32)),
-            run_iters(body, ITERS), jnp.float32(0))
-
-    f = jax.jit(f_impl)
-    float(f(streams_m))
-    best = np.inf
-    for _ in range(REPS):
-        t0 = time.time()
-        float(f(streams_m))
-        best = min(best, time.time() - t0)
-    per_iter = best * 1000 / ITERS
-    log(f"{'REAL body + stream maps':30s} {per_iter:7.2f} ms/iter")
-    return per_iter
-
-
-results["stream_map"] = _timed_map()
+results["stream_map"] = timed(
+    "REAL body + stream maps", _real_maker, strm=streams_m)
 # (round 4: the probe_filter_kernel variants were removed with the kernel
 # itself — the fused stages cost ~0.1-0.2ms of the body and the only
 # fusion that could matter, the gather, is DMA-measured slower in
