@@ -71,10 +71,10 @@ def pallas_scan_viable(n: int, d: Optional[int] = None) -> bool:
     query tile; below a few hundred thousand rows the per-dispatch
     pipeline setup dominates and the plain fused scan
     (ops/distances.dense_scan_topk) is strictly faster — measured on v5e
-    (scripts/exp_scan_crossover.py, round 3): at n=20k the kernel runs
-    0.1x the plain scan (GLOVE25_SHAPE.json's 808 vs 8474 QPS), at 1.18M
-    it runs 1.25x. The crossover sits where the dataset stops fitting in
-    one or two grid steps; `use_pallas` requests below it are re-routed
+    (scripts/exp_scan_crossover.py -> SCAN_CROSSOVER.json, round 4): the
+    kernel runs 0.73-0.85x the plain scan across 50k-400k rows (and 0.1x
+    at n=20k/d=25 in round 2's GLOVE25_SHAPE), crossing at 800k and
+    winning ~1.2x from there up. `use_pallas` requests below it are re-routed
     to the plain scan unless the caller pins `pallas_auto_route=False`
     (raw-kernel measurement scripts do).
     """
@@ -82,10 +82,14 @@ def pallas_scan_viable(n: int, d: Optional[int] = None) -> bool:
     return n >= PALLAS_SCAN_MIN_N
 
 
-# Measured crossover bound (see pallas_scan_viable): provisional value
-# from GLOVE25_SHAPE round-2 evidence; re-measured by
-# scripts/exp_scan_crossover.py which prints the observed crossover.
-PALLAS_SCAN_MIN_N = 262_144
+# Measured crossover bound (see pallas_scan_viable): smallest swept n
+# where the pinned kernel reached 95% of the plain scan (SCAN_CROSSOVER
+# .json, Q=2048 protocol, medians of 5 on v5e). Below it the kernel's
+# fixed grid-step costs lose to the one-matmul scan (73-85% of scan at
+# 50k-400k); at and above it the kernel wins (~1.2x at 1.18M). The sweep
+# grid brackets the true crossover in (400k, 800k]; routing takes the
+# measured-safe end.
+PALLAS_SCAN_MIN_N = 800_000
 
 
 def pallas_scan_plan(

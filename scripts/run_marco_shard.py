@@ -153,7 +153,7 @@ def main():
 
     # per-shard global-LSH row (VERDICT r2 #2): the delta-guaranteed
     # engine on this shard, same protocol as bench.py's lsh rows (256-q
-    # batches, chunk=2048/fx=8, median of 3)
+    # batches, chunk=2048/fx=8, median of BENCH_LSH_REPS)
     try:
         from clann_tpu.core.index import make_global_tables, unsort_hashes
         from clann_tpu.ops.global_query import global_search
@@ -181,7 +181,7 @@ def main():
         lsh_q = min(512, NQ)
         global_search(lidx, test[:256], k=K, delta=0.9, batch_size=256)
         per_rep = []
-        for _ in range(3):
+        for _ in range(int(os.environ.get("BENCH_LSH_REPS", 7))):
             t0 = time.time()
             d_l, _, st_l = global_search(
                 lidx, test[:lsh_q], k=K, delta=0.9, batch_size=256
