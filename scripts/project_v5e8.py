@@ -129,6 +129,13 @@ def main():
             "ici_bytes_per_device_per_batch": per_dev_bytes,
             "ici_ms_per_batch": round(t_ici * 1e3, 3),
             "vs_measured_reference": round(qps8 / ref_qps, 0),
+            "caveat": "conservative LOWER bound: the measured "
+                "throughput-vs-n curve (Q=2048 protocol) plateaus at "
+                "~35k QPS across 50k-400k rows — per-dispatch relay "
+                "overhead, not scan time, bounds it at small n, so the "
+                "true on-device rate at the 148k shard is higher (the "
+                "same chip scans the full 1.18M at 120.8k QPS when "
+                "dispatch amortizes over Q=10k)",
         })
 
     # --- delta-guaranteed LSH at the recall-0.9 gate, query-sharded.
