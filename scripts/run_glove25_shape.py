@@ -154,7 +154,10 @@ def main():
     log(f"metrics db: {nq_rows} query rows, run recall={row[0]:.4f} "
         f"qps={row[1]:.0f}")
     out["metrics_db"] = {"query_rows": int(nq_rows),
-                         "recall_mean": round(float(row[0]), 4)}
+                         "recall_mean": round(float(row[0]), 4),
+                         # which engine path the recorded run used
+                         # (VERDICT r3 #4: label the metrics_db mode)
+                         "mode": "scan"}
 
     # --- delta-guaranteed LSH at the canonical config --------------------
     del handle
