@@ -127,16 +127,34 @@ def main():
 
     test_d = jax.device_put(jnp.asarray(test))
     _ = np.asarray(test_d[:1])
+    # MARCO_ROWS selects scan rows (default both) so a row that died to a
+    # transient relay failure can be retried alone and merged into the
+    # existing artifact; MARCO_LSH=0 skips the (slow) per-shard LSH row.
+    want = os.environ.get("MARCO_ROWS", "scan-approx,scan-pallas").split(",")
     out_rows = {}
     for name, kw in (
         ("scan-approx", dict(recall_target=0.95)),
         ("scan-pallas", dict(use_pallas=True)),
     ):
+        if name not in want:
+            continue
         fn = lambda: scan_search(index, test_d, k=K, batch_q=NQ, **kw)
-        try:
-            fn()
-        except Exception as e:
-            log(f"{name} failed: {e}")
+        ok = False
+        for attempt in range(3):
+            try:
+                fn()
+                ok = True
+                break
+            except Exception as e:
+                # relay compile-helper 500s are transient about half the
+                # time; retry before recording the failure
+                log(f"{name} failed (attempt {attempt + 1}): {e}")
+                err = e
+                time.sleep(20)
+        if not ok:
+            # record the failure in the artifact (a silently absent row
+            # reads as "not measured"; an error row is a measurement)
+            out_rows[name] = {"error": str(err)[:300]}
             continue
         reps = []
         for _ in range(8):
@@ -155,6 +173,8 @@ def main():
     # engine on this shard, same protocol as bench.py's lsh rows (256-q
     # batches, chunk=2048/fx=8, median of BENCH_LSH_REPS)
     try:
+        if os.environ.get("MARCO_LSH", "1") == "0":
+            raise RuntimeError("skipped via MARCO_LSH=0")
         from clann_tpu.core.index import make_global_tables, unsort_hashes
         from clann_tpu.ops.global_query import global_search
         from clann_tpu.ops.prefixmap import build_prefix_directory
@@ -235,6 +255,18 @@ def main():
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "MARCO_SHARD.json",
     )
+    # a partial re-run (MARCO_ROWS / MARCO_LSH subsets) keeps the rows the
+    # previous full run measured; freshly measured rows win
+    if os.path.exists(path) and (
+        "MARCO_ROWS" in os.environ or os.environ.get("MARCO_LSH") == "0"
+    ):
+        try:
+            with open(path) as f:
+                prev = json.load(f)["measured"]["rows"]
+            for k_, v in prev.items():
+                out["measured"]["rows"].setdefault(k_, v)
+        except (OSError, KeyError, ValueError):
+            pass
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     log(f"wrote {path}")
