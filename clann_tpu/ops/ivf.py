@@ -98,12 +98,14 @@ def pallas_scan_plan(
     """(block_n, num_bins, rescore_m, q_tile) for the fused Pallas scan.
 
     `d` (dataset dimensionality) sizes the kernel's RESIDENT VMEM set:
-    the (block_n, q_tile) f32 score tile PLUS the (block_n, dpad) bf16
-    base tile must fit together (~96MB of the ~128MB/core). d=None keeps
+    the (block_n, q_tile) f32 score tile PLUS TWO buffers of the
+    (block_n, dpad) bf16 base tile (Mosaic double-buffers the streamed
+    input) must fit VMEM (~128MB/core; 120MB budget below). d=None keeps
     the narrow-vector plan (dpad=128 — glove-100 and below). At d=768
-    (MS-MARCO shape, dpad=896) the base tile alone is 56MB at 32k blocks,
-    so q_tile drops to 256 — without this the Mosaic compile itself fails
-    (remote_compile HTTP 500, measured on the 1.56M x 768 shard run).
+    (MS-MARCO shape, dpad=896) this drops q_tile to 256 AND block_n to
+    16384 — with 32k blocks the Mosaic compile itself fails (remote
+    compile-helper exit 1, measured on the 1.56M x 768 shard run and
+    reproduced at 131k; the 16k plan compiles and runs).
 
     Bin sizing targets a TOTAL candidate budget across all blocks:
     expected top-k loss from two true neighbors sharing a bin is
@@ -128,11 +130,20 @@ def pallas_scan_plan(
     else:
         block_n = max(256, 1 << (n - 1).bit_length())
     dpad = 128 if d is None else ((d + 1 + 127) // 128) * 128
-    budget = 96 * 1024 * 1024  # score tile + base tile, VMEM-resident
+    # VMEM model: the f32 score tile is resident once; the bf16 base
+    # tile is STREAMED per grid step, so Mosaic double-buffers it —
+    # count it twice. 120MB reproduces every measured-working plan
+    # bit-for-bit (10M x 100: 64MB score + 2x16MB base = 96MB; nytimes
+    # 290k x 256 at q_tile=512: 64 + 2x24 = 112MB — both ran) while
+    # rejecting the d=768/32k-block plan (32 + 2x56 = 144MB) whose
+    # Mosaic compile dies (compile-helper exit 1, MARCO_SHARD round 4);
+    # the 16k-block d=768 plan this yields (16 + 2x28 = 72MB) compiles
+    # and runs (measured on the 131k probe and the 1.56M shard).
+    budget = 120 * 1024 * 1024
     q_tile = 512
-    while q_tile > 256 and block_n * (q_tile * 4 + dpad * 2) > budget:
+    while q_tile > 256 and block_n * (q_tile * 4 + 2 * dpad * 2) > budget:
         q_tile //= 2
-    while block_n > 8192 and block_n * (q_tile * 4 + dpad * 2) > budget:
+    while block_n > 8192 and block_n * (q_tile * 4 + 2 * dpad * 2) > budget:
         block_n //= 2
     n_blocks = (n + block_n - 1) // block_n
     target = max(2048, 32 * k)
