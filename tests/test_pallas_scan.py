@@ -264,3 +264,42 @@ class TestAutoRoute:
         assert not pallas_scan_viable(20_000)
         assert pallas_scan_viable(PALLAS_SCAN_MIN_N)
         assert pallas_scan_viable(1_183_514)
+
+
+class TestPlanVMEMModel:
+    """Pin pallas_scan_plan's VMEM model (round 4, MARCO_SHARD).
+
+    The budget counts the f32 score tile once and the streamed bf16 base
+    tile TWICE (Mosaic double-buffers grid-step inputs). These expected
+    plans are the measured-working configs from BENCH (1.18M x 100),
+    the 10M capacity run, NYTIMES_SHAPE (290k x 256), GLOVE25 (d=25),
+    and the round-4 MARCO shard (1.56M x 768) — a plan drift here means
+    re-measuring before shipping.
+    """
+
+    MEASURED_PLANS = {
+        (1_183_514, 100): (32768, 64, 32, 512),
+        (10_000_000, 100): (65536, 64, 32, 256),
+        (1_562_500, 768): (16384, 64, 32, 256),
+        (1_183_514, 25): (32768, 64, 32, 512),
+        (290_000, 256): (32768, 256, 32, 512),
+        (20_000, 25): (32768, 2048, 32, 512),
+    }
+
+    def test_measured_plans_reproduced(self):
+        from clann_tpu.ops.ivf import pallas_scan_plan
+
+        for (n, d), expect in self.MEASURED_PLANS.items():
+            assert pallas_scan_plan(n, 10, d) == expect, (n, d)
+
+    def test_budget_respected_everywhere(self):
+        """score + 2*base must fit the 120MB budget at every shape."""
+        from clann_tpu.ops.ivf import pallas_scan_plan
+
+        for n in (4096, 50_000, 300_000, 1_500_000, 8_000_000, 40_000_000):
+            for d in (16, 100, 256, 768, 1536):
+                block_n, num_bins, m, q_tile = pallas_scan_plan(n, 10, d)
+                dpad = ((d + 1 + 127) // 128) * 128
+                vmem = block_n * (q_tile * 4 + 2 * dpad * 2)
+                assert vmem <= 120 * 1024 * 1024, (n, d, vmem)
+                assert num_bins <= block_n
