@@ -67,9 +67,13 @@ def main():
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "LSH_AT_09.json")) as f:
         chosen = json.load(f)["chosen"]
-    L = int(chosen.get("num_tables", NUM_TABLES))
+    # GATE_L probes a table count beyond the sweep's surface (e.g. 192)
+    # at the production G; the promote step below only replaces the gate
+    # row if the probe is strictly better at recall >= 0.9
+    L = int(os.environ.get("GATE_L", chosen.get("num_tables", NUM_TABLES)))
     delta = float(chosen["delta"])
-    log(f"gate config from LSH_AT_09.json: L={L} delta={delta}")
+    log(f"gate config: L={L} delta={delta} "
+        f"(chosen: L={chosen.get('num_tables')})")
 
     train, test, gt_d, gt_i = get_dataset()
     test, gt_d = test[:SUB], gt_d[:SUB]
@@ -136,11 +140,16 @@ def main():
             log(f"G={G} delta={dlt}: QPS={qps:.1f} "
                 f"(reps {[round(q,1) for q in per_rep]}) "
                 f"recall={r:.4f} dc/q={dc:.0f}")
+            g_bytes = sum(
+                a.size * a.dtype.itemsize for a in (gh, gr, gd)
+            )
             rows.append({
                 "gather_block": G, "num_tables": L, "delta": dlt,
                 "qps": round(qps, 1), "recall": round(float(r), 4),
                 "dc_per_query": round(dc),
                 "per_rep_qps": [round(q, 1) for q in per_rep],
+                "index_bytes": int(idx_G.memory_usage()),
+                "global_struct_bytes": int(g_bytes),
             })
         del idx_G, gh, gr, gd
 
@@ -154,9 +163,10 @@ def main():
             "batch256 chunk2048 fx8, median of BENCH_LSH_REPS)."
         ),
     }
-    with open(os.path.join(root, "GATE_KNOBS.json"), "w") as f:
+    out_name = os.environ.get("GATE_OUT", "GATE_KNOBS.json")
+    with open(os.path.join(root, out_name), "w") as f:
         json.dump(out, f, indent=1)
-    log("wrote GATE_KNOBS.json")
+    log(f"wrote {out_name}")
 
     # promote a strictly better gate row (recall >= 0.9, higher QPS) into
     # LSH_AT_09.json so bench.py picks up the winning knobs
