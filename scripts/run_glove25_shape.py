@@ -187,7 +187,10 @@ def main():
 
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "GLOVE25_SHAPE.json",
+        # G25_OUT separates the full-scale canonical run (1.18M x 25 —
+        # the reference demo's actual shape) from the n=20k regression
+        # artifact both of which this script produces
+        os.environ.get("G25_OUT", "GLOVE25_SHAPE.json"),
     )
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
