@@ -126,18 +126,22 @@ def main():
             config=cfg.replace(gather_block=G),
         )
         log(f"G={G}: tables repacked {time.time()-t0:.0f}s")
+        batches = [
+            int(x) for x in os.environ.get("GATE_BATCH", "256").split(",")
+        ]
         for dlt in DELTA_LIST or [delta]:
-            global_search(idx_G, test[:256], k=K, delta=dlt, batch_size=256)
+          for bsz in batches:
+            global_search(idx_G, test[:bsz], k=K, delta=dlt, batch_size=bsz)
             per_rep = []
             for _ in range(reps):
                 t0 = time.time()
                 d_, _, st = global_search(idx_G, test, k=K, delta=dlt,
-                                          batch_size=256)
+                                          batch_size=bsz)
                 per_rep.append(len(test) / (time.time() - t0))
             qps = float(np.median(per_rep))
             r, _, _ = recall_values(gt_d, d_, count=K)
             dc = float(st.distance_computations.mean())
-            log(f"G={G} delta={dlt}: QPS={qps:.1f} "
+            log(f"G={G} delta={dlt} batch={bsz}: QPS={qps:.1f} "
                 f"(reps {[round(q,1) for q in per_rep]}) "
                 f"recall={r:.4f} dc/q={dc:.0f}")
             g_bytes = sum(
@@ -145,6 +149,7 @@ def main():
             )
             rows.append({
                 "gather_block": G, "num_tables": L, "delta": dlt,
+                "batch_size": bsz,
                 "qps": round(qps, 1), "recall": round(float(r), 4),
                 "dc_per_query": round(dc),
                 "per_rep_qps": [round(q, 1) for q in per_rep],
