@@ -401,6 +401,7 @@ def main():
         lsh_tables = NUM_TABLES
         lsh_params = index.hash_params
         lsh_gblock = cfg.gather_block
+        lsh_chunk, lsh_fx = 2048, 8
         try:
             with open(os.path.join(
                 os.path.dirname(os.path.abspath(__file__)), "LSH_AT_09.json"
@@ -408,6 +409,8 @@ def main():
                 _chosen = json.load(f).get("chosen") or {}
             lsh_tables = int(_chosen.get("num_tables", NUM_TABLES))
             lsh_gblock = int(_chosen.get("gather_block", cfg.gather_block))
+            lsh_chunk = int(_chosen.get("candidate_chunk", lsh_chunk))
+            lsh_fx = int(_chosen.get("filter_expand", lsh_fx))
         except (OSError, KeyError, ValueError, TypeError):
             pass
         if lsh_tables != NUM_TABLES:
@@ -444,7 +447,8 @@ def main():
         # knob surface measured in GLOBAL_KNOBS{,_FX}.json: fx=8 is the
         # peak (1.24-1.65x over fx=4 depending on delta), fx=12/16 and
         # chunk=4096 regress; dc/q moves ~1%
-        lsh_cfg = cfg.replace(candidate_chunk=2048, filter_expand=8,
+        lsh_cfg = cfg.replace(candidate_chunk=lsh_chunk,
+                              filter_expand=lsh_fx,
                               num_tables=lsh_tables,
                               gather_block=lsh_gblock)
         index = index.replace(
@@ -516,8 +520,8 @@ def main():
                         float(st_l9.distance_computations.mean()), 1),
                     "per_rep_qps": [round(q, 1) for q in reps9],
                     "protocol": (
-                        f"{lsh_sub}q batch256 chunk2048 fx8 "
-                        f"median of {lsh_reps}"
+                        f"{lsh_sub}q batch256 chunk{lsh_chunk} "
+                        f"fx{lsh_fx} median of {lsh_reps}"
                     ),
                 }
                 break

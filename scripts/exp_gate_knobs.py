@@ -78,9 +78,14 @@ def main():
     train, test, gt_d, gt_i = get_dataset()
     test, gt_d = test[:SUB], gt_d[:SUB]
 
+    # GATE_CHUNK / GATE_FX re-open the round-2 knob surface at the
+    # current gate config (it was tuned at L=50/G=16; the optimum may
+    # move at L=128/G=32)
     cfg = Config(
         num_tables=L, num_clusters_factor=FACTOR, k=K, delta=delta,
-        candidate_chunk=2048, filter_expand=8, gather_block=16, seed=0,
+        candidate_chunk=int(os.environ.get("GATE_CHUNK", 2048)),
+        filter_expand=int(os.environ.get("GATE_FX", 8)),
+        gather_block=16, seed=0,
         pack_slot_records=False, dense_layout=False, lsh_engine="global",
     )
     t0 = time.time()
@@ -129,33 +134,46 @@ def main():
         batches = [
             int(x) for x in os.environ.get("GATE_BATCH", "256").split(",")
         ]
+        # chunk/fx are TRACE-time knobs: sweeping them re-jits but does
+        # not rebuild tables, so the whole (chunk, fx) surface rides one
+        # table repack
+        chunks = [
+            int(x) for x in os.environ.get("GATE_CHUNK", "2048").split(",")
+        ]
+        fxs = [int(x) for x in os.environ.get("GATE_FX", "8").split(",")]
         for dlt in DELTA_LIST or [delta]:
           for bsz in batches:
-            global_search(idx_G, test[:bsz], k=K, delta=dlt, batch_size=bsz)
-            per_rep = []
-            for _ in range(reps):
-                t0 = time.time()
-                d_, _, st = global_search(idx_G, test, k=K, delta=dlt,
-                                          batch_size=bsz)
-                per_rep.append(len(test) / (time.time() - t0))
-            qps = float(np.median(per_rep))
-            r, _, _ = recall_values(gt_d, d_, count=K)
-            dc = float(st.distance_computations.mean())
-            log(f"G={G} delta={dlt} batch={bsz}: QPS={qps:.1f} "
-                f"(reps {[round(q,1) for q in per_rep]}) "
-                f"recall={r:.4f} dc/q={dc:.0f}")
-            g_bytes = sum(
-                a.size * a.dtype.itemsize for a in (gh, gr, gd)
-            )
-            rows.append({
-                "gather_block": G, "num_tables": L, "delta": dlt,
-                "batch_size": bsz,
-                "qps": round(qps, 1), "recall": round(float(r), 4),
-                "dc_per_query": round(dc),
-                "per_rep_qps": [round(q, 1) for q in per_rep],
-                "index_bytes": int(idx_G.memory_usage()),
-                "global_struct_bytes": int(g_bytes),
-            })
+           for ch in chunks:
+            for fx in fxs:
+                idx_R = idx_G.replace(config=idx_G.config.replace(
+                    candidate_chunk=ch, filter_expand=fx))
+                global_search(idx_R, test[:bsz], k=K, delta=dlt,
+                              batch_size=bsz)
+                per_rep = []
+                for _ in range(reps):
+                    t0 = time.time()
+                    d_, _, st = global_search(idx_R, test, k=K, delta=dlt,
+                                              batch_size=bsz)
+                    per_rep.append(len(test) / (time.time() - t0))
+                qps = float(np.median(per_rep))
+                r, _, _ = recall_values(gt_d, d_, count=K)
+                dc = float(st.distance_computations.mean())
+                log(f"G={G} delta={dlt} batch={bsz} chunk={ch} fx={fx}: "
+                    f"QPS={qps:.1f} (reps {[round(q,1) for q in per_rep]}) "
+                    f"recall={r:.4f} dc/q={dc:.0f}")
+                g_bytes = sum(
+                    a.size * a.dtype.itemsize for a in (gh, gr, gd)
+                )
+                rows.append({
+                    "gather_block": G, "num_tables": L, "delta": dlt,
+                    "batch_size": bsz, "candidate_chunk": ch,
+                    "filter_expand": fx,
+                    "qps": round(qps, 1), "recall": round(float(r), 4),
+                    "dc_per_query": round(dc),
+                    "per_rep_qps": [round(q, 1) for q in per_rep],
+                    "index_bytes": int(idx_G.memory_usage()),
+                    "global_struct_bytes": int(g_bytes),
+                })
         del idx_G, gh, gr, gd
 
     out = {
