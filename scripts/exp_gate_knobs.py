@@ -83,8 +83,9 @@ def main():
     # move at L=128/G=32)
     cfg = Config(
         num_tables=L, num_clusters_factor=FACTOR, k=K, delta=delta,
-        candidate_chunk=int(os.environ.get("GATE_CHUNK", 2048)),
-        filter_expand=int(os.environ.get("GATE_FX", 8)),
+        candidate_chunk=int(
+            os.environ.get("GATE_CHUNK", "2048").split(",")[0]),
+        filter_expand=int(os.environ.get("GATE_FX", "8").split(",")[0]),
         gather_block=16, seed=0,
         pack_slot_records=False, dense_layout=False, lsh_engine="global",
     )
@@ -147,8 +148,21 @@ def main():
             for fx in fxs:
                 idx_R = idx_G.replace(config=idx_G.config.replace(
                     candidate_chunk=ch, filter_expand=fx))
-                global_search(idx_R, test[:bsz], k=K, delta=dlt,
-                              batch_size=bsz)
+                try:
+                    global_search(idx_R, test[:bsz], k=K, delta=dlt,
+                                  batch_size=bsz)
+                except Exception as e:
+                    # record HBM-infeasible corners instead of dying:
+                    # at L=128/G=32 fx=4 exhausts HBM (measured round 4)
+                    log(f"G={G} delta={dlt} batch={bsz} chunk={ch} "
+                        f"fx={fx}: FAILED {type(e).__name__}")
+                    rows.append({
+                        "gather_block": G, "num_tables": L, "delta": dlt,
+                        "batch_size": bsz, "candidate_chunk": ch,
+                        "filter_expand": fx, "recall": 0.0,
+                        "error": str(e)[:200],
+                    })
+                    continue
                 per_rep = []
                 for _ in range(reps):
                     t0 = time.time()
