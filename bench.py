@@ -432,8 +432,18 @@ def main():
             ).init(k_hash)
             hashes_T = _hash_in_blocks(src.hash, index.vectors, 8192).T
             lsh_params = src.params
+            # probs_table is num_tables-dependent for the tensored
+            # source (1 - F^(1/L) folding, collision.tensored_effective
+            # _table), so the termination probabilities must be
+            # re-derived at the swept L, not inherited from the build
+            from clann_tpu.core.index import derive_probs_tables
+
+            _probs, _ = derive_probs_tables(
+                family, cfg.replace(num_tables=lsh_tables))
+            lsh_probs_table = jnp.asarray(_probs.table)
         else:
             hashes_T = unsort_hashes(index.sorted_hash, index.sorted_idx)
+            lsh_probs_table = index.probs_table
         gh, gr = make_global_tables(hashes_T, index.sketches, index.assignment,
                                     pad_to=lsh_gblock)
         n_pts = index.vectors.shape[0]
@@ -454,6 +464,7 @@ def main():
         index = index.replace(
             g_sorted_hash=gh, g_records=gr, g_dir=gd, g_dir_iters=gdi,
             config=lsh_cfg, hash_params=lsh_params,
+            probs_table=lsh_probs_table,
         )
         # ONE protocol for every LSH artifact (VERDICT r2 #5 —
         # GLOBAL_KNOBS vs LSH_AT_09 differed 1.4x at delta=0.9 from
@@ -493,19 +504,14 @@ def main():
         # order comes from scripts/sweep_lsh09.py's LSH_AT_09.json when
         # present (its chosen delta is tried first).
         deltas = [0.95, 0.975, 0.99]
-        try:
-            with open(os.path.join(
-                os.path.dirname(os.path.abspath(__file__)), "LSH_AT_09.json"
-            )) as f:
-                chosen = json.load(f).get("chosen")
-            if chosen:
-                if chosen["delta"] in deltas:
-                    deltas.remove(chosen["delta"])
-                # the (L, delta) surface can pick deltas below 0.95
-                # (e.g. 0.9 at L=84); always try the sweep winner first
-                deltas.insert(0, chosen["delta"])
-        except (OSError, KeyError, ValueError, TypeError):
-            pass
+        # _chosen was already read above for the knob selection; reuse it
+        # so the knobs and the delta priority can never disagree
+        if _chosen.get("delta") is not None:
+            if _chosen["delta"] in deltas:
+                deltas.remove(_chosen["delta"])
+            # the (L, delta) surface can pick deltas below 0.95
+            # (e.g. 0.9 at L=84); always try the sweep winner first
+            deltas.insert(0, _chosen["delta"])
         for d9 in deltas:
             q9, reps9, (d_l9, _, st_l9) = timed_lsh(d9)
             r9, _, _ = recall_values(gt_d[:lsh_sub], d_l9, count=K)

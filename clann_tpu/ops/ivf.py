@@ -143,7 +143,11 @@ def pallas_scan_plan(
     q_tile = 512
     while q_tile > 256 and block_n * (q_tile * 4 + 2 * dpad * 2) > budget:
         q_tile //= 2
-    while block_n > 8192 and block_n * (q_tile * 4 + 2 * dpad * 2) > budget:
+    # floor 1024, not 8192: at d >= ~3584 even 8192-row blocks exceed the
+    # budget (8192 * (1024 + 2*4224*2) = 146MB at d=4096) and returning an
+    # over-budget plan reproduces the exact compile-helper death the
+    # budget exists to prevent
+    while block_n > 1024 and block_n * (q_tile * 4 + 2 * dpad * 2) > budget:
         block_n //= 2
     n_blocks = (n + block_n - 1) // block_n
     target = max(2048, 32 * k)

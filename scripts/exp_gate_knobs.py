@@ -67,6 +67,10 @@ def main():
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "LSH_AT_09.json")) as f:
         chosen = json.load(f)["chosen"]
+    if chosen is None:
+        # the sweep found no gate-passing row; probe from the bench
+        # defaults so the knob experiments can still run
+        chosen = {"num_tables": 50, "delta": 0.95, "qps": 0.0}
     # GATE_L probes a table count beyond the sweep's surface (e.g. 192)
     # at the production G; the promote step below only replaces the gate
     # row if the probe is strictly better at recall >= 0.9
@@ -109,7 +113,15 @@ def main():
             pool_size=cfg.pool_size,
         ).init(k_hash)
         hashes_T = _hash_in_blocks(src.hash, index.vectors, 8192).T
-        index = index.replace(hash_params=src.params)
+        # probs_table is num_tables-dependent for the tensored source;
+        # re-derive at the probed L (same fix as bench.py's rehash)
+        from clann_tpu.core.index import derive_probs_tables
+
+        _probs, _ = derive_probs_tables(family, cfg)
+        index = index.replace(
+            hash_params=src.params,
+            probs_table=jnp.asarray(_probs.table),
+        )
     log(f"build {time.time()-t0:.0f}s")
 
     n_pts = index.vectors.shape[0]

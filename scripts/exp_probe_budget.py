@@ -341,10 +341,6 @@ results["stream_map"] = timed(
 # itself — the fused stages cost ~0.1-0.2ms of the body and the only
 # fusion that could matter, the gather, is DMA-measured slower in
 # PALLAS_GATHER.json.)
-try:
-    pass
-except Exception as e:
-    log(f"kernel variant failed: {type(e).__name__}: {e}")
 
 deltas = {s: round(results["replica_all"] - results[f"no_{s}"], 2)
           for s in ("gather", "sketch", "feas", "compact", "rescore",

@@ -64,7 +64,18 @@ def ici_seconds(Q, k, D):
 
 def main():
     bench = load("BENCH_r04.json") or load("BENCH_r03.json")
-    gate = load("LSH_AT_09.json") or load("GATE_KNOBS.json")
+    if bench is None:
+        log("no BENCH_r0*.json artifact; nothing to project from")
+        return
+    # LSH_AT_09's chosen can be null (no gate-passing row yet); fall
+    # through to GATE_KNOBS' chosen_base in that case
+    lsh = load("LSH_AT_09.json")
+    gk = load("GATE_KNOBS.json")
+    gate = None
+    if lsh and lsh.get("chosen"):
+        gate = {"chosen": lsh["chosen"]}
+    elif gk and gk.get("chosen_base"):
+        gate = {"chosen_base": gk["chosen_base"]}
     xover = load("SCAN_CROSSOVER.json")
     parsed = bench["parsed"] if "parsed" in bench else bench
 

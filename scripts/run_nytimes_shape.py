@@ -108,9 +108,19 @@ def main():
             for a, b in zip(np.asarray(i), gt_i[:, :K])
         ]))
         log(f"{name}: QPS={NQ/el:.0f} recall@100={r:.4f} id_recall={idr:.4f}")
+        # label what actually executed: use_pallas auto-routes to the
+        # plain scan below the measured crossover (n=290k < 800k), so
+        # the "scan-pallas" row is a routed plain-scan number at this
+        # shape — record that in the artifact, not just in the docs
+        from clann_tpu.ops.ivf import pallas_scan_viable
+
+        routed = (kw.get("use_pallas")
+                  and not pallas_scan_viable(N, d=D))
         out["rows"][name] = {
             "qps": round(NQ / el, 1), "recall": round(float(r), 4),
             "id_recall": round(idr, 4),
+            "executed": ("plain-scan (auto-routed, n below crossover)"
+                         if routed else name),
         }
 
     # delta-guaranteed path at the target delta, under the unified LSH

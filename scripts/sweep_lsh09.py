@@ -36,9 +36,9 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 K = 10
 SUB = int(os.environ.get("SWEEP_Q", 512))
 L_LIST = [int(x) for x in os.environ.get("SWEEP_L", "50,84,128").split(",")]
-DELTAS = [
+DELTAS = sorted(
     float(x) for x in os.environ.get("SWEEP_DELTA", "0.9,0.95,0.975").split(",")
-]
+)  # ascending: the per-L early break assumes deeper deltas only cost more
 
 
 def log(m):

@@ -183,3 +183,25 @@ class TestContinuousBatching:
             index, ds.test[:8], k=5, delta=0.9, lanes=32
         )
         np.testing.assert_array_equal(i1, i2)
+
+
+class TestWindowIndexDense:
+    def test_window_index_dense_bit_identical(self, ds):
+        """The dense (compare-and-sum) window_range_index variant must be
+        bit-identical to the default formulation. (Restored in round 4:
+        the probe-filter kernel's test file bundled this A/B and its
+        deletion removed the flag's only end-to-end test; the flag itself
+        is live — config.py window_index_dense, global_query dense_index.)
+        """
+        base = dict(
+            num_tables=10, num_clusters_factor=0.4, k=10, delta=0.9,
+            dataset_name=ds.name, lsh_engine="global", dense_layout=False,
+        )
+        idx_off = build_index(ds.train, Config(**base))
+        idx_on = idx_off.replace(
+            config=Config(**base, window_index_dense=True)
+        )
+        d0, i0, _ = global_search(idx_off, ds.test, k=10, delta=0.9)
+        d1, i1, _ = global_search(idx_on, ds.test, k=10, delta=0.9)
+        np.testing.assert_array_equal(i0, i1)
+        np.testing.assert_array_equal(d0, d1)

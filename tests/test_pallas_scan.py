@@ -297,7 +297,7 @@ class TestPlanVMEMModel:
         from clann_tpu.ops.ivf import pallas_scan_plan
 
         for n in (4096, 50_000, 300_000, 1_500_000, 8_000_000, 40_000_000):
-            for d in (16, 100, 256, 768, 1536):
+            for d in (16, 100, 256, 768, 1536, 4096, 8192):
                 block_n, num_bins, m, q_tile = pallas_scan_plan(n, 10, d)
                 dpad = ((d + 1 + 127) // 128) * 128
                 vmem = block_n * (q_tile * 4 + 2 * dpad * 2)
