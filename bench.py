@@ -272,11 +272,16 @@ def main():
         d = 1.0 - np.einsum("qkd,qd->qk", tn[safe], qn)
         return np.where(ids >= 0, np.clip(d, 0.0, 2.0), np.inf)
 
-    for nm, kw in (("scan-approx-ids", dict(recall_target=0.85)),
-                   ("scan-pallas-ids", dict(use_pallas=True))):
+    for nm, pull, kw in (
+            ("scan-approx-ids", "ids", dict(recall_target=0.85)),
+            ("scan-pallas-ids", "ids", dict(use_pallas=True)),
+            # 21-bit bit-packed id pull (7 int32 words/query vs 10): the
+            # pull tail is marginal in BYTES (PULL_RATE.json), and the
+            # pack is fused into the scan's jit (zero extra dispatches)
+            ("scan-pallas-idp", "ids-packed", dict(use_pallas=True))):
         el, (_, i_x, st_x), reps_x = timed(
             lambda: scan_search(index, test_d, k=K, batch_q=len(test),
-                                pull="ids", **kw)
+                                pull=pull, **kw)
         )
         r_x, _, _ = recall_values(gt_d, dists_from_ids(i_x), count=K)
         ir_x = id_recall(i_x)

@@ -200,6 +200,93 @@ def _pallas_base(index, block_n: int):
     return base_p
 
 
+def _ids_pack_spec(n: int, k: int) -> Tuple[int, int]:
+    """(bits, words) for bit-packing (Q, k) ids in [-1, n) into int32.
+
+    The value `n` encodes the empty sentinel (-1). At the glove-100 bench
+    shape (n=1,183,514, k=10) this is 21 bits x 10 = 7 words vs 10 —
+    result bytes are the marginal cost of the whole dense path through
+    the relay link (PULL_RATE.json / exp_kernel_floor.py), so 30% fewer
+    id bytes is ~the same fraction off the pull tail.
+    """
+    bits = max(1, int(n).bit_length())  # represents values 0..n inclusive
+    words = (k * bits + 31) // 32
+    return bits, words
+
+
+def _pack_ids_device(ids, *, n: int, bits: int, words: int):
+    """Bit-pack (Q, k) int32 ids into (Q, words) uint32, -1 -> n.
+
+    Static k/bits unroll to a handful of shift-OR VPU ops — negligible
+    next to the scan, and fused into the same jit so it costs no extra
+    relay dispatch (each eager op around a scan call costs ~40ms).
+    """
+    k = ids.shape[1]
+    v = jnp.where(ids < 0, n, ids).astype(jnp.uint32)
+    out = [jnp.zeros(ids.shape[:1], jnp.uint32) for _ in range(words)]
+    for i in range(k):
+        off = i * bits
+        w, s = off // 32, off % 32
+        out[w] = out[w] | (v[:, i] << s)
+        if s + bits > 32:
+            out[w + 1] = out[w + 1] | (v[:, i] >> (32 - s))
+    return jnp.stack(out, axis=1)
+
+
+def _unpack_ids_host(words_np: np.ndarray, *, n: int, bits: int, k: int):
+    """Exact host-side inverse of _pack_ids_device (numpy, no device)."""
+    w64 = words_np.astype(np.uint64)
+    mask = np.uint64((1 << bits) - 1)
+    ids = np.empty((words_np.shape[0], k), np.int64)
+    for i in range(k):
+        off = i * bits
+        w, s = off // 32, off % 32
+        val = w64[:, w] >> np.uint64(s)
+        if s + bits > 32:
+            val = val | (w64[:, w + 1] << np.uint64(32 - s))
+        ids[:, i] = (val & mask).astype(np.int64)
+    return np.where(ids == n, -1, ids).astype(np.int32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_real", "k", "rescore_m", "num_bins", "block_n", "q_tile",
+        "interpret", "bits", "words",
+    ),
+)
+def _pallas_scan_ids_packed(
+    base_p, vectors, blk, *, n_real, k, rescore_m, num_bins, block_n,
+    q_tile, interpret, bits, words,
+):
+    from clann_tpu.ops.pallas.scan_topk import fused_scan_topk_e2e
+
+    _, ti = fused_scan_topk_e2e(
+        base_p, vectors, blk, n_real=n_real, k=k, rescore_m=rescore_m,
+        num_bins=num_bins, block_n=block_n, q_tile=q_tile,
+        normalize=True, biased=True, interpret=interpret,
+    )
+    return _pack_ids_device(ti, n=n_real, bits=bits, words=words)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "block_points", "recall_target", "exact", "bits", "words"
+    ),
+)
+def _plain_scan_ids_packed(
+    vectors, blk, *, k, block_points, recall_target, exact, bits, words,
+):
+    from clann_tpu.ops.distances import _dense_scan_jit
+
+    _, ti = _dense_scan_jit(
+        vectors, blk, k=k, block_points=block_points,
+        recall_target=recall_target, exact=exact, normalize_queries=True,
+    )
+    return _pack_ids_device(ti, n=vectors.shape[0], bits=bits, words=words)
+
+
 def scan_search(
     index,
     queries,
@@ -230,6 +317,10 @@ def scan_search(
         the marginal cost). Callers that need distances reconstruct them
         exactly from the corpus (sims are deterministic per id), or use
         id-based metrics.
+      "ids-packed": ids bit-packed to ceil(log2(n+1)) bits on-device
+        (inside the scan's own jit — zero extra dispatches), unpacked
+        exactly on the host: 7 int32 words/query instead of 10 at the
+        1.18M bench shape. Same return contract as "ids".
     pallas_auto_route: with use_pallas, fall back to the plain scan at
         shapes below the kernel's measured crossover (pallas_scan_viable)
         instead of running the kernel where it loses 10x to its own
@@ -267,6 +358,9 @@ def scan_search(
     ):
         use_pallas = False  # below the measured crossover; plain scan wins
 
+    bits = words = None
+    if pull == "ids-packed":
+        bits, words = _ids_pack_spec(n, k)
     if use_pallas:
         from clann_tpu.ops.pallas.scan_topk import fused_scan_topk_e2e
 
@@ -286,6 +380,14 @@ def scan_search(
         outs_s, outs_i = [], []
         for s in range(0, qn.shape[0], batch_q):
             blk = qn[s : s + batch_q]
+            if pull == "ids-packed":
+                outs_i.append(_pallas_scan_ids_packed(
+                    base_p, index.vectors, blk,
+                    n_real=n, k=k, rescore_m=rescore_m,
+                    num_bins=num_bins, block_n=block_n, q_tile=q_tile,
+                    interpret=interp, bits=bits, words=words,
+                ))
+                continue
             ts, ti = fused_scan_topk_e2e(
                 base_p, index.vectors, blk,
                 n_real=n, k=k, rescore_m=rescore_m,
@@ -305,6 +407,13 @@ def scan_search(
         outs_s, outs_i = [], []
         for s in range(0, qn.shape[0], batch_q):
             blk = qn[s : s + batch_q]
+            if pull == "ids-packed":
+                outs_i.append(_plain_scan_ids_packed(
+                    index.vectors, blk, k=k, block_points=block_points,
+                    recall_target=recall_target, exact=exact,
+                    bits=bits, words=words,
+                ))
+                continue
             ts, ti = _dense_scan_jit(
                 index.vectors, blk, k=k, block_points=block_points,
                 recall_target=recall_target, exact=exact,
@@ -314,6 +423,19 @@ def scan_search(
             # pipeline asynchronously instead of syncing per batch
             outs_s.append(ts)
             outs_i.append(ti)
+    if pull == "ids-packed":
+        packed_w = np.asarray(jnp.concatenate(outs_i, axis=0))
+        ids = _unpack_ids_host(packed_w, n=n, bits=bits, k=k)
+        Q = ids.shape[0]
+        dc = np.full(Q, n, np.int32)
+        stats = DenseSearchStats(
+            distance_computations=dc,
+            candidates=dc,
+            clusters_visited=np.full(Q, index.n_clusters, np.int32),
+            dropped_probes=np.int32(0),
+            uncertified=np.zeros(Q, np.int32),
+        )
+        return None, ids, stats
     if pull == "ids":
         ids = np.asarray(jnp.concatenate(outs_i, axis=0))
         Q = ids.shape[0]

@@ -202,3 +202,42 @@ class TestScanPullModes:
                                 batch_q=16, pull="ids")
         assert d2 is None
         np.testing.assert_array_equal(i1, i2)
+
+    def test_ids_packed_pull_matches_ids(self, built):
+        """pull="ids-packed" must deliver byte-identical ids to "ids" on
+        both scan paths (device bit-pack + exact host unpack)."""
+        from clann_tpu.ops.ivf import scan_search
+
+        index, ds = built
+        q = ds.test[:32]
+        for kw in (dict(), dict(use_pallas=True, pallas_auto_route=False)):
+            _, i1, st1 = scan_search(index, q, k=5, batch_q=16,
+                                     pull="ids", **kw)
+            d3, i3, st3 = scan_search(index, q, k=5, batch_q=16,
+                                      pull="ids-packed", **kw)
+            assert d3 is None
+            np.testing.assert_array_equal(i1, i3)
+            np.testing.assert_array_equal(
+                st1.distance_computations, st3.distance_computations
+            )
+
+    def test_ids_bit_roundtrip_with_sentinels(self):
+        """Pack/unpack is exact across word boundaries and -1 slots."""
+        from clann_tpu.ops.ivf import (
+            _ids_pack_spec, _pack_ids_device, _unpack_ids_host,
+        )
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(0)
+        for n, k in ((1_183_514, 10), (2**21 - 1, 10), (100, 3),
+                     (7, 17), (2**30, 4)):
+            bits, words = _ids_pack_spec(n, k)
+            assert k * bits <= words * 32
+            ids = rng.integers(0, n, size=(23, k)).astype(np.int32)
+            ids[::3, -1] = -1  # empty-slot sentinels
+            ids[0, :] = n - 1  # max value everywhere
+            packed = np.asarray(_pack_ids_device(
+                jnp.asarray(ids), n=n, bits=bits, words=words))
+            assert packed.shape == (23, words)
+            out = _unpack_ids_host(packed, n=n, bits=bits, k=k)
+            np.testing.assert_array_equal(ids, out)
