@@ -278,6 +278,7 @@ def main():
             # 21-bit bit-packed id pull (7 int32 words/query vs 10): the
             # pull tail is marginal in BYTES (PULL_RATE.json), and the
             # pack is fused into the scan's jit (zero extra dispatches)
+            ("scan-approx-idp", "ids-packed", dict(recall_target=0.85)),
             ("scan-pallas-idp", "ids-packed", dict(use_pallas=True))):
         el, (_, i_x, st_x), reps_x = timed(
             lambda: scan_search(index, test_d, k=K, batch_q=len(test),
