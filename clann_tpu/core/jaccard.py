@@ -36,8 +36,15 @@ from clann_tpu.ops.minhash import (
     TabulationMinHash,
     TabulationMinHash1Bit,
 )
-from clann_tpu.ops.prefixmap import candidate_stream, count_leq, depth_bounds, sort_tables_segmented
-from clann_tpu.ops.query import SearchStats, _merge_topk
+from clann_tpu.ops.prefixmap import (
+    block_stream,
+    blocked_window,
+    candidate_stream,
+    count_leq,
+    depth_bounds,
+    sort_tables_segmented,
+)
+from clann_tpu.ops.query import SearchStats, _compact_take, _merge_topk
 from clann_tpu.ops.sketches import pack_bits_u32
 from clann_tpu.ops.sources import IndependentHashSource
 
@@ -61,6 +68,13 @@ class JaccardIndex:
     center_ids: Optional[jnp.ndarray] = None  # (C,) point id of center
     radii: Optional[jnp.ndarray] = None  # (C,) f32 max member distance
     assignment: Optional[jnp.ndarray] = None  # (n,) int32 cluster of point
+    # packed per-(table, sorted-slot) records [id, sketch words..., cluster]
+    # (slot axis padded to config.gather_block), mirroring the cosine
+    # global engine's make_global_tables layout: the query loop fetches G
+    # consecutive records with ONE gather lane (ops/prefixmap.block_stream
+    # — the measured ~10x gather-rate lever, GATHER_RATE.json). None on
+    # legacy/sharded-local indexes; the search derives it in-trace then.
+    g_records: Optional[jnp.ndarray] = None  # (L, n_pad, 2 + W) uint32
     config: Config = flax.struct.field(pytree_node=False, default=None)
     universe: int = flax.struct.field(pytree_node=False, default=0)
     sim_eps: float = flax.struct.field(pytree_node=False, default=5e-3)
@@ -269,6 +283,10 @@ def build_jaccard_index(
         sorted_hash=sorted_hash,
         sorted_idx=sorted_idx,
         sketches=sketches,
+        g_records=_pack_jaccard_records(
+            sorted_idx, sketches, geometry.get("assignment"),
+            pad_to=max(1, config.gather_block),
+        ),
         hash_params=source.params,
         sketch_params=sk_params,
         probs_table=jnp.asarray(probs.table),
@@ -279,6 +297,39 @@ def build_jaccard_index(
         table_hash=table_hash,
         sketch_hash=sketch_hash,
     )
+
+
+@functools.partial(jax.jit, static_argnames=("pad_to",))
+def _pack_jaccard_records(
+    sorted_idx: jnp.ndarray,
+    sketches: jnp.ndarray,
+    assignment: Optional[jnp.ndarray],
+    pad_to: int = 1,
+) -> jnp.ndarray:
+    """[id, sketch words, cluster] per (table, sorted slot), G-padded.
+
+    The Jaccard instance of core/index.make_global_tables' record layout:
+    table t bakes in sketch index t % S (the reference's per-table sketch
+    rotation, collection.hpp:826), and the cluster id rides along so the
+    clustered ball filter needs no per-candidate assignment gather. When
+    the index is flat the cluster column is zeros (and unused)."""
+    L, n = sorted_idx.shape
+    S = sketches.shape[1]
+    sk_idx = (jnp.arange(L, dtype=jnp.int32) % S)[:, None]
+    sk = sketches[sorted_idx, sk_idx, :]  # (L, n, W)
+    clus = (
+        assignment[sorted_idx]
+        if assignment is not None
+        else jnp.zeros_like(sorted_idx)
+    ).astype(jnp.uint32)
+    rec = jnp.concatenate(
+        [sorted_idx.astype(jnp.uint32)[:, :, None], sk, clus[:, :, None]],
+        axis=2,
+    )
+    pad = (-n) % pad_to
+    if pad:
+        rec = jnp.pad(rec, ((0, 0), (0, pad), (0, 0)))
+    return rec
 
 
 def _query_bitmaps(query_tokens: jnp.ndarray, universe: int) -> jnp.ndarray:
@@ -300,44 +351,37 @@ def _query_bitmaps(query_tokens: jnp.ndarray, universe: int) -> jnp.ndarray:
     return bm.at[rows, word].add(bit)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("k", "chunk", "min_depth", "filter_type")
-)
-def jaccard_search_batch(
+def _jaccard_prepare(
     index: JaccardIndex,
     query_tokens: jnp.ndarray,
     qh: jnp.ndarray,
     qsk: jnp.ndarray,
-    delta: jnp.ndarray,
     *,
-    k: int,
-    chunk: int,
-    min_depth: int = 1,
-    filter_type: str = "default",
-) -> Tuple[jnp.ndarray, jnp.ndarray, SearchStats]:
-    """Adaptive delta-recall search over the set index.
+    min_depth: int,
+) -> dict:
+    """Per-query device state for the adaptive loop (leading dim Q).
 
-    query_tokens: (Q, T) padded sorted token sets; qh (Q, L) table hashes;
-    qsk (Q, S, W) packed sketches (pre-hashed by jaccard_search — the
-    probability tables inside the hashing objects cannot be constructed
-    under a jit trace).
-    Returns (sims desc (Q, k), ids (Q, k), stats).
+    The Jaccard analog of ops/global_query._prepare_streams: depth
+    bounds + candidate stream converted to gather_block units
+    (ops/prefixmap.block_stream) so the loop fetches G packed records per
+    gather lane.
     """
     cfg = index.config
     Q = query_tokens.shape[0]
     n = index.n
-    L = index.sorted_hash.shape[0]
     D = cfg.max_hashbits
-    S = index.sketches.shape[1]
     n_iters = max(1, int(np.ceil(np.log2(max(2, n)))) + 1)
     # entry depth: prefixes deeper than log2(n)+2 have ~no candidates —
-    # enter the peel walk where candidates start existing (the state the
-    # reference reaches after burning through the empty depths; same cap
-    # as the angular engines, ops/query.py)
+    # enter the peel walk where candidates start existing (same cap as
+    # the angular engines, ops/query.py)
     d_entry = int(np.clip(np.ceil(np.log2(max(2, n))) + 2, min_depth, D))
+    G = max(1, cfg.gather_block)
+    g_log = int(np.log2(G))
 
     qbm = _query_bitmaps(query_tokens, index.universe)  # (Q, Wu)
     q_sizes = jnp.sum(query_tokens >= 0, axis=1).astype(jnp.float32)
+
+    streams = {"qbm": qbm, "q_sizes": q_sizes, "qsk": qsk}
 
     # CLANN ball geometry (when built clustered): per-candidate drop +
     # full stop, both exact under the Jaccard metric (module docstring).
@@ -345,8 +389,7 @@ def jaccard_search_batch(
     # query bitmaps — a (Q, C, T) intermediate, NOT (Q, C, Wu): the
     # universe size never enters the memory bill (same rule as
     # _set_gmm_jit; with bitmaps a 1M-token universe cost ~128GB here).
-    use_balls = index.center_ids is not None
-    if use_balls:
+    if index.center_ids is not None:
         ct = index.tokens[index.center_ids]  # (C, T)
         cvalid = ct >= 0
         ctok = jnp.clip(ct, 0, index.universe - 1).astype(jnp.uint32)
@@ -361,8 +404,8 @@ def jaccard_search_batch(
         c_sizes = index.set_sizes[index.center_ids].astype(jnp.float32)
         union_c = q_sizes[:, None] + c_sizes[None, :] - inter_c
         cdist = 1.0 - jnp.where(union_c > 0, inter_c / union_c, 0.0)
-        feas_bound = cdist - index.radii[None, :]  # (Q, C)
-        ball_floor = jnp.min(feas_bound, axis=1)  # (Q,)
+        streams["feas_bound"] = cdist - index.radii[None, :]  # (Q, C)
+        streams["ball_floor"] = jnp.min(streams["feas_bound"], axis=1)
 
     seg_lo = jnp.zeros((Q,), jnp.int32)
     seg_hi = jnp.full((Q,), n, jnp.int32)
@@ -373,51 +416,159 @@ def jaccard_search_batch(
     starts_s, sizes_s = candidate_stream(
         lo, hi, qh, D, min_depth, start_depth=d_entry
     )
-    fc = jnp.cumsum(sizes_s, axis=1)
-    M = fc.shape[1]
-    total = fc[:, -1]
+    bstarts, bcounts = block_stream(starts_s, sizes_s, g_log)
+    fc = jnp.cumsum(bcounts, axis=1)  # (Q, M) cumulative BLOCK counts
+    streams.update(
+        starts=starts_s, sizes=sizes_s, bstarts=bstarts, fc=fc,
+        total=fc[:, -1],
+    )
+    return streams
+
+
+def _jaccard_entry_depth(index: JaccardIndex, min_depth: int) -> int:
+    n = index.n
+    D = index.config.max_hashbits
+    return int(np.clip(np.ceil(np.log2(max(2, n))) + 2, min_depth, D))
+
+
+def _jaccard_loop_pieces(
+    index: JaccardIndex,
+    streams: dict,
+    delta: jnp.ndarray,
+    *,
+    k: int,
+    chunk: int,
+    min_depth: int,
+    filter_type: str,
+    filter_expand: int,
+):
+    """(cond, body) of the adaptive probe loop — the Jaccard port of
+    ops/global_query._loop_pieces with all three measured engine levers
+    (VERDICT r4 #2): blocked record gathers (G packed [id, sketch,
+    cluster] records per lane), the precomputed stream map fast path, and
+    dead-block gather routing. Filtering happens BEFORE rescoring: sketch
+    hamming + ball feasibility run on record words, passers are compacted
+    (ops/query._compact_take) and only ~chunk candidates per iteration pay
+    the (Q, CB, T) token-gather exact-Jaccard rescore.
+
+    State tuple: (topk_sims (Q,k), topk_ids, qdone, off, dc, cand_ct).
+    """
+    cfg = index.config
+    qbm, q_sizes, qsk = streams["qbm"], streams["q_sizes"], streams["qsk"]
+    starts_s, sizes_s = streams["starts"], streams["sizes"]
+    bstarts, fc, total = streams["bstarts"], streams["fc"], streams["total"]
+    use_balls = "feas_bound" in streams
+
+    Q = qbm.shape[0]
+    n = index.n
+    L = index.sorted_hash.shape[0]
+    S = index.sketches.shape[1]
+    Wd = index.sketches.shape[2]
+    d_entry = _jaccard_entry_depth(index, min_depth)
+    G = max(1, cfg.gather_block)
+    g_log = int(np.log2(G))
+    WB = max(1, (chunk * filter_expand) // G)  # window width in blocks
+    WL = WB * G
+    CB = chunk + G  # compacted rescore capacity (block-granular overshoot)
+    R = 2 + Wd  # [id, sketch words, cluster]
+
+    if index.g_records is not None:
+        g_records = index.g_records
+    else:
+        # legacy / sharded-local index without packed records: derive them
+        # in-trace (one gather pass; shard-local tables are small)
+        g_records = _pack_jaccard_records(
+            index.sorted_idx, index.sketches, index.assignment, pad_to=G
+        )
+    n_pad = g_records.shape[1]
+    if n_pad % G:
+        raise ValueError(
+            "g_records slot axis is not a multiple of config.gather_block; "
+            "rebuild or pass pad_to=gather_block to _pack_jaccard_records"
+        )
+    nb = n_pad // G
+    rec_view = g_records.reshape(L, nb, G * R)
+
+    blk_iota = jnp.arange(WB, dtype=jnp.int32)
+    lane_iota = jnp.arange(G, dtype=jnp.uint32)
 
     def rescore(cand_ids):
-        """Exact Jaccard via query bitmaps: (Q, chunk) sims."""
-        ctok = index.tokens[cand_ids]  # (Q, chunk, T)
+        """Exact Jaccard via query bitmaps: (Q, CB) sims."""
+        ctok = index.tokens[cand_ids]  # (Q, CB, T)
         valid = ctok >= 0
         t = jnp.clip(ctok, 0, index.universe - 1).astype(jnp.uint32)
         word = (t >> jnp.uint32(5)).astype(jnp.int32)
         bitpos = t & jnp.uint32(31)
-        qw = qbm[jnp.arange(Q)[:, None, None], word]  # (Q, chunk, T)
+        qw = qbm[jnp.arange(Q)[:, None, None], word]  # (Q, CB, T)
         member = ((qw >> bitpos) & jnp.uint32(1)).astype(jnp.float32)
-        inter = jnp.sum(jnp.where(valid, member, 0.0), axis=-1)  # (Q, chunk)
+        inter = jnp.sum(jnp.where(valid, member, 0.0), axis=-1)  # (Q, CB)
         c_sizes = jnp.sum(valid, axis=-1).astype(jnp.float32)
         union = q_sizes[:, None] + c_sizes - inter
         return jnp.where(union > 0, inter / union, 0.0)
-
-    init = (
-        jnp.zeros((Q, k), jnp.float32),
-        jnp.full((Q, k), -1, jnp.int32),
-        total <= 0,
-        jnp.zeros((Q,), jnp.int32),
-        jnp.zeros((Q,), jnp.int32),
-        jnp.zeros((Q,), jnp.int32),
-    )
-    chunk_iota = jnp.arange(chunk, dtype=jnp.int32)
 
     def cond(s):
         return ~jnp.all(s[2])
 
     def body(s):
         topk_sims, topk_ids, qdone, off, dc, cand_ct = s
-        pos = off[:, None] + chunk_iota[None, :]
-        valid = (pos < total[:, None]) & (~qdone[:, None])
-        j = jnp.clip(count_leq(fc, pos), 0, M - 1)
-        prev = jnp.where(
-            j > 0, jnp.take_along_axis(fc, jnp.maximum(j - 1, 0), axis=1), 0
-        )
-        slot = jnp.take_along_axis(starts_s, j, axis=1) + (pos - prev)
-        slot = jnp.clip(slot, 0, n - 1)
-        t_sel = j % L
-        cand_ids = index.sorted_idx[t_sel, slot]
+
+        def window_fallback(off):
+            j, blk, _, lane_valid = blocked_window(
+                fc, off, WB, bstarts, starts_s, sizes_s, g_log,
+                dense_index=cfg.window_index_dense,
+            )
+            return (j % L), blk, lane_valid
+
+        if "smap" in streams:
+            # precomputed stream map (ops/prefixmap.stream_block_map):
+            # per-iteration window bookkeeping collapses to ONE contiguous
+            # per-row dynamic slice (see ops/global_query._loop_pieces —
+            # measured 8.5 of 14.4 ms/iter on the cosine engine); cursors
+            # past the map fall back to the in-loop derivation
+            smap = streams["smap"]
+            tb = smap.shape[1]
+
+            def window_mapped(off):
+                win = jax.vmap(
+                    lambda rows, o: jax.lax.dynamic_slice_in_dim(
+                        rows, o, WB, axis=0
+                    )
+                )(smap, jnp.clip(off, 0, tb - WB))  # (Q, WB, 3)
+                t_sel = win[..., 0]
+                blk = win[..., 1]
+                lm = jax.lax.bitcast_convert_type(win[..., 2], jnp.uint32)
+                lane_valid = (
+                    (lm[:, :, None] >> lane_iota[None, None, :])
+                    & jnp.uint32(1)
+                ) != 0  # (Q, WB, G)
+                return t_sel, blk, lane_valid
+
+            live_max = jnp.max(jnp.where(qdone, 0, off))
+            t_sel, blk, lane_valid = jax.lax.cond(
+                live_max + WB <= tb, window_mapped, window_fallback, off
+            )
+        else:
+            t_sel, blk, lane_valid = window_fallback(off)
+        # dead-block routing: gathers of fully-masked blocks (done queries,
+        # edge blocks) go to cache-resident row 0 — bit-identical (every
+        # consumer is masked by `valid`), and random gathers for dead lanes
+        # were the measured dominant cost at bench scale (NYT_LSWEEP's
+        # 9.5x engine speedup decomposition)
+        if cfg.dead_block_routing:
+            block_live = jnp.any(lane_valid, axis=2) & ~qdone[:, None]
+            blk = jnp.where(block_live, blk, 0)
+            t_sel = jnp.where(block_live, t_sel, 0)
+        valid = (lane_valid & ~qdone[:, None, None]).reshape(Q, WL)
+        # ONE gather per block fetches G packed records
+        rec = rec_view[t_sel, jnp.clip(blk, 0, nb - 1)]  # (Q, WB, G*R)
+        rec = rec.reshape(Q, WB, G, R)
+        cand_ids = rec[..., 0].astype(jnp.int32).reshape(Q, WL)
+        cand_sk = rec[..., 1 : 1 + Wd].reshape(Q, WL, Wd)
 
         kth_sim = topk_sims[:, k - 1]
+        full = topk_ids[:, k - 1] >= 0
+        kth_dist = jnp.where(full, 1.0 - kth_sim, jnp.inf)
+
         maxdiff = index.sketch_p1_table[
             jnp.clip(
                 (kth_sim / index.sim_eps).astype(jnp.int32),
@@ -425,11 +576,17 @@ def jaccard_search_batch(
                 index.sketch_p1_table.shape[0] - 1,
             )
         ]
-        sk_idx = t_sel % S
-        cand_sk = index.sketches[cand_ids, sk_idx, :]
-        q_sk = jnp.take_along_axis(qsk, sk_idx[:, :, None], axis=1)
+        # one query-sketch fetch per BLOCK (sketch index is constant
+        # across a block's G lanes), broadcast to lanes
+        q_sk = jnp.broadcast_to(
+            jnp.take_along_axis(qsk, (t_sel % S)[:, :, None], axis=1)[
+                :, :, None, :
+            ],
+            (Q, WB, G, Wd),
+        ).reshape(Q, WL, Wd)
         ham = jnp.sum(
-            jax.lax.population_count(jnp.bitwise_xor(cand_sk, q_sk)), axis=-1
+            jax.lax.population_count(jnp.bitwise_xor(cand_sk, q_sk)),
+            axis=-1,
         ).astype(jnp.int32)
         if filter_type == "none":
             # FilterType::None (collection.hpp:543-601 dispatch): score
@@ -439,28 +596,62 @@ def jaccard_search_batch(
             passes = valid & (ham <= maxdiff[:, None])
         if use_balls:
             # index.rs:342-361 per candidate: a ball that cannot reach the
-            # pre-merge k-th (conservative — the merge only tightens it)
-            full0 = topk_ids[:, k - 1] >= 0
-            kth_dist0 = jnp.where(full0, 1.0 - kth_sim, jnp.inf)
-            feas_ok = feas_bound <= kth_dist0[:, None]  # (Q, C)
-            cand_cluster = index.assignment[cand_ids]  # (Q, chunk)
-            passes = passes & jnp.take_along_axis(
-                feas_ok, cand_cluster, axis=1
+            # pre-merge k-th (conservative — the merge only tightens it).
+            # Gather-free: one-hot MXU contraction of the exact (Q, C)
+            # feasibility booleans (0/1 exact in bf16, one nonzero/row)
+            feas_bound = streams["feas_bound"]
+            cand_cluster = jnp.clip(
+                rec[..., 1 + Wd].astype(jnp.int32).reshape(Q, WL),
+                0,
+                feas_bound.shape[1] - 1,
             )
+            ok = (feas_bound <= kth_dist[:, None]).astype(jnp.bfloat16)
+            feas = (
+                jnp.einsum(
+                    "qwc,qc->qw",
+                    jax.nn.one_hot(
+                        cand_cluster, feas_bound.shape[1],
+                        dtype=jnp.bfloat16,
+                    ),
+                    ok,
+                    preferred_element_type=jnp.float32,
+                )
+                >= 0.5
+            )
+            passes = passes & feas
 
-        sims = rescore(cand_ids)
-        masked = jnp.where(passes, cand_ids, n)
+        # consume whole blocks until ~chunk passing candidates accumulate;
+        # always at least one block so the cursor advances
+        pb = jnp.sum(passes.reshape(Q, WB, G), axis=2)
+        cum_pb = jnp.cumsum(pb, axis=1)
+        consumed = jnp.maximum(jnp.sum(cum_pb <= chunk, axis=1), 1)
+        in_window = (
+            jnp.broadcast_to(
+                (blk_iota[None, :] < consumed[:, None])[:, :, None],
+                (Q, WB, G),
+            )
+        ).reshape(Q, WL)
+        take = passes & in_window
+        compact_ids = _compact_take(take, cand_ids, cap=CB, n_sentinel=n)
+
+        sims = rescore(jnp.clip(compact_ids, 0, n - 1))
         topk_sims, topk_ids = _merge_topk(
-            topk_sims, topk_ids, masked, sims, n_sentinel=n
+            topk_sims, topk_ids, compact_ids, sims, n_sentinel=n
         )
-        dc = dc + jnp.sum(passes, axis=1, dtype=jnp.int32)
-        cand_ct = cand_ct + jnp.sum(valid, axis=1, dtype=jnp.int32)
+        dc = dc + jnp.sum(take, axis=1, dtype=jnp.int32)
+        cand_ct = cand_ct + jnp.sum(
+            valid & in_window, axis=1, dtype=jnp.int32
+        )
 
-        off_new = off + chunk
+        # freeze finished queries' cursors (their windows are fully masked;
+        # an advancing done cursor would push the mapped path to fallback)
+        off_new = jnp.where(qdone, off, off + consumed)
+        exhausted = off_new >= total
         r_star = count_leq(fc, off_new[:, None])[:, 0]
         depth_cur = jnp.maximum(d_entry - r_star // L, min_depth)
         tables = (r_star % L).astype(jnp.float32)
         kth_sim = topk_sims[:, k - 1]
+        D = index.config.max_hashbits
         bucket = jnp.clip(
             (kth_sim / index.sim_eps).astype(jnp.int32),
             0,
@@ -472,27 +663,173 @@ def jaccard_search_batch(
             depth_cur == d_entry, 0.0, jnp.maximum(L - tables, 0.0)
         )
         failure = jnp.power(1.0 - p_d, tables) * jnp.power(1.0 - p_d1, rest)
-        qdone = qdone | (failure <= 1.0 - delta) | (off_new >= total)
+        qdone = qdone | (failure <= 1.0 - delta) | exhausted
         if use_balls:
             # full stop: even the closest remaining ball cannot beat the
             # k-th (the reference's loop exit, index.rs:342-361)
             full = topk_ids[:, k - 1] >= 0
-            kth_dist = jnp.where(full, 1.0 - kth_sim, jnp.inf)
-            qdone = qdone | (full & (ball_floor > kth_dist))
+            kth_dist2 = jnp.where(full, 1.0 - kth_sim, jnp.inf)
+            qdone = qdone | (full & (streams["ball_floor"] > kth_dist2))
         return (topk_sims, topk_ids, qdone, off_new, dc, cand_ct)
 
-    topk_sims, topk_ids, _, _, dc, cand_ct = jax.lax.while_loop(cond, body, init)
-    if use_balls:
+    return cond, body
+
+
+def _jaccard_run_loop(
+    index: JaccardIndex,
+    streams: dict,
+    delta: jnp.ndarray,
+    *,
+    k: int,
+    chunk: int,
+    min_depth: int,
+    filter_type: str,
+    filter_expand: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, SearchStats]:
+    Q = streams["qbm"].shape[0]
+    total = streams["total"]
+    cond, body = _jaccard_loop_pieces(
+        index, streams, delta, k=k, chunk=chunk, min_depth=min_depth,
+        filter_type=filter_type, filter_expand=filter_expand,
+    )
+    init = (
+        jnp.zeros((Q, k), jnp.float32),
+        jnp.full((Q, k), -1, jnp.int32),
+        total <= 0,
+        jnp.zeros((Q,), jnp.int32),
+        jnp.zeros((Q,), jnp.int32),
+        jnp.zeros((Q,), jnp.int32),
+    )
+    topk_sims, topk_ids, _, _, dc, cand_ct = jax.lax.while_loop(
+        cond, body, init
+    )
+    if "feas_bound" in streams:
         kth_dist = jnp.where(
             topk_ids[:, k - 1] >= 0, 1.0 - topk_sims[:, k - 1], jnp.inf
         )
         visited = jnp.sum(
-            feas_bound <= kth_dist[:, None], axis=1, dtype=jnp.int32
+            streams["feas_bound"] <= kth_dist[:, None], axis=1,
+            dtype=jnp.int32,
         )
     else:
         visited = jnp.ones((Q,), jnp.int32)
-    stats = SearchStats(dc, cand_ct, visited)
-    return topk_sims, topk_ids, stats
+    return topk_sims, topk_ids, SearchStats(dc, cand_ct, visited)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "chunk", "min_depth", "filter_type", "filter_expand",
+    ),
+)
+def jaccard_search_batch(
+    index: JaccardIndex,
+    query_tokens: jnp.ndarray,
+    qh: jnp.ndarray,
+    qsk: jnp.ndarray,
+    delta: jnp.ndarray,
+    *,
+    k: int,
+    chunk: int,
+    min_depth: int = 1,
+    filter_type: str = "default",
+    filter_expand: int = 8,
+) -> Tuple[jnp.ndarray, jnp.ndarray, SearchStats]:
+    """Adaptive delta-recall search over the set index, one dispatch.
+
+    query_tokens: (Q, T) padded sorted token sets; qh (Q, L) table hashes;
+    qsk (Q, S, W) packed sketches (pre-hashed by jaccard_search — the
+    probability tables inside the hashing objects cannot be constructed
+    under a jit trace).
+    Returns (sims desc (Q, k), ids (Q, k), stats).
+
+    This is the shard_map-safe entry (no host sync): it runs the blocked
+    loop WITHOUT the precomputed stream map (the map needs the batch's max
+    stream depth on the host to size). Host callers go through
+    jaccard_search, which adds the map exactly like the cosine engine's
+    global_search_batch_mapped.
+    """
+    streams = _jaccard_prepare(
+        index, query_tokens, qh, qsk, min_depth=min_depth
+    )
+    return _jaccard_run_loop(
+        index, streams, delta, k=k, chunk=chunk, min_depth=min_depth,
+        filter_type=filter_type, filter_expand=filter_expand,
+    )
+
+
+_jaccard_prepare_jit = functools.partial(
+    jax.jit, static_argnames=("min_depth",)
+)(_jaccard_prepare)
+
+_jaccard_run_loop_jit = functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "chunk", "min_depth", "filter_type", "filter_expand",
+    ),
+)(_jaccard_run_loop)
+
+
+@functools.partial(jax.jit, static_argnames=("g", "L", "tb"))
+def _jaccard_attach_stream_map(streams: dict, *, g, L, tb) -> dict:
+    from clann_tpu.ops.prefixmap import stream_block_map
+
+    smap = stream_block_map(
+        streams["fc"], streams["bstarts"], streams["starts"],
+        streams["sizes"], g, L, tb,
+    )
+    return {**streams, "smap": smap}
+
+
+def jaccard_search_batch_mapped(
+    index: JaccardIndex,
+    query_tokens: jnp.ndarray,
+    qh: jnp.ndarray,
+    qsk: jnp.ndarray,
+    delta,
+    *,
+    k: int,
+    chunk: int,
+    min_depth: int = 1,
+    filter_type: str = "default",
+    filter_expand: int = 8,
+):
+    """jaccard_search_batch with the precomputed stream maps attached.
+
+    Host orchestrator (NOT jittable) — pulls the batch's max stream length
+    (one int over the relay) to size the maps, exactly like
+    ops/global_query.global_search_batch_mapped. Results are bit-identical
+    to the unmapped path (the maps precompute the same blocked_window
+    quantities; tested in tests/test_stream_map.py's cosine twin and
+    tests/test_jaccard.py's A/B).
+    """
+    from clann_tpu.ops.global_query import _map_tb
+
+    cfg = index.config
+    G = max(1, cfg.gather_block)
+    if G > 32 or not cfg.stream_map:
+        return jaccard_search_batch(
+            index, query_tokens, qh, qsk, jnp.asarray(delta, jnp.float32),
+            k=k, chunk=chunk, min_depth=min_depth, filter_type=filter_type,
+            filter_expand=filter_expand,
+        )
+    streams = _jaccard_prepare_jit(
+        index, query_tokens, qh, qsk, min_depth=min_depth
+    )
+    total_max = int(jax.device_get(jnp.max(streams["total"])))
+    wb = max(1, (chunk * filter_expand) // G)
+    tb = _map_tb(
+        total_max, cfg.stream_map_blocks, wb, query_tokens.shape[0]
+    )
+    L = index.sorted_hash.shape[0]
+    streams = _jaccard_attach_stream_map(
+        streams, g=int(np.log2(G)), L=L, tb=tb
+    )
+    return _jaccard_run_loop_jit(
+        index, streams, jnp.asarray(delta, jnp.float32), k=k, chunk=chunk,
+        min_depth=min_depth, filter_type=filter_type,
+        filter_expand=filter_expand,
+    )
 
 
 def jaccard_search(
@@ -521,10 +858,17 @@ def jaccard_search(
         qbits.reshape(qt.shape[0], cfg.num_sketches, cfg.sketch_bits)
     )
 
-    sims, ids, stats = jaccard_search_batch(
+    if index.g_records is None:
+        # legacy/loaded index: attach packed records once for this call
+        # chain (loaders attach at load; this covers hand-built indexes)
+        index = index.replace(g_records=_pack_jaccard_records(
+            index.sorted_idx, index.sketches, index.assignment,
+            pad_to=max(1, cfg.gather_block),
+        ))
+    sims, ids, stats = jaccard_search_batch_mapped(
         index, qt, qh, qsk, jnp.float32(delta),
         k=k, chunk=cfg.candidate_chunk, min_depth=cfg.min_depth,
-        filter_type=filter_type,
+        filter_type=filter_type, filter_expand=cfg.filter_expand,
     )
     return np.asarray(sims), np.asarray(ids), stats
 

@@ -339,11 +339,20 @@ def load_jaccard_index(path: str):
     except (OSError, KeyError) as e:
         raise SerializeError(f"failed to read index from {path}: {e}") from e
 
+    from clann_tpu.core.jaccard import _pack_jaccard_records
+
     tokens = arrays["tokens"]
     return JaccardIndex(
         **arrays,
         **geometry,
         set_sizes=jnp.sum(tokens >= 0, axis=1).astype(jnp.int32),
+        # packed query records are derived, not serialized (pure function
+        # of tables+sketches; keeps the format stable across gather_block)
+        g_records=_pack_jaccard_records(
+            arrays["sorted_idx"], arrays["sketches"],
+            geometry.get("assignment"),
+            pad_to=max(1, config.gather_block),
+        ),
         hash_params=hash_params,
         sketch_params=sketch_params,
         config=config,

@@ -606,12 +606,18 @@ def jaccard_index_from_parsed(parsed, config: Optional[Config] = None):
     p1 = np.asarray(sketch_family.collision_probability(sims_grid, 1))
     maxdiff = np.round(cfg.sketch_bits * (1.0 - p1)).astype(np.int32)
 
+    from clann_tpu.core.jaccard import _pack_jaccard_records
+
     return JaccardIndex(
         tokens=jnp.asarray(tokens),
         set_sizes=jnp.sum(jnp.asarray(tokens) >= 0, axis=1).astype(jnp.int32),
         sorted_hash=jnp.asarray(sorted_hash),
         sorted_idx=jnp.asarray(sorted_idx),
         sketches=jnp.asarray(sketches),
+        g_records=_pack_jaccard_records(
+            jnp.asarray(sorted_idx), jnp.asarray(sketches), None,
+            pad_to=max(1, cfg.gather_block),
+        ),
         hash_params={k: jnp.asarray(v) for k, v in hash_params.items()},
         sketch_params={k: jnp.asarray(v) for k, v in sketch_params.items()},
         probs_table=jnp.asarray(probs.table),

@@ -198,6 +198,83 @@ _dense_scan_jit = functools.partial(
 )(_dense_scan_impl)
 
 
+def _certified_scan_impl(
+    base_n, queries_n, *, k: int, block_points: int,
+    recall_target: float, eps: float, normalize_queries: bool = False,
+):
+    """Exact top-k via the APPROX scan + a certifying count pass.
+
+    The direct exact path runs `lax.top_k` over every (Q, block) score
+    tile — measured 8x slower than the approx paths at the bench shape
+    (BENCH_r04: 16.5k vs 130.7k QPS), because TPU top_k lowers to a
+    per-tile sort while `approx_max_k` rides the binned-max hardware
+    path. This replaces the sort with a certificate:
+
+      pass 1  approx winners + exact f32 rescore (== the approx path);
+              tau_q = exact k-th score of query q's winner set S_q.
+      pass 2  count_q = |{p : sim_scan(q,p) >= tau_q - eps}| — matmul +
+              compare + popcount-style reduce, NO selection network.
+
+    Soundness (why count == k certifies exactness): tau_q <= the true
+    k-th score (S_q is a subset), so every true top-k point has
+    sim_exact >= tau_q, hence sim_scan >= tau_q - eps whenever eps bounds
+    the scan-vs-rescore precision gap for one pair. The counted set
+    therefore CONTAINS both the true top-k and S_q's top-k (k elements
+    each); if it has exactly k members the two coincide and S_q's top-k
+    IS the exact answer. count > k means a possible miss (or a near-tie
+    within eps) — those queries, typically a few percent (the approx
+    pass misses ~0.2% of ids), are re-run through the direct exact path
+    by the caller. eps trades fallback rate for safety margin; the
+    measured scan-vs-rescore gap is ~1e-6 at d=100 (exp_exact_floor).
+
+    Returns (top_sims desc, top_ids, counts) — counts (Q,) int32.
+    """
+    if normalize_queries:
+        queries_n = queries_n / jnp.maximum(
+            jnp.linalg.norm(queries_n, axis=-1, keepdims=True), 1e-30
+        )
+    ts, ti = _dense_scan_impl(
+        base_n, queries_n, k=k, block_points=block_points,
+        recall_target=recall_target, exact=False, normalize_queries=False,
+    )
+    tau = ts[:, k - 1]
+    # underfull result rows (n < k, all -inf) certify trivially: count
+    # against -inf would return n; route them to the fallback instead
+    tau = jnp.where(jnp.isfinite(tau), tau, jnp.inf)
+
+    n = base_n.shape[0]
+    nb = -(-n // block_points)
+    pad = nb * block_points - n
+    bp = jnp.pad(base_n, ((0, pad), (0, 0)))
+    blocks = bp.reshape(nb, block_points, -1)
+    base_ids = jnp.arange(nb * block_points, dtype=jnp.int32).reshape(
+        nb, block_points
+    )
+    thresh = (tau - eps)[:, None]
+
+    def count_block(carry, blk):
+        vecs, ids = blk
+        # the IDENTICAL dot op as scan_block so the precision gap the
+        # eps margin must absorb is rescore-vs-scan, not scan-vs-scan
+        dots = jnp.dot(queries_n, vecs.T, preferred_element_type=jnp.float32)
+        ok = (dots >= thresh) & (ids[None, :] < n)
+        return carry + jnp.sum(ok, axis=1, dtype=jnp.int32), None
+
+    counts, _ = jax.lax.scan(
+        count_block, jnp.zeros((queries_n.shape[0],), jnp.int32),
+        (blocks, base_ids),
+    )
+    return ts, ti, counts
+
+
+_certified_scan_jit = functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "block_points", "recall_target", "eps", "normalize_queries"
+    ),
+)(_certified_scan_impl)
+
+
 def dense_scan_topk(
     base,
     queries,

@@ -451,15 +451,32 @@ def global_search_batch_impl(
     min_depth: int = 1,
     filter_type: str = "default",
     filter_expand: int = 8,
+    static_map_tb: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, SearchStats]:
     """Search a pre-hashed query batch on the global tables.
 
     Same contract as ops/query.search_batch_impl; requires the index to be
     built with global LSH structures (config.lsh_engine == "global").
+
+    static_map_tb > 0 attaches the precomputed stream map at a STATIC
+    position count — no host sync, so usable under shard_map / inside an
+    enclosing jit (the host-sized variant is global_search_batch_mapped).
+    Cursors past the map fall back to the in-loop derivation, so an
+    undersized static tb costs performance, never correctness.
     """
     streams = _prepare_streams(
         index, queries_n, query_hashes, query_sketches, min_depth=min_depth
     )
+    G = max(1, index.config.gather_block)
+    if static_map_tb > 0 and index.config.stream_map and G <= 32:
+        from clann_tpu.ops.prefixmap import stream_block_map
+
+        smap = stream_block_map(
+            streams["fc"], streams["bstarts"], streams["starts"],
+            streams["sizes"], int(np.log2(G)),
+            index.g_sorted_hash.shape[0], static_map_tb,
+        )
+        streams = {**streams, "smap": smap}
     return _run_loop(
         index, streams, delta, k=k, chunk=chunk, min_depth=min_depth,
         filter_type=filter_type, filter_expand=filter_expand,
@@ -470,6 +487,7 @@ global_search_batch_jit = functools.partial(
     jax.jit,
     static_argnames=(
         "k", "chunk", "min_depth", "filter_type", "filter_expand",
+        "static_map_tb",
     ),
 )(global_search_batch_impl)
 

@@ -297,6 +297,8 @@ def scan_search(
     use_pallas: bool = False,
     pull: str = "packed",
     pallas_auto_route: bool = True,
+    exact_certify: bool = True,
+    exact_eps: float = 1e-5,
 ):
     """Full dense scan of the index vectors (the C=1 full-probe case).
 
@@ -325,6 +327,15 @@ def scan_search(
         shapes below the kernel's measured crossover (pallas_scan_viable)
         instead of running the kernel where it loses 10x to its own
         fallback. False pins the kernel (raw-kernel measurements).
+    exact_certify: with exact=True (and the default pull), replace the
+        direct per-block lax.top_k sort — the measured 8x exact-path
+        floor — with the threshold-certificate algorithm
+        (ops/distances._certified_scan_impl): approx winners + a
+        selection-free counting pass; only queries whose certificate
+        fails (count != k) re-run the direct sort. Results are exact
+        either way; failures are counted in stats.uncertified.
+        exact_eps is the certificate's precision margin (see the impl's
+        soundness note). False pins the direct sort.
     """
     from clann_tpu.ops.distances import _dense_scan_jit
 
@@ -341,8 +352,13 @@ def scan_search(
         qn = qn[None, :]
     n = index.vectors.shape[0]
     if qn.shape[0] == 0:
+        # ids-only pull modes contract: distances are None (same as the
+        # non-empty path), so callers branching on `d is None` behave
+        # uniformly
+        empty_d = (None if pull in ("ids", "ids-packed")
+                   else np.zeros((0, k), np.float32))
         return (
-            np.zeros((0, k), np.float32),
+            empty_d,
             np.zeros((0, k), np.int32),
             DenseSearchStats(
                 distance_computations=np.zeros(0, np.int32),
@@ -404,7 +420,16 @@ def scan_search(
             262144, n,
             max(32768, int(4e9 / (4 * min(batch_q, qn.shape[0])))),
         )
-        outs_s, outs_i = [], []
+        outs_s, outs_i, uncert_rows = [], [], []
+        n_fallback = 0
+        # certified exact (VERDICT r4 #7): the direct exact path's
+        # per-block lax.top_k sort is the measured 8x floor; the
+        # threshold-certificate design (distances._certified_scan_impl)
+        # runs the APPROX scan + a selection-free counting pass and
+        # re-runs only uncertified queries (typically a few percent)
+        # through the direct sort. Bit-equal results (tested), counted in
+        # stats.uncertified.
+        certify = exact and exact_certify and pull == "packed"
         for s in range(0, qn.shape[0], batch_q):
             blk = qn[s : s + batch_q]
             if pull == "ids-packed":
@@ -413,6 +438,30 @@ def scan_search(
                     recall_target=recall_target, exact=exact,
                     bits=bits, words=words,
                 ))
+                continue
+            if certify:
+                from clann_tpu.ops.distances import _certified_scan_jit
+
+                ts, ti, cts = _certified_scan_jit(
+                    index.vectors, blk, k=k, block_points=block_points,
+                    recall_target=max(recall_target, 0.95), eps=exact_eps,
+                    normalize_queries=True,
+                )
+                bad = np.asarray(cts) != k
+                uncert_rows.append(bad.astype(np.int32))
+                if bad.any():
+                    n_fallback += int(bad.sum())
+                    bidx = jnp.asarray(np.nonzero(bad)[0])
+                    es, ei = _dense_scan_jit(
+                        index.vectors, blk[bidx], k=k,
+                        block_points=block_points,
+                        recall_target=recall_target, exact=True,
+                        normalize_queries=True,
+                    )
+                    ts = ts.at[bidx].set(es)
+                    ti = ti.at[bidx].set(ei)
+                outs_s.append(ts)
+                outs_i.append(ti)
                 continue
             ts, ti = _dense_scan_jit(
                 index.vectors, blk, k=k, block_points=block_points,
@@ -423,21 +472,12 @@ def scan_search(
             # pipeline asynchronously instead of syncing per batch
             outs_s.append(ts)
             outs_i.append(ti)
-    if pull == "ids-packed":
-        packed_w = np.asarray(jnp.concatenate(outs_i, axis=0))
-        ids = _unpack_ids_host(packed_w, n=n, bits=bits, k=k)
-        Q = ids.shape[0]
-        dc = np.full(Q, n, np.int32)
-        stats = DenseSearchStats(
-            distance_computations=dc,
-            candidates=dc,
-            clusters_visited=np.full(Q, index.n_clusters, np.int32),
-            dropped_probes=np.int32(0),
-            uncertified=np.zeros(Q, np.int32),
-        )
-        return None, ids, stats
-    if pull == "ids":
-        ids = np.asarray(jnp.concatenate(outs_i, axis=0))
+    if pull in ("ids", "ids-packed"):
+        # one host pull, then (packed mode only) exact host-side unpack;
+        # both modes share the stats/return contract: distances are None
+        raw = np.asarray(jnp.concatenate(outs_i, axis=0))
+        ids = (_unpack_ids_host(raw, n=n, bits=bits, k=k)
+               if pull == "ids-packed" else raw)
         Q = ids.shape[0]
         dc = np.full(Q, n, np.int32)
         stats = DenseSearchStats(
@@ -469,12 +509,20 @@ def scan_search(
     dists = np.where(ids >= 0, np.clip(1.0 - dots, 0.0, 2.0), np.inf)
     Q = ids.shape[0]
     dc = np.full(Q, n, np.int32)
+    # certified-exact: 1 marks a query whose certificate failed (count !=
+    # k — possible approx miss or an eps near-tie) and that was re-run
+    # through the direct exact sort; its result is exact either way
+    uncert = (
+        np.concatenate(uncert_rows)
+        if not use_pallas and uncert_rows
+        else np.zeros(Q, np.int32)
+    )
     stats = DenseSearchStats(
         distance_computations=dc,
         candidates=dc,
         clusters_visited=np.full(Q, index.n_clusters, np.int32),
         dropped_probes=np.int32(0),
-        uncertified=np.zeros(Q, np.int32),
+        uncertified=uncert,
     )
     return dists, ids, stats
 

@@ -42,7 +42,7 @@ HARNESS_SRC = os.path.join(REPO, "tools", "ref_cross.cpp")
 OUT_JSON = os.path.join(REPO, "BASELINE_MEASURED.json")
 
 K = 10
-DELTA = 0.9
+DEFAULT_DELTA = 0.9
 NUM_TABLES = 50  # bench.py's BENCH_L default (benches/configs.json L=50)
 
 
@@ -92,6 +92,12 @@ def main():
                     help="queries to time (subset of bench.py's 10k)")
     ap.add_argument("--reps", type=int, default=1)
     ap.add_argument("--L", type=int, default=NUM_TABLES)
+    ap.add_argument("--delta", type=float, default=DEFAULT_DELTA,
+                    help="the reference's recall knob passed to search() "
+                         "(collection.hpp:324). Non-default runs are merged "
+                         "into BASELINE_MEASURED.json's rows list so the "
+                         "same-knob in-class comparison (VERDICT r4 #1) has "
+                         "a matched denominator per (L, delta)")
     ap.add_argument("--family", default="fhtcp",
                     help="fhtcp (the reference cosine default) or simhash")
     ap.add_argument("--n", type=int, default=1_183_514,
@@ -143,12 +149,12 @@ def main():
     n, d = train.shape
     cores = os.cpu_count() or 1
     log(f"running reference bench: n={n} d={d} L={args.L} nq={len(test)} "
-        f"k={K} delta={DELTA} reps={args.reps} family={args.family} "
+        f"k={K} delta={args.delta} reps={args.reps} family={args.family} "
         f"(build uses {cores} core(s); query loop single-threaded by design)")
     t0 = time.time()
     r = subprocess.run(
         [exe, "bench", args.family, train_bin, str(n), str(d), str(args.L),
-         test_bin, str(len(test)), str(K), str(DELTA), str(args.reps),
+         test_bin, str(len(test)), str(K), str(args.delta), str(args.reps),
          ids_bin],
         capture_output=True, text=True,
     )
@@ -168,13 +174,14 @@ def main():
         "family": args.family,
         "num_tables": args.L,
         "k": K,
-        "delta": DELTA,
+        "delta": args.delta,
         "nq": len(test),
         "reps": args.reps,
         "build_seconds": bench["build_s"],
         "build_cores": cores,
         "qps": bench["qps"],
         "warm_qps": bench["warm_qps"],
+        "index_memory_bytes": bench.get("memory"),
         "recall_mean": rec_mean,
         "recall_std": rec_std,
         "query_threading": "single-threaded by design "
@@ -182,10 +189,34 @@ def main():
         "host": os.uname().nodename,
         "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }
+
+    # Merge into the baseline file rather than overwrite: the top-level
+    # fields stay the default-knob headline row (what bench.py's
+    # vs_baseline divides by), and EVERY measured (family, L, delta, n)
+    # combination is kept in "rows" so in-class claims can cite the
+    # same-knob reference row (VERDICT r4 #1).
+    existing = {}
+    if os.path.exists(args.out):
+        try:
+            with open(args.out) as f:
+                existing = json.load(f)
+        except (OSError, ValueError):
+            existing = {}
+    rows = [r_ for r_ in existing.get("rows", [])
+            if not (r_.get("family") == result["family"]
+                    and r_.get("num_tables") == result["num_tables"]
+                    and r_.get("delta") == result["delta"]
+                    and r_.get("dataset") == result["dataset"])]
+    rows.append(result)
+    is_default = (args.L == NUM_TABLES and args.delta == DEFAULT_DELTA
+                  and args.family == "fhtcp")
+    top = dict(result) if is_default or not existing else {
+        k_: v_ for k_, v_ in existing.items() if k_ != "rows"}
+    top["rows"] = rows
     with open(args.out, "w") as f:
-        json.dump(result, f, indent=2)
+        json.dump(top, f, indent=2)
         f.write("\n")
-    log(f"wrote {args.out}")
+    log(f"wrote {args.out} ({len(rows)} rows)")
     print(json.dumps(result))
 
 

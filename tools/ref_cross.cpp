@@ -187,7 +187,7 @@ int run_bench(int argc, char** argv) {
         std::memcpy(row.data(), data.data() + i * d, d * sizeof(float));
         index.insert(row);
     }
-    index.rebuild(L);
+    uint64_t mem = index.rebuild(L);
     auto t1 = std::chrono::steady_clock::now();
     double build_s = std::chrono::duration<double>(t1 - t0).count();
 
@@ -219,12 +219,16 @@ int run_bench(int argc, char** argv) {
     auto t3 = std::chrono::steady_clock::now();
     double search_s = std::chrono::duration<double>(t3 - t2).count();
     double qps = (double)(nq * reps) / search_s;
+    // memory is rebuild()'s own accounting of the index footprint
+    // (collection.hpp rebuild return; BASELINE.json's equal-index-memory
+    // condition is checked against this number)
     std::printf(
         "{\"mode\":\"bench\",\"n\":%zu,\"d\":%u,\"L\":%u,\"nq\":%zu,\"k\":%u,"
         "\"recall_target\":%.3f,\"build_s\":%.3f,\"qps\":%.2f,"
-        "\"warm_qps\":%.2f,\"found\":%zu}\n",
+        "\"warm_qps\":%.2f,\"found\":%zu,\"memory\":%llu}\n",
         n, d, L, nq, k, recall, build_s, qps,
-        (double)nq / std::chrono::duration<double>(t2 - t1).count(), found);
+        (double)nq / std::chrono::duration<double>(t2 - t1).count(), found,
+        (unsigned long long)mem);
     return 0;
 }
 
