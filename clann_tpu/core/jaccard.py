@@ -283,7 +283,7 @@ def build_jaccard_index(
         sorted_hash=sorted_hash,
         sorted_idx=sorted_idx,
         sketches=sketches,
-        g_records=_pack_jaccard_records(
+        g_records=_pack_jaccard_records_host(
             sorted_idx, sketches, geometry.get("assignment"),
             pad_to=max(1, config.gather_block),
         ),
@@ -330,6 +330,40 @@ def _pack_jaccard_records(
     if pad:
         rec = jnp.pad(rec, ((0, 0), (0, pad), (0, 0)))
     return rec
+
+
+def _pack_jaccard_records_host(
+    sorted_idx, sketches, assignment, pad_to: int = 1,
+) -> jnp.ndarray:
+    """Host (numpy) twin of _pack_jaccard_records, used at BUILD time.
+
+    Packing on device at build crashed the axon TPU worker
+    nondeterministically (~4 of 5 runs, round 5): the gather program
+    queued behind the async hash/sort chain triggers a "kernel fault"
+    that poisons the process, while the IDENTICAL ops run fine inside
+    the search jit and in stage-synced isolation. numpy gathers at
+    Jaccard build scales (e.g. 200k x L=50: ~240MB) cost low seconds,
+    once per build — so the build path sidesteps the faulting pattern
+    entirely and the device jit remains for in-trace derivation."""
+    si = np.asarray(sorted_idx)
+    sk = np.asarray(sketches)
+    L, n = si.shape
+    S = sk.shape[1]
+    sk_idx = (np.arange(L, dtype=np.int64) % S)[:, None]
+    rec = np.concatenate(
+        [
+            si.astype(np.uint32)[:, :, None],
+            sk[si.astype(np.int64), sk_idx, :],
+            (np.asarray(assignment)[si.astype(np.int64)]
+             if assignment is not None
+             else np.zeros_like(si)).astype(np.uint32)[:, :, None],
+        ],
+        axis=2,
+    )
+    pad = (-n) % pad_to
+    if pad:
+        rec = np.pad(rec, ((0, 0), (0, pad), (0, 0)))
+    return jnp.asarray(rec)
 
 
 def _query_bitmaps(query_tokens: jnp.ndarray, universe: int) -> jnp.ndarray:
@@ -861,7 +895,7 @@ def jaccard_search(
     if index.g_records is None:
         # legacy/loaded index: attach packed records once for this call
         # chain (loaders attach at load; this covers hand-built indexes)
-        index = index.replace(g_records=_pack_jaccard_records(
+        index = index.replace(g_records=_pack_jaccard_records_host(
             index.sorted_idx, index.sketches, index.assignment,
             pad_to=max(1, cfg.gather_block),
         ))

@@ -339,7 +339,7 @@ def load_jaccard_index(path: str):
     except (OSError, KeyError) as e:
         raise SerializeError(f"failed to read index from {path}: {e}") from e
 
-    from clann_tpu.core.jaccard import _pack_jaccard_records
+    from clann_tpu.core.jaccard import _pack_jaccard_records_host
 
     tokens = arrays["tokens"]
     return JaccardIndex(
@@ -347,8 +347,10 @@ def load_jaccard_index(path: str):
         **geometry,
         set_sizes=jnp.sum(tokens >= 0, axis=1).astype(jnp.int32),
         # packed query records are derived, not serialized (pure function
-        # of tables+sketches; keeps the format stable across gather_block)
-        g_records=_pack_jaccard_records(
+        # of tables+sketches; keeps the format stable across gather_block).
+        # Host-side packing: see _pack_jaccard_records_host's note on the
+        # axon worker fault.
+        g_records=_pack_jaccard_records_host(
             arrays["sorted_idx"], arrays["sketches"],
             geometry.get("assignment"),
             pad_to=max(1, config.gather_block),

@@ -606,7 +606,7 @@ def jaccard_index_from_parsed(parsed, config: Optional[Config] = None):
     p1 = np.asarray(sketch_family.collision_probability(sims_grid, 1))
     maxdiff = np.round(cfg.sketch_bits * (1.0 - p1)).astype(np.int32)
 
-    from clann_tpu.core.jaccard import _pack_jaccard_records
+    from clann_tpu.core.jaccard import _pack_jaccard_records_host
 
     return JaccardIndex(
         tokens=jnp.asarray(tokens),
@@ -614,8 +614,8 @@ def jaccard_index_from_parsed(parsed, config: Optional[Config] = None):
         sorted_hash=jnp.asarray(sorted_hash),
         sorted_idx=jnp.asarray(sorted_idx),
         sketches=jnp.asarray(sketches),
-        g_records=_pack_jaccard_records(
-            jnp.asarray(sorted_idx), jnp.asarray(sketches), None,
+        g_records=_pack_jaccard_records_host(
+            sorted_idx, sketches, None,
             pad_to=max(1, cfg.gather_block),
         ),
         hash_params={k: jnp.asarray(v) for k, v in hash_params.items()},
