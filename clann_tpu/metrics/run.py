@@ -91,6 +91,9 @@ class RunMetrics:
     total_search_time_s: float = 0.0
     recall_mean: float = 0.0
     recall_std: float = 0.0
+    # how query_time_ms rows were produced (see schema.clann_timing_mode):
+    # stays "single-query" only while every ingested batch holds ONE query
+    timing_mode: Optional[str] = None
 
     def log_index_building_time(self, seconds: float) -> None:
         """reference: index.rs:284-286."""
@@ -129,7 +132,13 @@ class RunMetrics:
         self.candidates = cat(self.candidates, cand)
         self.clusters_visited = cat(self.clusters_visited, cv)
         # batch execution has no per-query wall time; attribute evenly
+        # and label the run accordingly (schema.clann_timing_mode)
         self.query_time_ms = cat(self.query_time_ms, qt)
+        mode = "single-query" if nq <= 1 else "batched-amortized"
+        if self.timing_mode is None:
+            self.timing_mode = mode
+        elif self.timing_mode != mode:
+            self.timing_mode = "batched-amortized"
         self.total_search_time_s += total_time_s
         # per-probe detail only concatenates across same-shape batches
         # (same engine, same probe count); otherwise keep the last batch
@@ -159,6 +168,7 @@ class RunMetrics:
         self.total_search_time_s = 0.0
         self.recall_mean = 0.0
         self.recall_std = 0.0
+        self.timing_mode = None
 
     def compute_run_statistics(self, ground_truth_distances, run_distances) -> None:
         """Recall + QPS (reference: mod.rs:247-263)."""
@@ -293,6 +303,14 @@ class RunMetrics:
                 float(np.clip(self.recall_mean, 0, 1)),
                 float(max(self.recall_std, 0)),
             ),
+        )
+        cur.execute(
+            """INSERT OR REPLACE INTO clann_timing_mode
+               (num_clusters, num_tables, k, delta, dataset,
+                git_commit_hash, timing_mode)
+               VALUES (?,?,?,?,?,?,?)""",
+            (nc, L, c.k, c.delta, ds, gh,
+             self.timing_mode or "batched-amortized"),
         )
 
     def _save_queries(self, cur) -> None:

@@ -138,6 +138,27 @@ CREATE TABLE IF NOT EXISTS puffinn_results_query (
     CONSTRAINT positive_time CHECK (query_time_ms >= 0),
     CONSTRAINT positive_computations CHECK (distance_computations >= 0)
 );
+
+-- ADDITIVE table (not in the reference schema; reference tooling ignores
+-- unknown tables): labels how a run's per-query query_time_ms rows were
+-- produced. The reference times each query's sequential search
+-- (sqlite.rs:199), so its rows are true latencies; TPU batch execution
+-- has no per-query wall time, so rows from batched runs are the batch
+-- wall-clock divided evenly ('batched-amortized') — only runs whose
+-- every ingest had one query carry 'single-query' (a true latency; see
+-- LATENCY.json for the measured batch-1 story).
+CREATE TABLE IF NOT EXISTS clann_timing_mode (
+    num_clusters INTEGER NOT NULL,
+    num_tables INTEGER NOT NULL,
+    k INTEGER NOT NULL,
+    delta REAL NOT NULL,
+    dataset TEXT NOT NULL,
+    git_commit_hash CHAR(40) NOT NULL,
+    timing_mode TEXT NOT NULL
+        CHECK (timing_mode IN ('batched-amortized', 'single-query')),
+    PRIMARY KEY (num_clusters, num_tables, k, delta, dataset,
+                 git_commit_hash)
+);
 """
 
 

@@ -144,6 +144,34 @@ class TestMetrics:
         assert n_c == handle.index.n_clusters
         assert 0.7 <= recall <= 1.0
 
+    def test_timing_mode_labeling(self, built, tmp_path):
+        """Batched runs label query_time_ms rows 'batched-amortized';
+        a run of only single-query ingests labels 'single-query'
+        (schema.clann_timing_mode — the reference's rows are true
+        per-query latencies, sqlite.rs:199; ours are only for nq==1)."""
+        handle, ds = built
+        db = str(tmp_path / "timing.db")
+        handle.metrics.reset_search()
+        dists, _, _ = handle.search_batch(ds.test)
+        clann_tpu.save_metrics(
+            handle, db, ground_truth_distances=ds.distances,
+            run_distances=dists,
+        )
+        conn = sqlite3.connect(db)
+        (mode,) = conn.execute(
+            "SELECT timing_mode FROM clann_timing_mode").fetchone()
+        conn.close()
+        assert mode == "batched-amortized"
+        # fresh run of pure single-query searches
+        handle.metrics.reset_search()
+        d1, _, _ = handle.search_batch(ds.test[:1])
+        assert handle.metrics.timing_mode == "single-query"
+        d2, _, _ = handle.search_batch(ds.test[1:2])
+        assert handle.metrics.timing_mode == "single-query"
+        # one batched ingest demotes the whole run
+        handle.search_batch(ds.test[:8])
+        assert handle.metrics.timing_mode == "batched-amortized"
+
     def test_duplicate_insert_tolerated(self, built, tmp_path):
         # reference: sqlite.rs:50-61 UNIQUE violation == already recorded
         handle, ds = built
@@ -188,8 +216,11 @@ class TestMetrics:
             )
         }
         conn.close()
-        # reference: result_schema.sql defines exactly these 7 tables
-        assert tables == {
+        # reference: result_schema.sql defines exactly these 7 tables; the
+        # compat contract is that they ALL exist unchanged. Additive
+        # clann_* tables (timing-mode labels) are allowed — reference
+        # tooling ignores unknown tables.
+        ref_tables = {
             "build_metrics",
             "build_metrics_cluster",
             "search_metrics",
@@ -198,6 +229,9 @@ class TestMetrics:
             "puffinn_results",
             "puffinn_results_query",
         }
+        assert ref_tables <= tables
+        assert all(t in ref_tables or t.startswith("clann_")
+                   for t in tables)
 
 
 class TestClusterGranularity:
