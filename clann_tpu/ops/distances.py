@@ -205,43 +205,41 @@ def _certified_scan_impl(
     """Exact top-k via the APPROX scan + a certifying count pass.
 
     The direct exact path runs `lax.top_k` over every (Q, block) score
-    tile — measured 8x slower than the approx paths at the bench shape
-    (BENCH_r04: 16.5k vs 130.7k QPS), because TPU top_k lowers to a
+    tile — measured 6-8x slower than the approx paths at the bench shape
+    (EXACT_FLOOR.json: 16.4k vs 101k QPS), because TPU top_k lowers to a
     per-tile sort while `approx_max_k` rides the binned-max hardware
     path. This replaces the sort with a certificate:
 
-      pass 1  approx winners + exact f32 rescore (== the approx path);
-              tau_q = exact k-th score of query q's winner set S_q.
+      pass 1  approx winners, keeping their SCAN-precision scores;
+              tau_q = scan-precision k-th score of the winner set S_q.
       pass 2  count_q = |{p : sim_scan(q,p) >= tau_q - eps}| — matmul +
-              compare + popcount-style reduce, NO selection network.
+              compare + reduce, NO selection network, the SAME dot op.
 
-    Soundness (why count == k certifies exactness): tau_q <= the true
-    k-th score (S_q is a subset), so every true top-k point has
-    sim_exact >= tau_q, hence sim_scan >= tau_q - eps whenever eps bounds
-    the scan-vs-rescore precision gap for one pair. The counted set
-    therefore CONTAINS both the true top-k and S_q's top-k (k elements
-    each); if it has exactly k members the two coincide and S_q's top-k
-    IS the exact answer. count > k means a possible miss (or a near-tie
-    within eps) — those queries, typically a few percent (the approx
-    pass misses ~0.2% of ids), are re-run through the direct exact path
-    by the caller. eps trades fallback rate for safety margin; the
-    measured scan-vs-rescore gap is ~1e-6 at d=100 (exp_exact_floor).
+    Both sides of the certificate live in the scan's own score precision
+    — the SAME domain the direct exact path selects in (its top_k sorts
+    the scan dots), so "exact" means exactly what direct-exact means.
+    (The first cut compared scan dots against the HIGHEST-precision
+    rescored tau: the cross-precision gap (~1e-3 at d=100) both inflated
+    counts — 53% fallback — and let a few wrong certificates through.
+    Single-domain comparison fixed both; measured in EXACT_FLOOR.json.)
 
-    Returns (top_sims desc, top_ids, counts) — counts (Q,) int32.
+    Soundness: tau_q <= the true (scan-precision) k-th score, so every
+    true top-k point counts; S_q's top-k counts too. count == k forces
+    the two k-element sets to coincide — S_q's top-k IS the exact
+    answer. count > k (an approx miss, ~2% of queries at m=k, or a
+    score tie within eps) falls back to the direct sort in the caller.
+    eps absorbs any compile-instance nondeterminism between the two
+    passes' identical dots (0 suffices when XLA reuses the lowering;
+    the 1e-6 default is insurance that costs ~nothing in fallbacks).
+
+    Winners are exactly rescored (HIGHEST f32) for the RETURNED scores,
+    like every other scan path. Returns (top_sims desc, top_ids,
+    counts) — counts (Q,) int32.
     """
     if normalize_queries:
         queries_n = queries_n / jnp.maximum(
             jnp.linalg.norm(queries_n, axis=-1, keepdims=True), 1e-30
         )
-    ts, ti = _dense_scan_impl(
-        base_n, queries_n, k=k, block_points=block_points,
-        recall_target=recall_target, exact=False, normalize_queries=False,
-    )
-    tau = ts[:, k - 1]
-    # underfull result rows (n < k, all -inf) certify trivially: count
-    # against -inf would return n; route them to the fallback instead
-    tau = jnp.where(jnp.isfinite(tau), tau, jnp.inf)
-
     n = base_n.shape[0]
     nb = -(-n // block_points)
     pad = nb * block_points - n
@@ -250,20 +248,55 @@ def _certified_scan_impl(
     base_ids = jnp.arange(nb * block_points, dtype=jnp.int32).reshape(
         nb, block_points
     )
+    q = queries_n.shape[0]
+
+    # pass 1: the approx scan WITHOUT the exact-rescore epilogue — the
+    # winner scores stay in scan precision for the certificate
+    def scan_block(carry, blk):
+        top_s, top_i = carry
+        vecs, ids = blk
+        dots = jnp.dot(queries_n, vecs.T, preferred_element_type=jnp.float32)
+        sims = jnp.where(ids[None, :] < n, dots, -jnp.inf)
+        s, j = jax.lax.approx_max_k(sims, k, recall_target=recall_target)
+        i = ids[j]
+        merged_s = jnp.concatenate([top_s, s], axis=1)
+        merged_i = jnp.concatenate([top_i, i], axis=1)
+        ms, sel = jax.lax.top_k(merged_s, k)
+        return (ms, jnp.take_along_axis(merged_i, sel, axis=1)), None
+
+    init = (
+        jnp.full((q, k), -jnp.inf, jnp.float32),
+        jnp.full((q, k), -1, jnp.int32),
+    )
+    (top_s, top_i), _ = jax.lax.scan(scan_block, init, (blocks, base_ids))
+
+    tau = top_s[:, k - 1]
+    # underfull result rows (n < k, all -inf) certify trivially: count
+    # against -inf would return n; route them to the fallback instead
+    tau = jnp.where(jnp.isfinite(tau), tau, jnp.inf)
     thresh = (tau - eps)[:, None]
 
     def count_block(carry, blk):
         vecs, ids = blk
-        # the IDENTICAL dot op as scan_block so the precision gap the
-        # eps margin must absorb is rescore-vs-scan, not scan-vs-scan
         dots = jnp.dot(queries_n, vecs.T, preferred_element_type=jnp.float32)
         ok = (dots >= thresh) & (ids[None, :] < n)
         return carry + jnp.sum(ok, axis=1, dtype=jnp.int32), None
 
     counts, _ = jax.lax.scan(
-        count_block, jnp.zeros((queries_n.shape[0],), jnp.int32),
-        (blocks, base_ids),
+        count_block, jnp.zeros((q,), jnp.int32), (blocks, base_ids),
     )
+
+    # returned scores: exact f32 rescore of the winners (membership is
+    # certified above; values match the other scan paths' contract)
+    safe = jnp.clip(top_i, 0, n - 1)
+    ex = jnp.einsum(
+        "qkd,qd->qk", base_n[safe], queries_n,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    ex = jnp.where(top_i >= 0, ex, -jnp.inf)
+    ts, sel = jax.lax.top_k(ex, k)
+    ti = jnp.take_along_axis(top_i, sel, axis=1)
     return ts, ti, counts
 
 

@@ -298,7 +298,7 @@ def scan_search(
     pull: str = "packed",
     pallas_auto_route: bool = True,
     exact_certify: bool = True,
-    exact_eps: float = 1e-5,
+    exact_eps: float = 1e-6,
 ):
     """Full dense scan of the index vectors (the C=1 full-probe case).
 
