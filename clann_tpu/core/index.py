@@ -497,12 +497,16 @@ def build_index(
         if gmm_mesh is not None:
             from clann_tpu.parallel.gmm import sharded_gmm
 
+            # xn is normalized once above; re-normalizing inside the GMM
+            # program forced XLA to hold two extra whole-array layout
+            # copies and OOM'd 13M x 100 builds (CAPACITY_EDGE round 5)
             centers_idx, assignment, radii = sharded_gmm(
-                xn, n_clusters, mesh=gmm_mesh, metric=metric
+                xn, n_clusters, mesh=gmm_mesh, metric=metric,
+                assume_normalized=True,
             )
         else:
             centers_idx, assignment, radii = greedy_minimum_maximum(
-                xn, n_clusters, metric
+                xn, n_clusters, metric, assume_normalized=True
             )
     n_clusters = len(centers_idx)  # may shrink in the degenerate n <= k case
 

@@ -25,11 +25,21 @@ import numpy as np
 from clann_tpu.ops.distances import exact_dot, l2_normalize
 
 
-@functools.partial(jax.jit, static_argnames=("k", "metric"))
-def _gmm_jit(x: jnp.ndarray, *, k: int, metric: str):
+@functools.partial(
+    jax.jit, static_argnames=("k", "metric", "assume_normalized")
+)
+def _gmm_jit(x: jnp.ndarray, *, k: int, metric: str,
+             assume_normalized: bool = False):
     n = x.shape[0]
     if metric == "angular":
-        xn = l2_normalize(x)
+        # assume_normalized skips the in-program re-normalize. This is
+        # not cosmetic: at 13M x 100 the fused divide forced XLA to hold
+        # TWO whole-array layout copies of the vectors inside the GMM
+        # program (6.2G + 5.0G HLO temps on top of the 5.0G argument —
+        # witnessed OOM, CAPACITY_EDGE round 5), capping single-chip
+        # builds ~3x below the residency model. build_index normalizes
+        # once up front and passes True.
+        xn = x if assume_normalized else l2_normalize(x)
 
         def dist_col(c):
             # 1 - Xn @ Xn[c]; one MXU matvec (reference: angulardata.rs:38-43)
@@ -64,12 +74,16 @@ def _gmm_jit(x: jnp.ndarray, *, k: int, metric: str):
     return centers, assignment, radii
 
 
-def greedy_minimum_maximum(data, k: int, metric: str = "angular"):
+def greedy_minimum_maximum(data, k: int, metric: str = "angular",
+                           assume_normalized: bool = False):
     """Cluster `data` into k groups; returns (centers, assignment, radii).
 
     centers: (k,) int32 indices into data rows
     assignment: (n,) int32 indices into centers
     radii: (k,) float32 max distance of an assigned point to its center
+    assume_normalized: caller guarantees unit rows (angular); skips the
+    in-program re-normalize and its large-n layout-copy cost (see
+    _gmm_jit).
     """
     x = jnp.asarray(data, dtype=jnp.float32)
     n = x.shape[0]
@@ -77,7 +91,9 @@ def greedy_minimum_maximum(data, k: int, metric: str = "angular"):
         # Degenerate: each point is its own center (gmm.rs:26-31).
         ar = np.arange(n, dtype=np.int32)
         return ar, ar.copy(), np.zeros(n, dtype=np.float32)
-    centers, assignment, radii = _gmm_jit(x, k=k, metric=metric)
+    centers, assignment, radii = _gmm_jit(
+        x, k=k, metric=metric, assume_normalized=assume_normalized
+    )
     return np.asarray(centers), np.asarray(assignment), np.asarray(radii)
 
 

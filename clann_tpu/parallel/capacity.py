@@ -85,6 +85,18 @@ def plan_capacity(
     if cfg.dense_layout:
         per["scan_copy_bf16"] = n_pad * dpad * 2
         per["dense_geometry"] = C * (d + 2) * 4
+    # the fused-kernel serving path keeps ITS OWN padded bf16 base
+    # (ops/ivf._PALLAS_BASE_CACHE), distinct from dense_layout's plain
+    # scan copy — both are resident when the headline path serves. Below
+    # the measured crossover the router never builds it
+    # (ops/ivf.pallas_scan_viable), so it only counts at kernel scales.
+    # Witnessed (CAPACITY_EDGE.json, round 5): without this term the
+    # planner accepted 11M and 13M x 100 single-chip, and both OOM'd;
+    # with it the edge lands at ~10M — the size round 1 measured working.
+    from clann_tpu.ops.ivf import pallas_scan_viable
+
+    if pallas_scan_viable(n, d):
+        per["pallas_scan_base_bf16"] = n_pad * dpad * 2
     per["tables_hash_idx"] = L * n * 8
     per["sketches"] = n * S * W * 4
     if cfg.pack_slot_records:

@@ -100,11 +100,14 @@ def _local_gmm(x_local, base, *, k: int, n_real: int, axis: str):
 
 
 def sharded_gmm(
-    data, k: int, mesh=None, axis: str = "shard", metric: str = "angular"
+    data, k: int, mesh=None, axis: str = "shard", metric: str = "angular",
+    assume_normalized: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Mesh-sharded GMM. Same contract as ops/gmm.greedy_minimum_maximum.
 
     `data` may be a host array or an already-sharded device array.
+    assume_normalized: as in ops/gmm (skips the redundant whole-array
+    re-normalize — the witnessed large-n build-OOM source).
     """
     if metric != "angular":
         raise ValueError("sharded GMM currently supports the angular metric")
@@ -120,7 +123,7 @@ def sharded_gmm(
         return ar, ar.copy(), np.zeros(n, dtype=np.float32)
 
     pad = (-n) % D
-    xn = l2_normalize(x)
+    xn = x if assume_normalized else l2_normalize(x)
     if pad:
         xn = jnp.pad(xn, ((0, pad), (0, 0)))
     n_local = (n + pad) // D

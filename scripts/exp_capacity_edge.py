@@ -45,10 +45,15 @@ def log(m):
 
 
 def cfg_kwargs():
+    # CAP_DENSE=0 drops the plain-scan eager bf16 copy — the LEAN pallas
+    # serving residency (f32 vectors + the kernel's own padded base).
+    # With it on, THREE copies are resident (f32 + dense bf16 + pallas
+    # base) and the witnessed edge drops below 10M (attempts in
+    # CAPACITY_EDGE.json).
     return dict(
         num_tables=1, num_clusters_factor=0.02, k=K, delta=0.9,
         hash_family="simhash", seed=0, pack_slot_records=False,
-        dense_layout=True,
+        dense_layout=os.environ.get("CAP_DENSE", "1") != "0",
     )
 
 
@@ -168,9 +173,12 @@ def main():
         if r.returncode == 0 and r.stdout.strip():
             row.update(json.loads(r.stdout.strip().splitlines()[-1]))
         else:
-            low = tail.lower()
-            if "resource_exhausted" in low or "out of memory" in low \
-                    or "oom" in low:
+            # classify on the FULL stderr (the RESOURCE_EXHAUSTED header
+            # precedes a multi-KB allocation dump — a tail-only check
+            # mislabels OOM as crash); store only a tail in the artifact
+            low = (r.stderr or "").lower()
+            if ("resource_exhausted" in low or "out of memory" in low
+                    or "allocation type: hlo temp" in low):
                 row["outcome"] = "oom"
             else:
                 row["outcome"] = "crash"
