@@ -18,8 +18,15 @@ if "xla_force_host_platform_device_count" not in flags:
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 # Persistent compilation cache: the nested while-loop search program takes
 # minutes to compile on the single-core CI host; cache it across runs.
-os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/jax_comp_cache")
+# OWN directory, NOT the relay-shared ~/.cache/jax_comp_cache: the axon
+# relay populates that one with CPU AOT entries compiled on ANOTHER
+# machine (cpu_aot_loader warns "machine type ... doesn't match ... could
+# lead to execution errors such as SIGILL"), and loading a foreign entry
+# segfaulted two full local test runs mid-suite (round 5; the crashing
+# test passes in isolation). Local CPU runs must only share cache entries
+# compiled on this host.
+os.environ["JAX_COMPILATION_CACHE_DIR"] = os.path.expanduser(
+    "~/.cache/jax_comp_cache_cpu_local"
 )
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
