@@ -96,7 +96,8 @@ def main():
         qps = nq * reps / (time.time() - t0)
         ids = np.concatenate(out_i)
         rec = threshold_recall(
-            exact_sims_of_ids(data, queries.tokens, ids), gt_kth[:nq], K)
+            exact_sims_of_ids(data, queries.tokens[:nq], ids),
+            gt_kth[:nq], K)
         return qps, rec, float(np.concatenate(dc).mean()), warm
 
     rows = []
